@@ -1,0 +1,117 @@
+"""Spark engine: index build + query execution."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..jsutil import js_key
+from .indexer import DOCID, FK_PREFIX, Index, assign_docids, build_index
+from .query import EngineError, SearchEngine
+
+__all__ = [
+    "DOCID",
+    "FK_PREFIX",
+    "Index",
+    "EngineError",
+    "SearchEngine",
+    "assign_docids",
+    "build_index",
+    "itemsjs_spark",
+    "items_to_df",
+]
+
+
+def itemsjs_spark(
+    spark: SparkSession,
+    items_or_df: Union[DataFrame, List[Dict[str, Any]]],
+    configuration: Optional[Dict[str, Any]] = None,
+    docid_col: Optional[str] = None,
+    order_by: Optional[Sequence[str]] = None,
+) -> SearchEngine:
+    """Public entry point mirroring ``itemsjs(items, configuration)``.
+
+    Accepts either a DataFrame (provide ``docid_col`` or ``order_by`` for a
+    stable document identity) or a small list of dicts (test/fixture path:
+    input order becomes ``_docid``, like the reference's 1-based ``_id``).
+    """
+    configuration = configuration or {}
+    if isinstance(items_or_df, DataFrame):
+        df = items_or_df
+        idx = build_index(
+            spark, df, configuration, docid_col=docid_col, order_by=order_by
+        )
+    else:
+        df = items_to_df(spark, items_or_df)
+        idx = build_index(spark, df, configuration, docid_col="__input_order")
+        idx.docs = idx.docs.drop("__input_order")
+    return SearchEngine(idx)
+
+
+def _infer_field_type(values: List[Any]):
+    kinds = set()
+    elem_str = False
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        elif isinstance(v, str):
+            kinds.add("str")
+        elif isinstance(v, (list, tuple)):
+            kinds.add("array")
+            if any(isinstance(e, str) for e in v):
+                elem_str = True
+        else:
+            kinds.add("str")
+    if kinds == {"bool"}:
+        return T.BooleanType(), lambda v: v
+    if kinds == {"int"}:
+        return T.LongType(), lambda v: v
+    if kinds <= {"int", "float"}:
+        return T.DoubleType(), lambda v: float(v) if v is not None else None
+    if "array" in kinds and len(kinds) == 1:
+        if elem_str:
+            return (
+                T.ArrayType(T.StringType()),
+                lambda v: [js_key(e) for e in v] if v is not None else None,
+            )
+        return (
+            T.ArrayType(T.LongType()),
+            lambda v: list(v) if v is not None else None,
+        )
+    # mixed or string: JS object-key / toString coercion
+    return T.StringType(), lambda v: js_key(v)
+
+
+def items_to_df(spark: SparkSession, items: List[Dict[str, Any]]) -> DataFrame:
+    """Small list-of-dicts -> DataFrame with ``__input_order`` (1-based).
+
+    Mixed-typed fields (JS allows ``price: 1`` and ``price: '7'``) collapse
+    to strings via JS key coercion, which preserves facet/search semantics
+    (keys coincide)."""
+    field_order: List[str] = []
+    for it in items:
+        for k in it.keys():
+            if k not in field_order and k != "_id":
+                field_order.append(k)
+    converters = {}
+    struct_fields = [T.StructField("__input_order", T.LongType(), False)]
+    for f in field_order:
+        dtype, conv = _infer_field_type([it.get(f) for it in items])
+        converters[f] = conv
+        struct_fields.append(T.StructField(f, dtype, True))
+    rows = []
+    for i, it in enumerate(items):
+        row = [i + 1]
+        for f in field_order:
+            v = it.get(f)
+            row.append(converters[f](v) if v is not None else None)
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, T.StructType(struct_fields))

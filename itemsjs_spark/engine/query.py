@@ -1,0 +1,733 @@
+"""Query execution: compiles itemsjs requests to declarative DataFrame
+plans over the index artifacts.
+
+Everything stays JVM-side (whole-stage codegen) except the user-supplied
+``filter`` callback (reference O6), which runs Arrow-batched.
+
+Plan shapes (scale rationale):
+* facet predicates -> boolean ``array_contains`` expressions over the
+  normalized ``__fk_*`` columns; Catalyst pushes them into the scan.
+* full-text -> driver-side query analysis (tiny), one pruned range scan of
+  ``terms`` for prefix expansion, then broadcast-join the (small) expanded
+  term list against ``postings``, aggregate per docid, deterministic-order
+  dot product; ordering is ``ORDER BY score DESC, ref ASC`` which Spark
+  executes as TakeOrderedAndProject under a LIMIT.
+* buckets -> per facet field one groupBy over exploded keys right-joined
+  with the facet dimension (keeps zero-count buckets), window-free until
+  the final per-field top-size sort.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis.lunr_analysis import build_pipeline, tokenize
+from ..core import facetir, scoring
+from ..jsutil import humanize, js_key
+from .indexer import DOCID, FK_PREFIX, Index
+
+IN_QUERY = "__in_query"
+SCORE = "__score"
+QRANK = "__qrank"
+
+
+class EngineError(ValueError):
+    pass
+
+
+def _js_truthy(v: Any) -> bool:
+    return not (
+        v is None
+        or v is False
+        or v == 0
+        or v == ""
+        or (isinstance(v, float) and math.isnan(v))
+    )
+
+
+def _parse_paging(input: Dict[str, Any]) -> Tuple[int, int]:
+    per_page = input.get("per_page")
+    page = input.get("page")
+    per_page = int(per_page if _js_truthy(per_page) else 12)
+    page = int(page if _js_truthy(page) else 1)
+    return per_page, page
+
+
+def ir_to_column(pred: tuple, has_query_col: bool) -> Column:
+    op = pred[0]
+    if op == "true":
+        return F.lit(True)
+    if op == "false":
+        return F.lit(False)
+    if op == "and":
+        col = ir_to_column(pred[1][0], has_query_col)
+        for p in pred[1][1:]:
+            col = col & ir_to_column(p, has_query_col)
+        return col
+    if op == "or":
+        col = ir_to_column(pred[1][0], has_query_col)
+        for p in pred[1][1:]:
+            col = col | ir_to_column(p, has_query_col)
+        return col
+    if op == "not":
+        return ~ir_to_column(pred[1], has_query_col)
+    if op == "contains":
+        return F.array_contains(F.col(FK_PREFIX + pred[1]), pred[2])
+    if op == "hasvalue":
+        return F.size(F.col(FK_PREFIX + pred[1])) > 0
+    if op == "query":
+        return F.col(IN_QUERY) if has_query_col else F.lit(True)
+    raise ValueError(f"unknown IR node {pred!r}")
+
+
+class SearchEngine:
+    """itemsjs API over a built Index (see indexer.build_index)."""
+
+    # facet dimensions up to this many total values are cached driver-side,
+    # which turns existence probes + zero-count bucket fill into lookups;
+    # beyond it, per-query probe jobs and distributed bucket top-k are used.
+    MAX_DRIVER_FACET_DIM = 200_000
+
+    def __init__(self, index: Index):
+        self.index = index
+        self.spark = index.spark
+        self.configuration = index.configuration
+        self.aggregations: Dict[str, dict] = (
+            self.configuration.get("aggregations") or {}
+        )
+        self.pipeline = build_pipeline(
+            is_exact_search=bool(self.configuration.get("isExactSearch")),
+            remove_stop_word_filter=bool(self.configuration.get("removeStopWordFilter")),
+        )
+        self._facet_dim: Optional[Dict[str, List[Tuple[str, int]]]] = None
+        self._facet_dim_checked = False
+        self._ft_materialized = False
+
+    def _ensure_fulltext_materialized(self) -> None:
+        """Cache postings/terms once: the tokenizing mapInPandas scan must
+        not rerun per query (in a deployment these are persisted parquet
+        tables, see Index.write)."""
+        if self._ft_materialized or self.index.postings is None:
+            return
+        self.index.postings = self.index.postings.persist()
+        self.index.postings.count()
+        self.index.terms = self.index.terms.persist()
+        self.index.terms.count()
+        self._ft_materialized = True
+
+    def reconfigured(self, configuration: Dict[str, Any]) -> "SearchEngine":
+        """New engine over the SAME index artifacts with different
+        query-time configuration (sort specs, sizes, titles...). The new
+        config must keep the same facet fields and text-analysis flags —
+        those are baked into the artifacts."""
+        import dataclasses
+
+        new_index = dataclasses.replace(self.index, configuration=configuration)
+        eng = SearchEngine(new_index)
+        eng._facet_dim = self._facet_dim
+        eng._facet_dim_checked = self._facet_dim_checked
+        eng._ft_materialized = self._ft_materialized
+        return eng
+
+    def _facet_dim_cache(self) -> Optional[Dict[str, List[Tuple[str, int]]]]:
+        """field -> [(key, enum_rank)] in enum order, or None if too big."""
+        if self._facet_dim_checked:
+            return self._facet_dim
+        self._facet_dim_checked = True
+        n = self.index.facet_values.limit(self.MAX_DRIVER_FACET_DIM + 1).count()
+        if n > self.MAX_DRIVER_FACET_DIM:
+            self._facet_dim = None
+            return None
+        rows = self.index.facet_values.collect()
+        dim: Dict[str, List[Tuple[str, int]]] = {
+            f: [] for f in self.index.facet_fields
+        }
+        for r in rows:
+            dim[r["field"]].append((r["key"], r["enum_rank"]))
+        for f in dim:
+            dim[f].sort(key=lambda kr: kr[1])
+        self._facet_dim = dim
+        return dim
+
+    # ------------------------------------------------------------------
+    # facet-value existence probing (tiny per-query lookup job)
+    # ------------------------------------------------------------------
+    def _collect_probe_pairs(self, input: Dict[str, Any]) -> set:
+        pairs = set()
+        for fld, values in (input.get("filters") or {}).items():
+            for v in values or []:
+                k = js_key(v)
+                if k is not None:
+                    pairs.add((fld, k))
+        for fld, values in (input.get("not_filters") or {}).items():
+            for v in values or []:
+                k = js_key(v)
+                if k is not None:
+                    pairs.add((fld, k))
+        if input.get("filters_query"):
+            for path in facetir.parse_boolean_query(input["filters_query"]):
+                for term in path:
+                    if len(term) >= 2:
+                        k = js_key(term[1])
+                        if k is not None:
+                            pairs.add((term[0], k))
+        return pairs
+
+    def _exists_fn(self, input: Dict[str, Any]) -> Callable[[str, str], bool]:
+        dim = self._facet_dim_cache()
+        if dim is not None:
+            sets = {f: {k for k, _ in pairs} for f, pairs in dim.items()}
+            return lambda f, k: k in sets.get(f, ())
+        pairs = self._collect_probe_pairs(input)
+        if not pairs:
+            return lambda f, k: False
+        tagged = [f + "\x00" + k for f, k in pairs]
+        found = set(
+            r[0]
+            for r in self.index.facet_values.select(
+                F.concat_ws("\x00", "field", "key").alias("fk")
+            )
+            .filter(F.col("fk").isin(tagged))
+            .distinct()
+            .collect()
+        )
+        return lambda f, k: (f + "\x00" + k) in found
+
+    # ------------------------------------------------------------------
+    # full-text
+    # ------------------------------------------------------------------
+    def fulltext_hits(self, query: str) -> DataFrame:
+        """DataFrame (_docid, __score) of lunr-ranked hits; ordering is a
+        property of the consumer (ORDER BY __score DESC, str(_docid) ASC)."""
+        idx = self.index
+        empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
+        if idx.terms is None:
+            return empty
+        self._ensure_fulltext_materialized()
+        tokens = self.pipeline(tokenize(query))
+        if not tokens:
+            return empty
+
+        distinct_tokens = sorted(set(tokens))
+        cond = None
+        for tok in distinct_tokens:
+            c = F.col("term").startswith(tok)
+            cond = c if cond is None else (cond | c)
+        expanded = idx.terms.filter(cond).select("term", "df", "idf").collect()
+        term_rows = sorted(expanded, key=lambda r: r["term"])
+
+        by_token: Dict[str, List] = {
+            tok: [r for r in term_rows if r["term"].startswith(tok)]
+            for tok in distinct_tokens
+        }
+        idf_map = {r["term"]: r["idf"] for r in term_rows}
+
+        qv = scoring.build_query_vector(
+            tokens,
+            n_fields=len(idx.text_fields),
+            boosts_sum=sum(b for _, b in idx.text_fields),
+            expand=lambda tok: [r["term"] for r in by_token[tok]],
+            idf_of=lambda t: idf_map[t],
+        )
+        if not qv.has_some_token or not qv.all_tokens_expandable:
+            # a token with no trie path empties the conjunctive intersection
+            return empty
+
+        full_mask = (1 << qv.n_tokens) - 1
+        rows = [
+            (term, float(qv.weights[term] * idf_map[term]),
+             sum(1 << i for i in qv.term_tokens[term]))
+            for term in qv.weights
+        ]
+        expanded_df = self.spark.createDataFrame(
+            rows, "term string, w double, mask long"
+        )
+
+        joined = idx.postings.join(F.broadcast(expanded_df), "term")
+        per_doc = joined.groupBy(DOCID).agg(
+            F.bit_or("mask").alias("mask"),
+            # deterministic reduction order: sort contributions by term
+            # before summing, so scores equal the oracle bit-for-bit
+            F.sort_array(
+                F.collect_list(F.struct(F.col("term"), (F.col("w") * F.col("tf")).alias("c")))
+            ).alias("contribs"),
+        )
+        score = F.aggregate(
+            "contribs",
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ) / F.lit(qv.magnitude)
+        return (
+            per_doc.filter(F.col("mask") == full_mask)
+            .withColumn(SCORE, score)
+            .select(DOCID, SCORE)
+        )
+
+    def _candidates(
+        self, input: Dict[str, Any]
+    ) -> Tuple[Optional[DataFrame], bool]:
+        """Returns (hits df with _docid, __score?, __qrank?, or None) and
+        whether relevance ordering applies."""
+        idx = self.index
+        if input.get("_ids") is not None:
+            ids = list(input["_ids"])
+            rows = [(int(v), i) for i, v in enumerate(ids)]
+            hits = self.spark.createDataFrame(rows, f"{DOCID} long, {QRANK} long")
+            return hits, True
+        if input.get("ids") is not None:
+            id_field = self.configuration.get("custom_id_field", "id")
+            wanted = [js_key(v) for v in input["ids"]]
+            found = {
+                r["k"]: r[DOCID]
+                for r in idx.docs.select(
+                    F.col(DOCID), F.col(id_field).cast("string").alias("k")
+                )
+                .filter(F.col("k").isin([w for w in wanted if w is not None]))
+                .collect()
+            }
+            rows = []
+            for i, k in enumerate(wanted):
+                if k in found:
+                    rows.append((int(found[k]), i))
+            hits = self.spark.createDataFrame(rows, f"{DOCID} long, {QRANK} long")
+            return hits, True
+        if self.configuration.get("native_search_enabled") is False and (
+            input.get("query") or input.get("filter")
+        ):
+            raise EngineError(
+                '"query" and "filter" options are not working once native search is disabled'
+            )
+        if input.get("query") or input.get("filter"):
+            if input.get("query"):
+                hits = self.fulltext_hits(input["query"])
+            else:
+                # filter-only: reference keeps input order (fulltext.search
+                # without query returns items in input order)
+                hits = idx.docs.select(DOCID).withColumn(
+                    QRANK, F.col(DOCID)
+                )
+            if callable(input.get("filter")):
+                flt = input["filter"]
+                passing = self._callback_filter_docids(flt)
+                hits = hits.join(passing, DOCID, "left_semi")
+            return hits, True
+        return None, False
+
+    def _callback_filter_docids(self, flt: Callable) -> DataFrame:
+        cols = [c for c in self.index.docs.columns if not c.startswith(FK_PREFIX)]
+        schema = f"{DOCID} long"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                keep = []
+                records = pdf.to_dict("records")
+                for rec in records:
+                    item = {
+                        k: (v.tolist() if hasattr(v, "tolist") else v)
+                        for k, v in rec.items()
+                        if k != DOCID and not _is_missing(v)
+                    }
+                    item["_id"] = int(rec[DOCID])
+                    if flt(item):
+                        keep.append(int(rec[DOCID]))
+                yield pd.DataFrame({DOCID: keep})
+
+        return self.index.docs.select(*cols).mapInPandas(run, schema=schema)
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+    def compile(self, input: Dict[str, Any], has_query: bool):
+        exists = self._exists_fn(input)
+        try:
+            return facetir.compile_search(
+                input, self.aggregations, exists, has_query=has_query
+            )
+        except facetir.FacetPanicError as e:
+            raise EngineError(str(e)) from e
+
+    def _docs_with_query_flag(self, hits: Optional[DataFrame]) -> DataFrame:
+        docs = self.index.docs
+        if hits is None:
+            return docs
+        marked = hits.select(DOCID).withColumn(IN_QUERY, F.lit(True))
+        return docs.join(marked, DOCID, "left").withColumn(
+            IN_QUERY, F.coalesce(F.col(IN_QUERY), F.lit(False))
+        )
+
+    def result_df(self, input: Optional[Dict[str, Any]] = None) -> DataFrame:
+        """Filtered + ordered result items as a DataFrame (pre-pagination),
+        ``_id`` included. This is the scale-path API; ``search`` collects a
+        page of it."""
+        input = input or {}
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        flt = base.filter(ir_to_column(compiled.final_pred, hits is not None))
+        ordered = self._order(flt, input, hits)
+        drop = [c for c in ordered.columns if c.startswith(FK_PREFIX)] + [
+            c for c in (IN_QUERY,) if c in ordered.columns
+        ]
+        return ordered.drop(*drop).withColumnRenamed(DOCID, "_id")
+
+    def _order(
+        self, df: DataFrame, input: Dict[str, Any], hits: Optional[DataFrame]
+    ) -> DataFrame:
+        sort = input.get("sort")
+        if sort:
+            spec = sort
+            sortings = self.configuration.get("sortings") or {}
+            if isinstance(spec, str):
+                spec = sortings.get(spec)
+            if isinstance(spec, dict) and spec.get("field"):
+                fields = spec["field"]
+                orders = spec.get("order") or "asc"
+                if not isinstance(fields, list):
+                    fields = [fields]
+                if not isinstance(orders, list):
+                    orders = [orders]
+                cols = []
+                for i, fld in enumerate(fields):
+                    o = orders[i] if i < len(orders) else "asc"
+                    cols.append(
+                        F.col(fld).desc() if o == "desc" else F.col(fld).asc()
+                    )
+                cols.append(F.col(DOCID).asc())  # lodash orderBy stability
+                return df.orderBy(*cols)
+            return df.orderBy(F.col(DOCID).asc())
+        if hits is not None:
+            if QRANK in hits.columns:
+                return df.join(hits.select(DOCID, QRANK), DOCID).orderBy(
+                    F.col(QRANK).asc()
+                ).drop(QRANK)
+            if SCORE in hits.columns:
+                return df.join(hits.select(DOCID, SCORE), DOCID).orderBy(
+                    F.col(SCORE).desc(), F.col(DOCID).cast("string").asc()
+                ).drop(SCORE)
+        return df.orderBy(F.col(DOCID).asc())
+
+    def search(self, input: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Full reference response shape (lib.ts:145-168); collects one page
+        of items plus bucket heads."""
+        import time
+
+        t0 = time.time()
+        input = input or {}
+        per_page, page = _parse_paging(input)
+
+        if self.configuration.get("native_search_enabled") is False and (
+            input.get("query") or input.get("filter")
+        ):
+            raise EngineError(
+                '"query" and "filter" options are not working once native search is disabled'
+            )
+
+        t_search = time.time()
+        hits, _ = self._candidates(input)
+        if hits is not None:
+            hits = hits.persist()
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        if hits is not None:
+            base = base.persist()
+        flt = base.filter(ir_to_column(compiled.final_pred, hits is not None))
+        search_time = time.time() - t_search
+
+        total = flt.count()
+        ordered = self._order(flt, input, hits)
+        page_df = ordered.offset((page - 1) * per_page).limit(per_page)
+
+        keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)
+                and c not in (IN_QUERY, QRANK, SCORE)]
+        items = [
+            _row_to_item(r) for r in page_df.select(*keep).collect()
+        ]
+        all_filtered_items = None
+        if input.get("is_all_filtered_items") and not (
+            input.get("sort") is None and hits is not None
+        ):
+            all_df = ordered.select(*keep)
+            all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
+
+        t_f = time.time()
+        aggregations = self.get_buckets(input, compiled, base, hits is not None)
+        facets_time = time.time() - t_f
+
+        if hits is not None:
+            base.unpersist()
+            hits.unpersist()
+
+        return {
+            "pagination": {"per_page": per_page, "page": page, "total": total},
+            "timings": {
+                "total": int((time.time() - t0) * 1000),
+                "facets": int(facets_time * 1000),
+                "search": int(search_time * 1000),
+                "sorting": 0,
+            },
+            "data": {
+                "items": items,
+                "allFilteredItems": all_filtered_items,
+                "aggregations": aggregations,
+            },
+        }
+
+    # ------------------------------------------------------------------
+    # buckets (helpers.ts:388-520)
+    # ------------------------------------------------------------------
+    def bucket_counts_df(
+        self,
+        field: str,
+        input: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """(key, doc_count) for one facet under the request's crossing —
+        zero-count keys preserved. Scale path for a single facet."""
+        input = input or {}
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        return self._field_counts(base, field, compiled, hits is not None)
+
+    def _field_counts(
+        self, base: DataFrame, field: str, compiled, has_query: bool
+    ) -> DataFrame:
+        pred = ir_to_column(compiled.bucket_pred[field], has_query)
+        counted = (
+            base.filter(pred)
+            .select(F.explode(F.array_distinct(FK_PREFIX + field)).alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        dim = self.index.facet_values.filter(F.col("field") == field).select(
+            "key", "enum_rank"
+        )
+        return (
+            dim.join(counted, "key", "left")
+            .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+            .select("key", "doc_count", "enum_rank")
+        )
+
+    def _all_field_counts(
+        self, base: DataFrame, compiled, has_query: bool
+    ) -> DataFrame:
+        """One shuffle for every facet: stack (field, key) pairs from all
+        facet columns, gated by each field's bucket predicate, and count.
+        Returns (field, key, doc_count) for non-zero buckets only."""
+        struct_t = "array<struct<field:string,key:string>>"
+
+        def tag_with(fieldname):
+            # NB: a 2-arg lambda would make F.transform pass (elem, index)
+            return lambda k: F.struct(
+                F.lit(fieldname).alias("field"), k.alias("key")
+            )
+
+        arrays = []
+        for fld in self.index.facet_fields:
+            pred = ir_to_column(compiled.bucket_pred[fld], has_query)
+            mapped = F.transform(
+                F.array_distinct(F.col(FK_PREFIX + fld)), tag_with(fld)
+            )
+            arrays.append(
+                F.when(pred, mapped).otherwise(F.lit(None).cast(struct_t))
+            )
+        stacked = base.select(
+            F.explode(F.flatten(F.filter(F.array(*arrays), lambda a: a.isNotNull()))).alias("fk")
+        ).select("fk.field", "fk.key")
+        return stacked.groupBy("field", "key").agg(
+            F.count("*").alias("doc_count")
+        )
+
+    def get_buckets(
+        self,
+        input: Dict[str, Any],
+        compiled=None,
+        base: Optional[DataFrame] = None,
+        has_query: bool = False,
+    ) -> Dict[str, Any]:
+        """Reference getBuckets (helpers.ts:388-520): one distributed count
+        pass, then driver-side assembly against the cached facet dimension
+        (zero-count fill, selected flags, lodash ordering, facet_stats)."""
+        from ..core.ordering import bucket_sort_spec, order_by
+        from ..jsutil import js_is_nan_str, js_parse_int
+
+        if compiled is None:
+            hits, _ = self._candidates(input)
+            has_query = hits is not None
+            compiled = self.compile(input, has_query=has_query)
+            base = self._docs_with_query_flag(hits)
+
+        if not self.index.facet_fields:
+            return {}
+
+        counts_rows = self._all_field_counts(base, compiled, has_query).collect()
+        counts: Dict[str, Dict[str, int]] = {f: {} for f in self.index.facet_fields}
+        for r in counts_rows:
+            counts[r["field"]][r["key"]] = r["doc_count"]
+
+        dim = self._facet_dim_cache()
+        if dim is None:
+            # huge facet dimension: enumerate keys per field distributedly
+            # (kept correct; the driver-side fast path covers normal dims)
+            dim = {}
+            for fld in self.index.facet_fields:
+                rows = (
+                    self.index.facet_values.filter(F.col("field") == fld)
+                    .select("key", "enum_rank")
+                    .collect()
+                )
+                dim[fld] = sorted(
+                    [(r["key"], r["enum_rank"]) for r in rows], key=lambda kr: kr[1]
+                )
+
+        out: Dict[str, Any] = {}
+        position = 1
+        for fld in self.index.facet_fields:
+            agg = self.aggregations.get(fld) or {}
+            raw_filters = (input.get("filters") or {}).get(fld) or []
+            hide_zero = agg.get("hide_zero_doc_count") or False
+
+            buckets = []
+            for key, _rank in dim.get(fld, []):
+                doc_count = counts[fld].get(key, 0)
+                selected = any(
+                    isinstance(rv, str) and rv == key for rv in raw_filters
+                )
+                if hide_zero and doc_count == 0 and not selected:
+                    continue
+                buckets.append(
+                    {"key": key, "doc_count": doc_count, "selected": selected}
+                )
+
+            iteratees, sort_orders = bucket_sort_spec(agg)
+            buckets = order_by(buckets, iteratees, sort_orders)
+            buckets = buckets[: (agg.get("size") or 10)]
+
+            entry: Dict[str, Any] = {
+                "name": fld,
+                "title": agg.get("title") or humanize(fld),
+                "position": position,
+                "buckets": buckets,
+            }
+            position += 1
+
+            if agg.get("show_facet_stats"):
+                vals: List[float] = []
+                for key, _rank in dim.get(fld, []):
+                    if js_is_nan_str(key):
+                        raise EngineError(
+                            "You cant use chars to calculate the facet_stats."
+                        )
+                    c = counts[fld].get(key, 0)
+                    if c > 0:
+                        vals.extend([js_parse_int(key)] * c)
+                entry["facet_stats"] = {
+                    "min": min(vals) if vals else None,
+                    "max": max(vals) if vals else None,
+                    "avg": (sum(vals) / len(vals)) if vals else float("nan"),
+                    "sum": sum(vals),
+                }
+            out[fld] = entry
+        return out
+
+    # ------------------------------------------------------------------
+    # aggregation endpoint (lib.ts:253-299)
+    # ------------------------------------------------------------------
+    def aggregation(self, input: Dict[str, Any]) -> Dict[str, Any]:
+        per_page = input.get("per_page") or 10
+        page = input.get("page") or 1
+        name = input.get("name")
+        if name and name not in self.aggregations:
+            raise EngineError(f'Please define aggregation "{name}" in config')
+        if not name:
+            raise EngineError("field name is required")
+        # reference mutates config permanently (lib.ts:283-284)
+        self.aggregations[name]["size"] = 10000
+        search_input = dict(input)
+        search_input["page"] = 1
+        search_input["per_page"] = 0
+        result = self.search(search_input)
+        buckets = result["data"]["aggregations"][name]["buckets"]
+        return {
+            "pagination": {
+                "per_page": per_page,
+                "page": page,
+                "total": len(buckets),
+            },
+            "data": {"buckets": buckets[(page - 1) * per_page : page * per_page]},
+        }
+
+    # ------------------------------------------------------------------
+    # similar endpoint (lib.ts:198-247): a broadcast set-overlap self-join
+    # ------------------------------------------------------------------
+    def similar_df(self, id: Any, options: Dict[str, Any]) -> DataFrame:
+        if not options.get("field"):
+            raise EngineError("Please define field in options")
+        field = options["field"]
+        minimum = options.get("minimum") or 0
+        docs = self.index.docs
+        key = js_key(id)
+        anchor_rows = (
+            docs.filter(F.col("id").cast("string") == key).limit(1).collect()
+        )
+        if not anchor_rows:
+            raise EngineError(f"item with id {id!r} not found")
+        anchor = anchor_rows[0]
+        vals = anchor[field] if field in anchor.__fields__ else None
+        if hasattr(vals, "tolist"):
+            vals = vals.tolist()
+        anchor_list = list(vals) if isinstance(vals, (list, tuple)) else []
+
+        field_type = docs.schema[field].dataType
+        if isinstance(field_type, T.ArrayType) and anchor_list:
+            inter = F.size(
+                F.array_intersect(
+                    F.coalesce(F.col(field), F.array().cast(field_type)),
+                    F.lit(anchor_list).cast(field_type),
+                )
+            )
+        else:
+            # lodash intersection with a non-array arg -> []
+            inter = F.lit(0)
+        out = (
+            docs.filter(F.col(DOCID) != anchor[DOCID])
+            .withColumn("intersection_length", inter)
+            .filter(F.col("intersection_length") >= minimum)
+            .orderBy(F.col("intersection_length").desc(), F.col(DOCID).asc())
+        )
+        drop = [c for c in out.columns if c.startswith(FK_PREFIX)]
+        return out.drop(*drop).withColumnRenamed(DOCID, "_id")
+
+    def similar(self, id: Any, options: Dict[str, Any]) -> Dict[str, Any]:
+        per_page = options.get("per_page") or 10
+        page = options.get("page") or 1
+        df = self.similar_df(id, options)
+        total = df.count()
+        rows = df.offset((page - 1) * per_page).limit(per_page).collect()
+        return {
+            "pagination": {"per_page": per_page, "page": page, "total": total},
+            "data": {"items": [_row_to_item(r) for r in rows]},
+        }
+
+
+def _is_missing(v) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, float) and math.isnan(v):
+        return True
+    return False
+
+
+def _row_to_item(row) -> Dict[str, Any]:
+    d = row.asDict(recursive=True)
+    out = {}
+    for k, v in d.items():
+        if _is_missing(v):
+            continue
+        out[k] = v
+    return out

@@ -504,22 +504,4 @@ def sorted_items(items, sort, sortings=None):
     return items
 
 
-def _order_by(rows: List[dict], iteratees: List[str], orders: List[str]) -> List[dict]:
-    """lodash orderBy: stable multi-key sort; missing order defaults asc."""
-    out = list(rows)
-    for i in range(len(iteratees) - 1, -1, -1):
-        key = iteratees[i]
-        order = orders[i] if i < len(orders) else "asc"
-        reverse = order == "desc"
-        out.sort(key=lambda r, k=key: _sort_key(r.get(k)), reverse=reverse)
-    return out
-
-
-def _sort_key(v: Any):
-    # lodash compareAscending: booleans/numbers/strings compare naturally;
-    # we rank by (type-class, value) to keep mixed inputs deterministic.
-    if isinstance(v, bool):
-        return (0, int(v))
-    if isinstance(v, (int, float)):
-        return (0, v)
-    return (1, str(v))
+from ..core.ordering import order_by as _order_by  # noqa: E402
