@@ -62,6 +62,23 @@ _re_ll = re.compile(r"ll$")
 def stem(w: str) -> str:
     if len(w) < 3:
         return w
+    cached = _STEM_CACHE.get(w)
+    if cached is not None:
+        return cached
+    out = _stem_uncached(w)
+    if len(_STEM_CACHE) < _STEM_CACHE_MAX:
+        _STEM_CACHE[w] = out
+    return out
+
+
+# token vocabularies repeat heavily across documents; memoizing turns the
+# regex cascade into a dict hit for all but first occurrences (bounded so a
+# pathological unbounded vocab can't exhaust executor memory)
+_STEM_CACHE: dict = {}
+_STEM_CACHE_MAX = 1 << 20
+
+
+def _stem_uncached(w: str) -> str:
 
     firstch = w[0]
     if firstch == "y":

@@ -86,30 +86,37 @@ def assign_docids(
     df: DataFrame, order_by: Sequence[str], num_partitions: Optional[int] = None
 ) -> DataFrame:
     """1-based dense ``_docid`` under a total ordering, without a global
-    window: range partition on the order keys, number rows inside each
-    partition, then add broadcasted per-partition offsets (classic
-    two-phase zipWithIndex; reference semantics: _id = input position,
-    src/fulltext.ts:56-58)."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *[F.col(c) for c in order_by])
-    parted = parted.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
-    numbered = parted.withColumn("__rn", F.row_number().over(w))
-    counts = (
-        numbered.groupBy("__pid").count().orderBy("__pid").collect()
+    row window (reference semantics: _id = input position,
+    src/fulltext.ts:56-58).
+
+    Deterministic two-level scheme: per-group counts (group = all order
+    keys but the last, e.g. ``conv_id``) → ordered prefix sum over the
+    *group* table (orders of magnitude smaller than the corpus; recurse
+    the same trick if even that overflows one task) → per-row
+    ``row_number`` windowed *within* each group, which parallelizes
+    across groups.
+
+    Deliberately avoids ``spark_partition_id()``-based zipWithIndex:
+    physical partition ids are not stable across the two jobs it needs
+    (AQE may coalesce the shuffle differently per job), which silently
+    duplicates/skips ids. Everything here is a pure function of row
+    values, so re-execution and speculative tasks are safe — the same
+    property the per-partition build checkpoints rely on."""
+    keys = list(order_by)
+    gkeys = keys[:-1] if len(keys) > 1 else keys
+    counts = df.groupBy(*gkeys).agg(F.count("*").alias("__cnt"))
+    wg = (
+        Window.orderBy(*[F.col(c) for c in gkeys])
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    off_df = numbered.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-    )
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(wg), F.lit(0))
+    ).drop("__cnt")
+    wr = Window.partitionBy(*gkeys).orderBy(*[F.col(c) for c in keys])
     return (
-        numbered.join(F.broadcast(off_df), "__pid")
-        .withColumn(DOCID, (F.col("__off") + F.col("__rn")).cast("long"))
-        .drop("__pid", "__rn", "__off")
+        df.join(offs, gkeys)
+        .withColumn(DOCID, (F.col("__off") + F.row_number().over(wr)).cast("long"))
+        .drop("__off")
     )
 
 
@@ -291,31 +298,34 @@ def build_index(
         )
 
         def tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
             pipeline = build_pipeline(**pipeline_flags)
+            empty_tokens: List[str] = []
             for pdf in batches:
                 out_terms: List[str] = []
                 out_ids: List[int] = []
                 out_tf: List[float] = []
-                cols = {f: pdf[f] if f in pdf.columns else None for f, _ in fields_spec}
-                ids = pdf[DOCID]
-                for i in range(len(pdf)):
+                ids = pdf[DOCID].tolist()
+                col_lists = [
+                    (pdf[f].tolist() if f in pdf.columns else None, boost)
+                    for f, boost in fields_spec
+                ]
+                for i, did in enumerate(ids):
                     field_tokens = []
-                    for f, boost in fields_spec:
-                        col = cols[f]
-                        v = col.iloc[i] if col is not None else None
+                    for vals, boost in col_lists:
+                        if vals is None:
+                            field_tokens.append((empty_tokens, boost))
+                            continue
+                        v = vals[i]
                         if v is not None and not isinstance(v, (list, tuple)):
-                            try:
-                                import numpy as np
-
-                                if isinstance(v, np.ndarray):
-                                    v = v.tolist()
-                                elif isinstance(v, float) and math.isnan(v):
-                                    v = None
-                            except Exception:
-                                pass
+                            if isinstance(v, np.ndarray):
+                                v = v.tolist()
+                            elif isinstance(v, float) and math.isnan(v):
+                                v = None
                         field_tokens.append((pipeline(tokenize(v)), boost))
                     tfs = scoring.doc_tf(field_tokens)
-                    did = int(ids.iloc[i])
+                    did = int(did)
                     for term, tf in tfs.items():
                         out_terms.append(term)
                         out_ids.append(did)

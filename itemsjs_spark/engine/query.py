@@ -202,17 +202,20 @@ class SearchEngine:
     # ------------------------------------------------------------------
     # full-text
     # ------------------------------------------------------------------
-    def fulltext_hits(self, query: str) -> DataFrame:
-        """DataFrame (_docid, __score) of lunr-ranked hits; ordering is a
-        property of the consumer (ORDER BY __score DESC, str(_docid) ASC)."""
+    def _query_vector(
+        self, query: str
+    ) -> Optional[Tuple[scoring.QueryVector, Dict[str, float]]]:
+        """Analyze a query against the terms dictionary: tokenize →
+        pipeline → prefix-expand → lunr query vector. Driver-side and
+        tiny (|expanded terms| rows); shared by the exact scorer and the
+        block-max WAND path. Returns None when the query can't match."""
         idx = self.index
-        empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
         if idx.terms is None:
-            return empty
+            return None
         self._ensure_fulltext_materialized()
         tokens = self.pipeline(tokenize(query))
         if not tokens:
-            return empty
+            return None
 
         distinct_tokens = sorted(set(tokens))
         cond = None
@@ -237,7 +240,47 @@ class SearchEngine:
         )
         if not qv.has_some_token or not qv.all_tokens_expandable:
             # a token with no trie path empties the conjunctive intersection
+            return None
+        return qv, idf_map
+
+    def fulltext_topk(
+        self, query: str, k: int, blocks: DataFrame, batch_ranges: int = 64
+    ) -> DataFrame:
+        """Block-max WAND top-k over a compressed posting-block table
+        (blocks.py layout). Scale path: prunes docid ranges by metadata
+        upper bounds; scores are bit-identical to ``fulltext_hits``."""
+        from .wand import wand_topk
+
+        analyzed = self._query_vector(query)
+        empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
+        if analyzed is None:
             return empty
+        qv, idf_map = analyzed
+        term_weights = {t: qv.weights[t] * idf_map[t] for t in qv.weights}
+        term_masks = {
+            t: sum(1 << i for i in qv.term_tokens[t]) for t in qv.weights
+        }
+        full_mask = (1 << qv.n_tokens) - 1
+        return wand_topk(
+            self.spark,
+            blocks,
+            term_weights,
+            term_masks,
+            full_mask,
+            qv.magnitude,
+            k,
+            batch_ranges=batch_ranges,
+        ).withColumnRenamed("_docid", DOCID).withColumnRenamed("__score", SCORE)
+
+    def fulltext_hits(self, query: str) -> DataFrame:
+        """DataFrame (_docid, __score) of lunr-ranked hits; ordering is a
+        property of the consumer (ORDER BY __score DESC, str(_docid) ASC)."""
+        idx = self.index
+        empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
+        analyzed = self._query_vector(query)
+        if analyzed is None:
+            return empty
+        qv, idf_map = analyzed
 
         full_mask = (1 << qv.n_tokens) - 1
         rows = [

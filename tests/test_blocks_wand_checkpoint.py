@@ -1,0 +1,130 @@
+"""Scale-path artifacts: varint posting blocks, block-max WAND top-k
+(rank- and score-identical to the exact scorer), resumable checkpointed
+builds with per-partition lineage manifests."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from itemsjs_spark.data.transcripts import transcripts_df
+from itemsjs_spark.engine import itemsjs_spark
+from itemsjs_spark.engine.blocks import (
+    build_posting_blocks,
+    decode_varint_deltas,
+    encode_varint_deltas,
+)
+from itemsjs_spark.engine.checkpoint import (
+    MANIFEST,
+    build_blocks_checkpointed,
+    read_blocks,
+)
+from itemsjs_spark.engine.indexer import DOCID
+
+
+def test_varint_roundtrip():
+    for arr in [
+        np.array([0], dtype=np.int64),
+        np.array([1, 2, 3], dtype=np.int64),
+        np.array([5, 5 + 127, 5 + 128, 10**12, 10**12 + (1 << 40)], dtype=np.int64),
+        np.arange(0, 5000, 7, dtype=np.int64),
+    ]:
+        blob = encode_varint_deltas(arr)
+        out = decode_varint_deltas(blob, len(arr))
+        assert np.array_equal(out, arr)
+    # compression sanity: dense ascending ids ≈ 1 byte/posting
+    dense = np.arange(10**6, 10**6 + 4096, dtype=np.int64)
+    assert len(encode_varint_deltas(dense)) < 4096 * 1.1
+
+
+@pytest.fixture(scope="module")
+def tx_engine(spark):
+    tdf = transcripts_df(spark, n_turns=3000, n_convs=300, seed=7)
+    cfg = {"aggregations": {"role": {}}, "searchableFields": ["text"]}
+    eng = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    eng._ensure_fulltext_materialized()
+    return eng
+
+
+@pytest.fixture(scope="module")
+def blocks_df(spark, tx_engine):
+    # small range_size so several ranges exist → pruning loop is exercised
+    b = build_posting_blocks(
+        tx_engine.index.postings, range_size=512, block_size=256
+    ).persist()
+    b.count()
+    return b
+
+
+@pytest.mark.parametrize("query,k", [
+    ("spark", 10),
+    ("shuffle partition", 15),
+    ("s", 20),          # prefix expansion across many terms
+    ("broadcast join", 25),
+])
+def test_wand_topk_matches_exact_scorer(spark, tx_engine, blocks_df, query, k):
+    exact = (
+        tx_engine.fulltext_hits(query)
+        .orderBy(F.col("__score").desc(), F.col(DOCID).cast("string").asc())
+        .limit(k)
+        .collect()
+    )
+    wand = (
+        tx_engine.fulltext_topk(query, k, blocks_df)
+        .orderBy(F.col("__score").desc(), F.col(DOCID).cast("string").asc())
+        .collect()
+    )
+    assert [r[DOCID] for r in wand] == [r[DOCID] for r in exact]
+    for w, e in zip(wand, exact):
+        assert w["__score"] == pytest.approx(e["__score"], abs=1e-12)
+
+
+def test_wand_prunes_by_metadata(spark, tx_engine, blocks_df):
+    # tiny batch size forces multiple admit rounds; result must not change
+    q = "checkpoint lineage"
+    a = sorted(
+        map(tuple, tx_engine.fulltext_topk(q, 10, blocks_df, batch_ranges=1).collect())
+    )
+    b = sorted(
+        map(tuple, tx_engine.fulltext_topk(q, 10, blocks_df, batch_ranges=64).collect())
+    )
+    assert a == b
+
+
+def test_block_metadata_consistency(blocks_df):
+    rows = blocks_df.collect()
+    assert rows
+    for r in rows:
+        ids = decode_varint_deltas(bytes(r["docids"]), r["n"])
+        assert ids[0] == r["docid_min"] and ids[-1] == r["docid_max"]
+        assert np.all(np.diff(ids) > 0)
+        tfs = np.frombuffer(bytes(r["tfs"]), dtype=np.float64)
+        assert len(tfs) == r["n"]
+        assert float(tfs.max()) == pytest.approx(r["max_tf"])
+
+
+def test_checkpointed_build_resume(spark, tx_engine, tmp_path):
+    out = str(tmp_path / "blocks")
+    postings = tx_engine.index.postings
+    rep1 = build_blocks_checkpointed(postings, out, n_buckets=4, range_size=512)
+    assert sorted(rep1["built"]) == [0, 1, 2, 3] and rep1["resumed"] == []
+    full = sorted(
+        map(tuple, read_blocks(spark, out).select("term", "range_id", "block_id", "n").collect())
+    )
+    # simulate a crash: bucket 2's checkpoint is lost
+    os.remove(os.path.join(out, "bucket=2", MANIFEST))
+    rep2 = build_blocks_checkpointed(postings, out, n_buckets=4, range_size=512)
+    assert rep2["built"] == [2] and sorted(rep2["resumed"]) == [0, 1, 3]
+    m2 = [m for m in rep2["manifests"] if m["bucket"] == 2][0]
+    assert m2["attempt"] >= 1 and m2["rows"] > 0 and m2["bytes"] > 0
+    again = sorted(
+        map(tuple, read_blocks(spark, out).select("term", "range_id", "block_id", "n").collect())
+    )
+    assert again == full
+    # lineage fields present on every manifest
+    for m in rep2["manifests"]:
+        for key in ("input_fingerprint", "duration_s", "rows", "finished_at_epoch"):
+            assert key in m
