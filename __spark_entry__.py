@@ -61,6 +61,7 @@ DOC_CONFIG: Dict[str, Any] = {
     "aggregations": {"lang": {"size": 10}, "source": {"size": 30}},
     "searchableFields": ["text"],
     "sortings": {"by_len_desc": {"field": "n_chars", "order": "desc"}},
+    "custom_id_field": "doc_id",
 }
 
 _CACHE: Dict[Any, Any] = {}
@@ -436,6 +437,116 @@ def _q_fingerprint(spark, sf_dir):
     return df.select("doc_id", fp.alias("fingerprint"))
 
 
+def _q_facet_stats(spark, sf_dir):
+    """O18: numeric facet stats over the filtered set (multiset mean)."""
+    def build():
+        cfg = {
+            "aggregations": {
+                "n_chars": {"show_facet_stats": True, "size": 10},
+                "lang": {"size": 10},
+            },
+            "native_search_enabled": False,
+        }
+        return itemsjs_spark(
+            spark, _documents(spark, sf_dir), cfg, docid_col="doc_id"
+        )
+
+    eng = _cached(("eng_stats", sf_dir), spark, build)
+    res = eng.get_buckets({"filters": {"lang": ["en"]}})
+    st = res["n_chars"]["facet_stats"]
+    row = [(
+        float(st["min"]), float(st["max"]),
+        round(float(st["avg"]), 6), float(st["sum"]),
+    )]
+    return spark.createDataFrame(
+        row, "min double, max double, avg double, sum double"
+    )
+
+
+def _q_ids_lookup(spark, sf_dir):
+    eng = _doc_engine(spark, sf_dir)
+    return eng.result_df({"ids": [3, 1, 4, 5, 9, 400, 9999]}).select(
+        "_id", "source"
+    )
+
+
+def _q_callback_filter(spark, sf_dir):
+    """O6: arbitrary Python predicate, Arrow-batched (this particular
+    callback is SQL-expressible, so it gets a real oracle)."""
+    eng = _doc_engine(spark, sf_dir)
+    df = eng.result_df(
+        {"filter": lambda item: item["n_chars"] > 150 and item["lang"] == "en"}
+    )
+    return df.select("_id", "n_chars")
+
+
+# deterministic random-hyperplane LSH: 8 planes over 64 dims, entries ±1
+# derived from a seeded generator and INLINED in both the Spark query and
+# the SQL oracle — the approximate algorithm itself is oracle-checked.
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> List[List[int]]:
+    planes = []
+    state = 0x9E3779B97F4A7C15
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1 if (state >> 33) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    planes = _lsh_planes()
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+
+    def dot_lit(col, plane):
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.lit(plane).cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.concat(
+        *[F.when(dot_lit(F.col("emb"), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+          for p in planes]
+    )
+    eb = e.withColumn("bucket", bucket)
+    q = eb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = eb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    cos = dot(F.col("qe"), F.col("emb")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("emb"), F.col("emb")))
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column → Arrow-batched
     feature extraction via mapInPandas. The 'decode' is a deterministic
@@ -526,12 +637,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_plus_facet": _q_query_plus_filter,
         "similar_items": _q_similar,
         "aggregation_endpoint": _q_aggregation,
+        "facet_stats": _q_facet_stats,
+        "ids_lookup": _q_ids_lookup,
+        "callback_filter": _q_callback_filter,
         # training-data pipeline operators
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash_signatures,
         "neardup_jaccard_pairs": _q_neardup_pairs,
         "dedup_simhash": _q_simhash,
         "embedding_topk_cosine": _q_embedding_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "langid_heuristic": _q_langid,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
@@ -614,6 +729,43 @@ ORDER BY intersection_length DESC, doc_id ASC LIMIT 10
         "SELECT source AS key, count(*)::BIGINT AS doc_count, false AS selected "
         "FROM documents GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 15"
     )
+
+    sqls["facet_stats"] = """
+SELECT min(n_chars)::DOUBLE AS min, max(n_chars)::DOUBLE AS max,
+       round(avg(n_chars), 6) AS avg, sum(n_chars)::DOUBLE AS sum
+FROM documents WHERE lang = 'en'
+"""
+    sqls["ids_lookup"] = (
+        "SELECT doc_id AS _id, source FROM documents "
+        "WHERE doc_id IN (3, 1, 4, 5, 9, 400)"
+    )
+    sqls["callback_filter"] = (
+        "SELECT doc_id AS _id, n_chars FROM documents "
+        "WHERE n_chars > 150 AND lang = 'en'"
+    )
+
+    planes = _lsh_planes()
+    def plane_lit(p):
+        return "[" + ", ".join(f"{v}.0" for v in p) + "]::DOUBLE[]"
+
+    bucket_sql = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane_lit(p)}) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    sqls["ann_lsh_topk"] = f"""
+WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ({bucket_sql}) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe, bucket AS qbucket FROM eb WHERE vec_id < 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, e.emb) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cosine
+  FROM eb e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s
+) WHERE rn <= 10
+"""
 
     sqls["dedup_exact"] = (
         "SELECT md5(text) AS text_hash, count(*)::BIGINT AS dup_count, "

@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "60000"))
+# the scaling probe needs compute-dominant work, not driver overhead:
+# a bigger corpus than the headline run so per-core work is measurable
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "240000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
@@ -108,7 +111,12 @@ def headline_queries(spark, eng):
 def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
     spark = make_spark(cores)
     try:
-        t_build = timed(lambda: None)
+        # warm-up: a tiny build first so JVM/codegen/Python-worker spin-up
+        # doesn't pollute the throughput measurement
+        warm, _ = build_engine(spark, 2000)
+        warm.fulltext_hits("spark").count()
+        warm.index.unpersist()
+
         t0 = time.time()
         eng, n_post = build_engine(spark, n_turns)
         t_build = time.time() - t0
@@ -162,13 +170,14 @@ def main():
     }
 
     if DO_SCALING:
-        lo = run_suite(8, N_TURNS, include_docs_ops=False)
-        hi = run_suite(32, N_TURNS, include_docs_ops=False)
+        lo = run_suite(8, SCALING_TURNS, include_docs_ops=False)
+        hi = run_suite(32, SCALING_TURNS, include_docs_ops=False)
         build_eff = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / 4.0
         q_lo = 3 / max(lo["query_total_sec"], 1e-9)
         q_hi = 3 / max(hi["query_total_sec"], 1e-9)
         out["scaling"] = {
             "proxy": "local[8] vs local[32] on identical input (N vs 4N)",
+            "n_turns": SCALING_TURNS,
             "build_turns_per_sec_n8": round(lo["build_turns_per_sec"], 1),
             "build_turns_per_sec_n32": round(hi["build_turns_per_sec"], 1),
             "build_scaling_efficiency": round(build_eff, 3),

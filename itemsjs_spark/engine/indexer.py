@@ -232,6 +232,13 @@ def build_index(
     for fld in facet_fields:
         docs = docs.withColumn(FK_PREFIX + fld, facet_keys_col(docs, fld))
 
+    # partitioning floor: AQE happily coalesces a small corpus to ONE
+    # partition, which would serialize the Arrow-batched tokenizer (and
+    # every downstream scan) onto a single core. Hash on docid spreads
+    # rows evenly; at real scale the input is already wide and this is a
+    # cheap even-out of any skew left by the docid join.
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    docs = docs.repartition(n_part, F.col(DOCID))
     docs = docs.persist()
     n_docs = docs.count()
 
@@ -265,6 +272,7 @@ def build_index(
         facet_values = (
             fv.withColumn("enum_rank", F.row_number().over(w))
             .select("field", "key", "doc_count", "enum_rank")
+            .persist()  # small dimension; queried by every bucket pass
         )
     else:
         facet_values = spark.createDataFrame(
@@ -297,6 +305,12 @@ def build_index(
             ]
         )
 
+        # fields_spec may register the same column twice (the reference
+        # hardcodes `name` boost 10 AND counts it again if listed in
+        # searchableFields — SURVEY.md §2.4); select each physical column
+        # ONCE and fan the token list out to every registration.
+        unique_present = list(dict.fromkeys(present))
+
         def tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
 
@@ -307,23 +321,21 @@ def build_index(
                 out_ids: List[int] = []
                 out_tf: List[float] = []
                 ids = pdf[DOCID].tolist()
-                col_lists = [
-                    (pdf[f].tolist() if f in pdf.columns else None, boost)
-                    for f, boost in fields_spec
-                ]
+                col_map = {f: pdf[f].tolist() for f in unique_present}
                 for i, did in enumerate(ids):
-                    field_tokens = []
-                    for vals, boost in col_lists:
-                        if vals is None:
-                            field_tokens.append((empty_tokens, boost))
-                            continue
-                        v = vals[i]
+                    tokens_map = {}
+                    for f in unique_present:
+                        v = col_map[f][i]
                         if v is not None and not isinstance(v, (list, tuple)):
                             if isinstance(v, np.ndarray):
                                 v = v.tolist()
                             elif isinstance(v, float) and math.isnan(v):
                                 v = None
-                        field_tokens.append((pipeline(tokenize(v)), boost))
+                        tokens_map[f] = pipeline(tokenize(v))
+                    field_tokens = [
+                        (tokens_map.get(f, empty_tokens), boost)
+                        for f, boost in fields_spec
+                    ]
                     tfs = scoring.doc_tf(field_tokens)
                     did = int(did)
                     for term, tf in tfs.items():
@@ -332,7 +344,7 @@ def build_index(
                         out_tf.append(tf)
                 yield pd.DataFrame({"term": out_terms, DOCID: out_ids, "tf": out_tf})
 
-        select_cols = [DOCID] + [f for f in present]
+        select_cols = [DOCID] + unique_present
         postings = docs.select(*select_cols).mapInPandas(
             tokenize_partition, schema=out_schema
         )

@@ -489,13 +489,16 @@ class SearchEngine:
         keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)
                 and c not in (IN_QUERY, QRANK, SCORE)]
         items = [
-            _row_to_item(r) for r in page_df.select(*keep).collect()
+            _row_to_item(r)
+            for r in page_df.select(*keep)
+            .withColumnRenamed(DOCID, "_id")
+            .collect()
         ]
         all_filtered_items = None
         if input.get("is_all_filtered_items") and not (
             input.get("sort") is None and hits is not None
         ):
-            all_df = ordered.select(*keep)
+            all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
 
         t_f = time.time()

@@ -1,0 +1,330 @@
+"""Differential battery: the distributed Spark engine vs the in-memory
+oracle (which is itself pinned by the 89 ported reference assertions in
+test_oracle_reference_parity.py).
+
+Every case runs the SAME ``search`` / ``aggregation`` / ``similar`` input
+through both implementations and compares the full response — item ids in
+order, pagination, every facet bucket (key/doc_count/selected, in order),
+facet_stats — so reference semantics transitively pin the engine.
+
+Covers: conjunctive/disjunctive/negative filters, boolean filters_query,
+fulltext (incl. prefix stepping + stopword toggles + multi-token AND),
+query∩facet crossing, sort specs, pagination, hide_zero/chosen-on-top
+bucket rules, facet_stats, custom_id_field, _ids/ids candidate paths,
+similar endpoint, aggregation endpoint, plus randomized transcript-shaped
+corpora (seeded) for skew/multi-conversation coverage.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+import fixtures as fx
+from itemsjs_spark.engine import itemsjs_spark
+from itemsjs_spark.oracle.itemsjs_oracle import ItemsJSOracle
+
+_ENGINES = {}
+
+
+def get_engine(spark, items_key, items, config):
+    key = (items_key, json.dumps(config, sort_keys=True, default=str))
+    if key not in _ENGINES:
+        # json round-trip (NO sort_keys) → fresh config, key order preserved
+        # (aggregation order defines bucket `position` in the reference)
+        _ENGINES[key] = itemsjs_spark(
+            spark, fx.fresh(items), json.loads(json.dumps(config, default=str))
+        )
+    return _ENGINES[key]
+
+
+def _norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v):
+            return int(v)
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return [_norm_val(x) for x in v]
+    if isinstance(v, str) and v.isdigit():
+        # mixed-type columns (JS allows price: 1 and price: '7' in one
+        # field) collapse to strings in a DataFrame; the reference keeps
+        # the raw scalars in returned items. Documented engine deviation
+        # (SURVEY.md §1.2) — numeric strings compare equal here.
+        return int(v)
+    return v
+
+
+def _norm_item(it):
+    return {k: _norm_val(v) for k, v in it.items() if v is not None}
+
+
+def _norm_response(res):
+    aggs = {}
+    for f, entry in (res["data"].get("aggregations") or {}).items():
+        aggs[f] = {
+            "name": entry["name"],
+            "title": entry["title"],
+            "position": entry["position"],
+            "buckets": [
+                (b["key"], b["doc_count"], bool(b["selected"]))
+                for b in entry["buckets"]
+            ],
+        }
+        if "facet_stats" in entry:
+            aggs[f]["facet_stats"] = {
+                k: _norm_val(v) for k, v in entry["facet_stats"].items()
+            }
+    out = {
+        "pagination": res["pagination"],
+        "items": [_norm_item(i) for i in res["data"]["items"]],
+        "aggregations": aggs,
+    }
+    afi = res["data"].get("allFilteredItems")
+    out["allFilteredItems"] = (
+        [_norm_item(i) for i in afi] if afi is not None else None
+    )
+    return out
+
+
+def check(spark, items_key, items, config, input):
+    oracle = ItemsJSOracle(fx.fresh(items), json.loads(json.dumps(config)))
+    eng = get_engine(spark, items_key, items, config)
+    got = _norm_response(eng.search(dict(input)))
+    want = _norm_response(oracle.search(dict(input)))
+    assert got == want, f"engine≠oracle for {input!r}"
+
+
+ITEMS_CFG = {
+    "aggregations": {
+        "tags": {"size": 10},
+        "actors": {"title": "Stars", "size": 10},
+        "category": {"size": 10},
+        "year": {"size": 10},
+    },
+    "searchableFields": ["name", "tags", "actors"],
+}
+
+ITEMS_CASES = [
+    {},
+    {"per_page": 2},
+    {"per_page": 2, "page": 2},
+    {"filters": {"tags": ["a"]}},
+    {"filters": {"tags": ["a", "c"]}},
+    {"filters": {"tags": ["c"], "actors": ["john"]}},
+    {"filters": {"tags": ["z"], "category": ["drama"]}},
+    {"not_filters": {"tags": ["c"]}},
+    {"filters": {"tags": ["a"]}, "not_filters": {"actors": ["john"]}},
+    {"filters_query": "tags:a AND tags:c"},
+    {"filters_query": "(tags:b OR tags:z) AND category:drama"},
+    {"query": "comedy"},
+    {"query": "drama"},
+    {"query": "john"},
+    {"query": "a"},
+    {"query": "comedy drama"},
+    {"query": "comedy", "filters": {"tags": ["a"]}},
+    {"query": "comedy", "not_filters": {"tags": ["c"]}},
+    {"_ids": [3, 1]},
+    {"ids": [4, 2]},
+    {"is_all_filtered_items": True, "filters": {"tags": ["a"]}, "sort": "name_asc"},
+]
+
+
+@pytest.mark.parametrize("idx", range(len(ITEMS_CASES)))
+def test_items_search(spark, idx):
+    cfg = dict(ITEMS_CFG)
+    cfg["sortings"] = {"name_asc": {"field": "name", "order": "asc"}}
+    check(spark, "items", fx.ITEMS, cfg, ITEMS_CASES[idx])
+
+
+DISJ_CFG = {
+    "aggregations": {
+        "tags": {"conjunction": False, "size": 10},
+        "actors": {"size": 10},
+        "category": {"conjunction": False, "size": 10},
+    },
+    "searchableFields": ["name"],
+}
+
+DISJ_CASES = [
+    {"filters": {"tags": ["a", "e"]}},
+    {"filters": {"tags": ["e"], "category": ["comedy"]}},
+    {"filters": {"tags": ["b", "z"], "actors": ["john"]}},
+    {"query": "movie", "filters": {"tags": ["a", "e"]}},
+]
+
+
+@pytest.mark.parametrize("idx", range(len(DISJ_CASES)))
+def test_items_disjunctive(spark, idx):
+    check(spark, "items", fx.ITEMS, DISJ_CFG, DISJ_CASES[idx])
+
+
+MOVIES_CFG = {
+    "aggregations": {
+        "genres": {"size": 10, "conjunction": True},
+        "tags": {"size": 10, "conjunction": True},
+        "year": {"size": 10},
+        "director": {"size": 10, "conjunction": False},
+    },
+    "searchableFields": ["name", "tags"],
+}
+
+MOVIES_CASES = [
+    {},
+    {"filters": {"genres": ["Biography"]}},
+    {"filters": {"genres": ["Drama", "Crime"]}},
+    {"filters": {"director": ["Quentin Tarantino", "Martin Scorsese"]}},
+    {"not_filters": {"genres": ["Drama"]}},
+    {"query": "lord"},
+    {"query": "the"},
+    {"query": "fight club"},
+    {"query": "a"},
+    {"filters_query": "(genres:Crime OR genres:Biography) AND tags:classic"},
+    {"sort": "year_desc", "per_page": 7, "page": 2},
+]
+
+
+@pytest.mark.parametrize("idx", range(len(MOVIES_CASES)))
+def test_movies_search(spark, idx):
+    cfg = dict(MOVIES_CFG)
+    cfg["sortings"] = {"year_desc": {"field": "year", "order": "desc"}}
+    check(spark, "movies", fx.movies(), cfg, MOVIES_CASES[idx])
+
+
+def test_bucket_rules(spark):
+    cfg = {
+        "aggregations": {
+            "tags": {"size": 2, "chosen_filters_on_top": False},
+            "actors": {"size": 10, "sort": "term", "order": "desc"},
+            "category": {"size": 10, "hide_zero_doc_count": True},
+        }
+    }
+    for input in [
+        {"filters": {"tags": ["e"]}},
+        {"filters": {"category": ["comedy"]}},
+    ]:
+        check(spark, "items", fx.ITEMS, cfg, input)
+
+
+def test_facet_stats_and_exact_search(spark):
+    cfg = {
+        "aggregations": {"price": {"show_facet_stats": True, "size": 10}},
+        "searchableFields": ["name"],
+        "isExactSearch": True,
+    }
+    for input in [{}, {"query": "movie"}]:
+        check(spark, "price", fx.PRICE_ITEMS, cfg, input)
+
+
+def test_custom_id_field(spark):
+    cfg = {
+        "aggregations": {"tags": {"size": 10}},
+        "custom_id_field": "uuid",
+        "searchableFields": ["name"],
+    }
+    items = [
+        {"uuid": "x7", "name": "alpha beta", "tags": ["a"]},
+        {"uuid": "y9", "name": "beta gamma", "tags": ["a", "b"]},
+        {"uuid": "z1", "name": "gamma delta", "tags": ["c"]},
+    ]
+    for input in [{"ids": ["y9", "z1"]}, {"query": "gamma"}]:
+        check(spark, "uuid_items", items, cfg, input)
+
+
+def test_aggregation_endpoint(spark):
+    cfg = {"aggregations": {"genres": {"size": 10}}, "searchableFields": []}
+    oracle = ItemsJSOracle(fx.fresh(fx.movies()), json.loads(json.dumps(cfg)))
+    eng = get_engine(spark, "movies", fx.movies(), cfg)
+    for input in [
+        {"name": "genres", "per_page": 5},
+        {"name": "genres", "per_page": 5, "page": 2},
+    ]:
+        got = eng.aggregation(dict(input))
+        want = oracle.aggregation(dict(input))
+        got_b = [(b["key"], b["doc_count"], bool(b["selected"])) for b in got["data"]["buckets"]]
+        want_b = [(b["key"], b["doc_count"], bool(b["selected"])) for b in want["data"]["buckets"]]
+        assert got["pagination"] == want["pagination"]
+        assert got_b == want_b
+
+
+SIMILAR_ID_ITEMS = [
+    {"id": 1, "name": "movie1", "tags": ["a", "b", "c", "d"]},
+    {"id": 2, "name": "movie2", "tags": ["a", "e", "f"]},
+    {"id": 3, "name": "movie3", "tags": ["a", "c"]},
+    {"id": 4, "name": "movie4", "tags": ["c", "a", "z"]},
+    {"id": 5, "name": "movie5", "tags": ["x", "y"]},
+]
+
+
+def test_similar_endpoint(spark):
+    cfg = {"aggregations": {}, "native_search_enabled": False}
+    oracle = ItemsJSOracle(fx.fresh(SIMILAR_ID_ITEMS), dict(cfg))
+    eng = get_engine(spark, "similar_id", SIMILAR_ID_ITEMS, cfg)
+    for input in [
+        {"field": "tags", "minimum": 1},
+        {"field": "tags", "minimum": 2, "per_page": 2},
+    ]:
+        anchor = 1
+        got = eng.similar(anchor, dict(input))
+        want = oracle.similar(anchor, dict(input))
+        assert got["pagination"] == want["pagination"]
+        got_ids = [(i["_id"], i["intersection_length"]) for i in got["data"]["items"]]
+        want_ids = [(i["_id"], i["intersection_length"]) for i in want["data"]["items"]]
+        assert got_ids == want_ids
+
+
+def test_callback_filter(spark):
+    cfg = {"aggregations": {"tags": {"size": 10}}, "searchableFields": ["name"]}
+    flt = lambda item: "c" in (item.get("tags") or [])  # noqa: E731
+    check(spark, "items", fx.ITEMS, cfg, {"filter": flt})
+    check(spark, "items", fx.ITEMS, cfg, {"query": "movie", "filter": flt})
+
+
+# ---------------------------------------------------------------------------
+# randomized transcript-shaped differential (seeded)
+# ---------------------------------------------------------------------------
+
+TX_CFG = {
+    "aggregations": {
+        "role": {"size": 10},
+        "tool": {"size": 10, "conjunction": False},
+    },
+    "searchableFields": ["text"],
+}
+
+
+@pytest.fixture(scope="module")
+def tx_rows(spark):
+    from itemsjs_spark.data.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, n_turns=150, n_convs=20, seed=11)
+    rows = tdf.orderBy("conv_id", "turn_idx").collect()
+    return [
+        {k: v for k, v in r.asDict().items() if v is not None and k != "ts"}
+        for r in rows
+    ]
+
+
+TX_CASES = [
+    {"filters": {"role": ["assistant"]}},
+    {"filters": {"role": ["assistant"], "tool": ["bash", "sql"]}},
+    {"not_filters": {"role": ["system"]}},
+    {"query": "shuffle"},
+    {"query": "broadcast join"},
+    {"query": "s"},
+    {"query": "partition", "filters": {"role": ["user"]}},
+    {"filters_query": "role:assistant AND role:user"},
+    {"sort": "by_turn", "per_page": 10, "page": 3},
+]
+
+
+@pytest.mark.parametrize("idx", range(len(TX_CASES)))
+def test_transcripts_differential(spark, tx_rows, idx):
+    cfg = dict(TX_CFG)
+    cfg["sortings"] = {
+        "by_turn": {"field": ["turn_idx", "conv_id"], "order": ["desc", "asc"]}
+    }
+    check(spark, "tx150", tx_rows, cfg, TX_CASES[idx])
