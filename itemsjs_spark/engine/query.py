@@ -109,6 +109,29 @@ class SearchEngine:
         self._facet_dim_checked = False
         self._ft_materialized = False
 
+    def materialize(self) -> "SearchEngine":
+        """Materialize every index artifact, submitting the independent
+        jobs CONCURRENTLY (Spark schedules jobs from multiple driver
+        threads onto the same executors): the facet-dimension aggregate
+        and the Arrow tokenizer scan overlap instead of serializing —
+        on a wide cluster this is the difference between paying the
+        slowest stage and paying the sum of stages."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = self.index
+        jobs = [idx.docs, idx.facet_values]
+        if idx.postings is not None and not self._ft_materialized:
+            idx.postings = idx.postings.persist()
+            jobs.append(idx.postings)
+        idx.facet_values = idx.facet_values.persist()
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            list(ex.map(lambda df: df.count(), jobs))
+        if idx.terms is not None and not self._ft_materialized:
+            idx.terms = idx.terms.persist()
+            idx.terms.count()  # after postings: reuses the fresh cache
+        self._ft_materialized = idx.postings is not None
+        return self
+
     def _ensure_fulltext_materialized(self) -> None:
         """Cache postings/terms once: the tokenizing mapInPandas scan must
         not rerun per query (in a deployment these are persisted parquet
@@ -120,6 +143,23 @@ class SearchEngine:
         self.index.terms = self.index.terms.persist()
         self.index.terms.count()
         self._ft_materialized = True
+
+    def reindex(self, items_or_df, docid_col=None, order_by=None) -> "SearchEngine":
+        """O23 (reference src/index.ts:82-86): replace the corpus and
+        rebuild every index artifact under the same configuration. The
+        old engine's caches are released; in a deployment this is an
+        Iceberg-style snapshot replace (write new artifacts, swap refs) —
+        resumable via checkpoint.build_blocks_checkpointed."""
+        from . import itemsjs_spark as _factory
+
+        self.index.unpersist()
+        return _factory(
+            self.spark,
+            items_or_df,
+            self.configuration,
+            docid_col=docid_col,
+            order_by=order_by,
+        )
 
     def reconfigured(self, configuration: Dict[str, Any]) -> "SearchEngine":
         """New engine over the SAME index artifacts with different
@@ -271,6 +311,96 @@ class SearchEngine:
             k,
             batch_ranges=batch_ranges,
         ).withColumnRenamed("_docid", DOCID).withColumnRenamed("__score", SCORE)
+
+    def fulltext_hits_batch(self, queries: Sequence[str]) -> DataFrame:
+        """Score MANY queries in ONE Spark job: (qid, _docid, __score).
+
+        The scalable shape for offline workloads (eval sets, reranker
+        training, alert backfills): per-query driver latency is paid
+        once — a single terms-dictionary scan analyzes every query, one
+        broadcast join + one exchange scores them all. Scores are
+        identical to ``fulltext_hits`` (same weights, same sorted-term
+        reduction order)."""
+        idx = self.index
+        empty = self.spark.createDataFrame(
+            [], f"qid long, {DOCID} long, {SCORE} double"
+        )
+        if idx.terms is None or not queries:
+            return empty
+        self._ensure_fulltext_materialized()
+
+        analyzed = []
+        all_tokens = set()
+        for qid, q in enumerate(queries):
+            tokens = self.pipeline(tokenize(q))
+            analyzed.append((qid, tokens))
+            all_tokens.update(tokens)
+        if not all_tokens:
+            return empty
+
+        # ONE dictionary scan for every query's prefix expansion
+        cond = None
+        for tok in sorted(all_tokens):
+            c = F.col("term").startswith(tok)
+            cond = c if cond is None else (cond | c)
+        term_rows = sorted(
+            idx.terms.filter(cond).select("term", "idf").collect(),
+            key=lambda r: r["term"],
+        )
+        idf_map = {r["term"]: r["idf"] for r in term_rows}
+        by_token: Dict[str, List[str]] = {}
+        for tok in all_tokens:
+            by_token[tok] = [r["term"] for r in term_rows if r["term"].startswith(tok)]
+
+        rows = []
+        for qid, tokens in analyzed:
+            if not tokens:
+                continue
+            qv = scoring.build_query_vector(
+                tokens,
+                n_fields=len(idx.text_fields),
+                boosts_sum=sum(b for _, b in idx.text_fields),
+                expand=lambda tok: by_token[tok],
+                idf_of=lambda t: idf_map[t],
+            )
+            if not qv.has_some_token or not qv.all_tokens_expandable:
+                continue
+            fmask = (1 << qv.n_tokens) - 1
+            for term, w in qv.weights.items():
+                rows.append(
+                    (
+                        qid,
+                        term,
+                        float(w * idf_map[term]),
+                        sum(1 << i for i in qv.term_tokens[term]),
+                        float(qv.magnitude),
+                        fmask,
+                    )
+                )
+        if not rows:
+            return empty
+        qdf = self.spark.createDataFrame(
+            rows, "qid long, term string, w double, mask long, mag double, fmask long"
+        )
+        joined = idx.postings.join(F.broadcast(qdf), "term")
+        per = joined.groupBy("qid", DOCID).agg(
+            F.bit_or("mask").alias("mask"),
+            F.first("mag").alias("mag"),
+            F.first("fmask").alias("fmask"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("term"), (F.col("w") * F.col("tf")).alias("c"))
+                )
+            ).alias("contribs"),
+        )
+        score = F.aggregate(
+            "contribs", F.lit(0.0), lambda acc, x: acc + x["c"]
+        ) / F.col("mag")
+        return (
+            per.filter(F.col("mask") == F.col("fmask"))
+            .withColumn(SCORE, score)
+            .select("qid", DOCID, SCORE)
+        )
 
     def fulltext_hits(self, query: str) -> DataFrame:
         """DataFrame (_docid, __score) of lunr-ranked hits; ordering is a

@@ -1,0 +1,138 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+* candidate generation is always bounded (hash groupBy / band buckets /
+  shared-shingle equi-joins) — never an all-pairs cross join;
+* every hash is a pure function of row values (md5-derived), so retries,
+  speculative tasks, and re-runs are deterministic, and an independent
+  SQL engine can reproduce results bit-for-bit for oracle checks;
+* MinHash values are compared as hex STRINGS (min over lexicographic
+  order) — portable across engines with no 64-bit integer-parsing
+  mismatch risk.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """n-token shingles from whitespace tokens (JVM expression)."""
+    return F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def exact_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(text_hash, dup_count, canonical_id): exact-duplicate clusters;
+    one shuffle, map-side partial agg."""
+    return df.groupBy(F.md5(text_col).alias("text_hash")).agg(
+        F.count("*").alias("dup_count"), F.min(id_col).alias("canonical_id")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8, n: int = 3
+) -> DataFrame:
+    """k MinHash values per doc over n-token shingles: h_i = min over
+    shingles of md5('i:'||shingle). One explode + one groupBy."""
+    ex = df.select(id_col, F.explode(shingles(text_col, n)).alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(a, b) candidate pairs sharing at least one LSH band bucket.
+    Band key = concat of the band's minhash values; the self-join is an
+    equi-join on (band_idx, band_key) — shuffle-bounded, never a cross
+    join. Distinct pairs out."""
+    bands = []
+    for b in range(k // rows_per_band):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("key"))
+        )
+    e = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    x, y = e.alias("x"), e.alias("y")
+    return (
+        x.join(y, ["band", "key"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard) over distinct n-token shingles, candidates from
+    shared shingles (equi-join on the shingle)."""
+    e = df.select(id_col, F.explode(shingles(text_col, n)).alias("g")).distinct()
+    card = e.groupBy(id_col).agg(F.count("*").alias("c"))
+    x, y = e.alias("x"), e.alias("y")
+    pairs = (
+        x.join(y, "g")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    ca = card.select(F.col(id_col).alias("a"), F.col("c").alias("ca"))
+    cb = card.select(F.col(id_col).alias("b"), F.col("c").alias("cb"))
+    jac = F.col("common") / (F.col("ca") + F.col("cb") - F.col("common"))
+    return (
+        pairs.join(ca, "a")
+        .join(cb, "b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """``bits``-bit SimHash from md5 nibbles of whitespace tokens,
+    weighted by in-doc term frequency. Pure JVM expressions."""
+    t = (
+        df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5("tok"))
+    )
+    aggs = []
+    for j in range(bits):
+        pos, bit = j // 4 + 1, 3 - j % 4
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ((instr('0123456789abcdef', substring(h, {pos}, 1)) - 1) >> {bit}) & 1 = 1 "
+                    f"THEN cnt ELSE -cnt END"
+                )
+            ).alias(f"s{j}")
+        )
+    g = t.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return g.select(id_col, sim.cast("long").alias("simhash"))

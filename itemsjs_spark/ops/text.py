@@ -1,0 +1,82 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure DataFrame expressions (JVM-side, whole-stage codegen) — no
+Python in the hot path. Each operator returns (input columns +) derived
+columns and is verified against an independent DuckDB oracle through
+``__spark_entry__`` at sf=0.01.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.lunr_analysis import STOP_WORDS
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS) if w)
+
+
+def ws_tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def stopword_ratio(text: Column, stoplist_sql: Optional[str] = None) -> Column:
+    """Fraction of whitespace tokens in the (english) stopword list —
+    the backbone of the n-gram language-ID heuristic."""
+    stops = stoplist_sql or _STOPLIST_SQL
+    toks = ws_tokens(text)
+    hits = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stops})))")
+    return hits.cast("double") / F.size(toks)
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.03
+) -> DataFrame:
+    ratio = F.round(stopword_ratio(F.col(text_col)), 6)
+    return df.withColumn("stopword_ratio", ratio).withColumn(
+        "lang_pred",
+        F.when(F.col("stopword_ratio") >= threshold, F.lit("en")).otherwise(
+            F.lit("und")
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/diversity quality heuristic: 0.5·distinct-token-ratio +
+    0.5·min(n_tokens/50, 1)."""
+    toks = ws_tokens(F.col(text_col))
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    q = F.round(
+        0.5 * (nd.cast("double") / nt)
+        + 0.5 * F.least(nt.cast("double") / 50.0, F.lit(1.0)),
+        6,
+    )
+    return (
+        df.withColumn("n_tokens", nt.cast("long"))
+        .withColumn("n_distinct", nd.cast("long"))
+        .withColumn("quality", q)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, char count, and a BPE-ish estimate
+    (chars/4 — the classic byte-pair heuristic for english text)."""
+    return (
+        df.withColumn("ws_tokens", F.size(ws_tokens(F.col(text_col))).cast("long"))
+        .withColumn("chars", F.length(text_col).cast("long"))
+        .withColumn("bpe_est", F.ceil(F.length(text_col) / 4.0).cast("long"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over all
+    ``window``-char shingles (rolling-hash family; md5 keeps it portable
+    across engines for oracle checks)."""
+    fp = F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
+        f"i -> md5(substring({text_col}, i, {window}))))"
+    )
+    return df.withColumn("fingerprint", fp)

@@ -128,3 +128,15 @@ def test_checkpointed_build_resume(spark, tx_engine, tmp_path):
     for m in rep2["manifests"]:
         for key in ("input_fingerprint", "duration_s", "rows", "finished_at_epoch"):
             assert key in m
+
+
+def test_fulltext_batch_matches_single(spark, tx_engine):
+    """Batched multi-query scoring (one job) must equal per-query runs."""
+    queries = ["spark", "shuffle partition", "s", "zzzqqq", "the", "broadcast join"]
+    batch = tx_engine.fulltext_hits_batch(queries).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], {})[r[DOCID]] = r["__score"]
+    for qid, q in enumerate(queries):
+        single = {r[DOCID]: r["__score"] for r in tx_engine.fulltext_hits(q).collect()}
+        assert by_qid.get(qid, {}) == single, q

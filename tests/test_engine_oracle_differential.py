@@ -328,3 +328,49 @@ def test_transcripts_differential(spark, tx_rows, idx):
         "by_turn": {"field": ["turn_idx", "conv_id"], "order": ["desc", "asc"]}
     }
     check(spark, "tx150", tx_rows, cfg, TX_CASES[idx])
+
+
+def test_reindex(spark):
+    """O23: full rebuild replaces the corpus under the same config."""
+    cfg = {"aggregations": {"tags": {"size": 10}}, "searchableFields": ["name"]}
+    eng = get_engine(spark, "items", fx.ITEMS, cfg)
+    new_items = [
+        {"id": 1, "name": "solo movie", "tags": ["q"]},
+        {"id": 2, "name": "other film", "tags": ["q", "r"]},
+    ]
+    eng2 = eng.reindex(fx.fresh(new_items))
+    res = eng2.search({})
+    assert res["pagination"]["total"] == 2
+    assert [b["key"] for b in res["data"]["aggregations"]["tags"]["buckets"]] == ["q", "r"]
+    assert [i["_id"] for i in eng2.search({"query": "film"})["data"]["items"]] == [2]
+    # old engine must not leak into the rebuilt one
+    assert eng2.search({"query": "movie4"})["pagination"]["total"] == 0
+
+
+def test_error_parity(spark):
+    """Reference-pinned error messages (SURVEY.md App. C.13) raised by
+    the ENGINE, word for word."""
+    from itemsjs_spark.engine import EngineError
+
+    cfg = {"aggregations": {"tags": {"size": 10}}, "native_search_enabled": False}
+    eng = get_engine(spark, "items", fx.ITEMS, cfg)
+    with pytest.raises(EngineError, match=r'"query" and "filter" options are not working'):
+        eng.search({"query": "x"})
+    with pytest.raises(EngineError, match=r'"query" and "filter" options are not working'):
+        eng.search({"filter": lambda it: True})
+
+    cfg2 = {"aggregations": {"tags": {"size": 10}}}
+    eng2 = get_engine(spark, "items", fx.ITEMS, cfg2)
+    with pytest.raises(EngineError, match=r'Please define aggregation "nope" in config'):
+        eng2.aggregation({"name": "nope"})
+    with pytest.raises(EngineError, match=r"field name is required"):
+        eng2.aggregation({})
+    with pytest.raises(EngineError, match=r"The key does not exist in facets lists"):
+        eng2.search({"filters_query": "made_up_key:v"})
+    with pytest.raises(EngineError, match=r"Please define field in options"):
+        eng2.similar(1, {})
+
+    cfg3 = {"aggregations": {"category": {"show_facet_stats": True}}}
+    eng3 = get_engine(spark, "items", fx.ITEMS, cfg3)
+    with pytest.raises(EngineError, match=r"You cant use chars"):
+        eng3.search({})
