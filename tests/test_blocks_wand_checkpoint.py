@@ -140,3 +140,27 @@ def test_fulltext_batch_matches_single(spark, tx_engine):
     for qid, q in enumerate(queries):
         single = {r[DOCID]: r["__score"] for r in tx_engine.fulltext_hits(q).collect()}
         assert by_qid.get(qid, {}) == single, q
+
+
+def test_hot_term_salted_across_ranges(spark):
+    """Skew story: with stopwords kept, 'the' appears in ~every doc; its
+    posting list must split across (range_id, block) groups — no single
+    task ever holds the whole hot-term list (north_star salting)."""
+    tdf = transcripts_df(spark, n_turns=4000, n_convs=400, seed=5)
+    eng = itemsjs_spark(
+        spark,
+        tdf,
+        {"aggregations": {}, "searchableFields": ["text"],
+         "removeStopWordFilter": True},
+        order_by=["conv_id", "turn_idx"],
+    )
+    eng._ensure_fulltext_materialized()
+    blocks = build_posting_blocks(
+        eng.index.postings, range_size=256, block_size=128
+    )
+    hot = blocks.filter(F.col("term") == "the").collect()
+    n_hot = eng.index.postings.filter(F.col("term") == "the").count()
+    assert n_hot > 1000  # genuinely hot (~27% of docs)
+    assert len(hot) >= 10  # split across many independent groups
+    assert max(r["n"] for r in hot) <= 128  # bounded per block
+    assert sum(r["n"] for r in hot) == n_hot  # lossless
