@@ -246,6 +246,60 @@ def _q_sort_paginate(spark, sf_dir):
     return df.offset(10).limit(10).select("_id", "n_chars")
 
 
+def _q_wand_topk(spark, sf_dir):
+    """Scale-path retrieval: block-max WAND over delta+varint posting
+    blocks. Shares the exact scorer's oracle — the compressed/pruned
+    path must be rank- and score-identical."""
+    from itemsjs_spark.engine.blocks import build_posting_blocks
+
+    eng = _doc_engine(spark, sf_dir)
+
+    def build():
+        eng._ensure_fulltext_materialized()
+        b = build_posting_blocks(
+            eng.index.postings, range_size=64, block_size=32
+        ).persist()
+        b.count()
+        return b
+
+    blocks = _cached(("blocks", sf_dir), spark, build)
+    hits = eng.fulltext_topk("spark", 50, blocks)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
+def _events_engine(spark, sf_dir):
+    def build():
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        cfg = {
+            "aggregations": {"event_type": {"size": 10, "conjunction": False}},
+            "native_search_enabled": False,
+            "sortings": {"by_value": {"field": "value", "order": "desc"}},
+            "custom_id_field": "event_id",
+        }
+        return itemsjs_spark(spark, df, cfg, docid_col="event_id")
+
+    return _cached(("eng_events", sf_dir), spark, build)
+
+
+def _q_events_facets(spark, sf_dir):
+    eng = _events_engine(spark, sf_dir)
+    return eng.bucket_counts_df(
+        "event_type", {"not_filters": {"event_type": ["error"]}}
+    ).select("key", "doc_count")
+
+
+def _q_events_sort_page(spark, sf_dir):
+    eng = _events_engine(spark, sf_dir)
+    df = eng.result_df(
+        {"filters": {"event_type": ["click", "purchase"]}, "sort": "by_value"}
+    )
+    return df.limit(25).select("_id", "event_type", F.round("value", 6).alias("value"))
+
+
 def _q_query_plus_filter(spark, sf_dir):
     # fulltext hits crossed with a conjunctive facet filter (O15/O21)
     eng = _doc_engine(spark, sf_dir)
@@ -481,6 +535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_prefix_expand": _ft_query("s", 50),
         "fulltext_plus_facet": _q_query_plus_filter,
+        "fulltext_wand_topk": _q_wand_topk,
+        "events_facet_counts": _q_events_facets,
+        "events_sort_paginate": _q_events_sort_page,
         "similar_items": _q_similar,
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
@@ -549,6 +606,19 @@ SELECT 'lang' AS field, lk.key, coalesce(lc.c, 0)::BIGINT AS doc_count FROM lk L
     )
 
     sqls["fulltext_single_term"] = _ft_sql("spark", 50)
+    # WAND over compressed blocks must reproduce the exact scorer's top-k
+    sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
+    sqls["events_facet_counts"] = """
+WITH k AS (SELECT DISTINCT event_type AS key FROM events),
+c AS (SELECT event_type AS key, count(*) AS c FROM events
+      WHERE event_type <> 'error' GROUP BY 1)
+SELECT k.key, coalesce(c.c, 0)::BIGINT AS doc_count FROM k LEFT JOIN c USING (key)
+"""
+    sqls["events_sort_paginate"] = """
+SELECT event_id AS _id, event_type, round(value, 6) AS value FROM events
+WHERE event_type IN ('click', 'purchase')
+ORDER BY value DESC, event_id ASC LIMIT 25
+"""
     sqls["fulltext_conjunctive"] = _ft_sql("spark join", 50)
     sqls["fulltext_prefix_expand"] = _ft_sql("s", 50)
 

@@ -93,9 +93,24 @@ def _norm_response(res):
 def check(spark, items_key, items, config, input):
     oracle = ItemsJSOracle(fx.fresh(items), json.loads(json.dumps(config)))
     eng = get_engine(spark, items_key, items, config)
-    got = _norm_response(eng.search(dict(input)))
-    want = _norm_response(oracle.search(dict(input)))
-    assert got == want, f"engine≠oracle for {input!r}"
+    # inputs can be reference-illegal (e.g. a not_filter naming a value
+    # absent from the facet index dereferences a missing bitmap and
+    # throws) — both implementations must agree on raising
+    want_exc = got_exc = None
+    want = got = None
+    try:
+        want = _norm_response(oracle.search(dict(input)))
+    except Exception as e:  # noqa: BLE001 — parity on raising, not type
+        want_exc = e
+    try:
+        got = _norm_response(eng.search(dict(input)))
+    except Exception as e:  # noqa: BLE001
+        got_exc = e
+    assert (want_exc is None) == (got_exc is None), (
+        f"raise-parity mismatch for {input!r}: oracle={want_exc!r} engine={got_exc!r}"
+    )
+    if want_exc is None:
+        assert got == want, f"engine≠oracle for {input!r}"
 
 
 ITEMS_CFG = {
@@ -374,3 +389,37 @@ def test_error_parity(spark):
     eng3 = get_engine(spark, "items", fx.ITEMS, cfg3)
     with pytest.raises(EngineError, match=r"You cant use chars"):
         eng3.search({})
+
+
+def test_transcripts_randomized_differential(spark, tx_rows):
+    """Seeded random inputs (filters/not_filters/queries/paging combos)
+    over the transcript corpus — differential fuzzing on top of the
+    hand-picked cases."""
+    import random
+
+    rng = random.Random(20260817)
+    roles = ["user", "assistant", "system", "tool"]
+    tools = ["bash", "read", "write", "grep", "search", "browser", "sql"]
+    words = ["spark", "shuffle", "partition", "broadcast", "salt", "index",
+             "merge", "s", "pa", "the", "error", "agent"]
+    cfg = dict(TX_CFG)
+    cfg["sortings"] = {"by_turn": {"field": ["turn_idx"], "order": ["asc"]}}
+    for _ in range(12):
+        inp = {"per_page": rng.choice([5, 12])}
+        kind = rng.randrange(5)
+        if kind == 0:
+            inp["filters"] = {"role": rng.sample(roles, rng.randint(1, 2))}
+        elif kind == 1:
+            inp["filters"] = {"tool": rng.sample(tools, rng.randint(1, 3))}
+            if rng.random() < 0.5:
+                inp["not_filters"] = {"role": [rng.choice(roles)]}
+        elif kind == 2:
+            inp["query"] = " ".join(rng.sample(words, rng.randint(1, 2)))
+        elif kind == 3:
+            inp["query"] = rng.choice(words)
+            inp["filters"] = {"role": [rng.choice(roles)]}
+        else:
+            inp["not_filters"] = {"tool": rng.sample(tools, 2)}
+            inp["sort"] = "by_turn"
+            inp["page"] = rng.randint(1, 3)
+        check(spark, "tx150", tx_rows, cfg, inp)
