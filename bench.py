@@ -137,6 +137,9 @@ def headline_queries(spark, eng):
     qs["facet_counts"] = lambda: eng.bucket_counts_df(
         "role", {"filters": {"tool": ["bash"]}}
     ).count()
+    qs["search_endpoint"] = lambda: eng.search(
+        {"query": "broadcast", "filters": {"role": ["assistant"]}, "per_page": 12}
+    )
     qs["facet_search_page"] = lambda: eng.result_df(
         {"filters": {"role": ["assistant"]}}
     ).limit(12).count()

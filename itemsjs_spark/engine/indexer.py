@@ -218,6 +218,12 @@ def build_index(
 ) -> Index:
     """Build all index artifacts for ``df`` under ``configuration``
     (itemsjs Configuration: aggregations / searchableFields / flags)."""
+    from .packaging import ensure_shipped
+
+    # the tokenizer/filter UDF closures import this package on executors;
+    # ship the source zip so the engine works from any launch directory
+    # (spark-submit --py-files deployments already have it — idempotent)
+    ensure_shipped(spark)
     configuration = dict(configuration or {})
     aggregations = configuration.get("aggregations") or {}
     facet_fields = [f for f in aggregations.keys() if f in df.columns]

@@ -612,7 +612,14 @@ class SearchEngine:
         flt = base.filter(ir_to_column(compiled.final_pred, hits is not None))
         search_time = time.time() - t_search
 
-        total = flt.count()
+        # one corpus pass: all facet buckets + the result total together
+        t_f = time.time()
+        aggregations, total = self._get_buckets_impl(
+            input, compiled, base, hits is not None, with_total=True
+        )
+        facets_time = time.time() - t_f
+        if total is None:  # no facet fields configured → plain count
+            total = flt.count()
         ordered = self._order(flt, input, hits)
         page_df = ordered.offset((page - 1) * per_page).limit(per_page)
 
@@ -630,10 +637,6 @@ class SearchEngine:
         ):
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
-
-        t_f = time.time()
-        aggregations = self.get_buckets(input, compiled, base, hits is not None)
-        facets_time = time.time() - t_f
 
         if hits is not None:
             base.unpersist()
@@ -689,12 +692,23 @@ class SearchEngine:
             .select("key", "doc_count", "enum_rank")
         )
 
+    # pseudo-field tag carrying the result-set count through the same
+    # aggregation as the facet buckets (not a legal facet field name)
+    TOTAL_FIELD = "\x00total"
+
     def _all_field_counts(
-        self, base: DataFrame, compiled, has_query: bool
+        self,
+        base: DataFrame,
+        compiled,
+        has_query: bool,
+        with_total: bool = False,
     ) -> DataFrame:
-        """One shuffle for every facet: stack (field, key) pairs from all
-        facet columns, gated by each field's bucket predicate, and count.
-        Returns (field, key, doc_count) for non-zero buckets only."""
+        """One shuffle for every facet AND (optionally) the result-set
+        total: stack (field, key) pairs from all facet columns, gated by
+        each field's bucket predicate, plus a pseudo-entry gated by the
+        final result predicate. Returns (field, key, doc_count) for
+        non-zero groups only — a search() costs ONE corpus pass for all
+        of its counting."""
         struct_t = "array<struct<field:string,key:string>>"
 
         def tag_with(fieldname):
@@ -712,6 +726,19 @@ class SearchEngine:
             arrays.append(
                 F.when(pred, mapped).otherwise(F.lit(None).cast(struct_t))
             )
+        if with_total:
+            total_pred = ir_to_column(compiled.final_pred, has_query)
+            arrays.append(
+                F.when(
+                    total_pred,
+                    F.array(
+                        F.struct(
+                            F.lit(self.TOTAL_FIELD).alias("field"),
+                            F.lit("").alias("key"),
+                        )
+                    ),
+                ).otherwise(F.lit(None).cast(struct_t))
+            )
         stacked = base.select(
             F.explode(F.flatten(F.filter(F.array(*arrays), lambda a: a.isNotNull()))).alias("fk")
         ).select("fk.field", "fk.key")
@@ -726,9 +753,24 @@ class SearchEngine:
         base: Optional[DataFrame] = None,
         has_query: bool = False,
     ) -> Dict[str, Any]:
+        out, _total = self._get_buckets_impl(
+            input, compiled, base, has_query, with_total=False
+        )
+        return out
+
+    def _get_buckets_impl(
+        self,
+        input: Dict[str, Any],
+        compiled=None,
+        base: Optional[DataFrame] = None,
+        has_query: bool = False,
+        with_total: bool = False,
+    ):
         """Reference getBuckets (helpers.ts:388-520): one distributed count
-        pass, then driver-side assembly against the cached facet dimension
-        (zero-count fill, selected flags, lodash ordering, facet_stats)."""
+        pass (optionally carrying the result-set total as a pseudo-field —
+        search() then needs no separate count job), then driver-side
+        assembly against the cached facet dimension (zero-count fill,
+        selected flags, lodash ordering, facet_stats)."""
         from ..core.ordering import bucket_sort_spec, order_by
         from ..jsutil import js_is_nan_str, js_parse_int
 
@@ -739,11 +781,17 @@ class SearchEngine:
             base = self._docs_with_query_flag(hits)
 
         if not self.index.facet_fields:
-            return {}
+            return {}, None
 
-        counts_rows = self._all_field_counts(base, compiled, has_query).collect()
+        counts_rows = self._all_field_counts(
+            base, compiled, has_query, with_total=with_total
+        ).collect()
+        total: Optional[int] = 0 if with_total else None
         counts: Dict[str, Dict[str, int]] = {f: {} for f in self.index.facet_fields}
         for r in counts_rows:
+            if r["field"] == self.TOTAL_FIELD:
+                total = r["doc_count"]
+                continue
             counts[r["field"]][r["key"]] = r["doc_count"]
 
         dim = self._facet_dim_cache()
@@ -809,7 +857,7 @@ class SearchEngine:
                     "sum": sum(vals),
                 }
             out[fld] = entry
-        return out
+        return out, total
 
     # ------------------------------------------------------------------
     # aggregation endpoint (lib.ts:253-299)
