@@ -240,6 +240,13 @@ def _q_filters_query(spark, sf_dir):
     ).select("_id")
 
 
+def _q_bucket_heads(spark, sf_dir):
+    """O17 scale path: distributed top-N buckets (TakeOrderedAndProject),
+    only N rows reach the driver — for facet dims too big to assemble."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.bucket_heads_df("source", {"filters": {"lang": ["en"]}}, size=8)
+
+
 def _q_sort_paginate(spark, sf_dir):
     eng = _doc_engine(spark, sf_dir)
     df = eng.result_df({"sort": "by_len_desc"})
@@ -531,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_result_ids": _q_negative_ids,
         "filters_query_dnf": _q_filters_query,
         "sort_paginate": _q_sort_paginate,
+        "bucket_heads_topn": _q_bucket_heads,
         "fulltext_single_term": _ft_query("spark", 50),
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_prefix_expand": _ft_query("s", 50),
@@ -600,6 +608,11 @@ SELECT 'lang' AS field, lk.key, coalesce(lc.c, 0)::BIGINT AS doc_count FROM lk L
         "SELECT doc_id AS _id FROM documents "
         "WHERE (source = 'src1' AND lang = 'en') OR (source = 'src2' AND lang = 'en')"
     )
+    sqls["bucket_heads_topn"] = """
+SELECT source AS key, count(*)::BIGINT AS doc_count FROM documents
+WHERE lang = 'en' GROUP BY source
+ORDER BY doc_count DESC, key ASC LIMIT 8
+"""
     sqls["sort_paginate"] = (
         "SELECT doc_id AS _id, n_chars FROM documents "
         "ORDER BY n_chars DESC, doc_id ASC OFFSET 10 LIMIT 10"

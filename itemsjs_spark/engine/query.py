@@ -673,6 +673,39 @@ class SearchEngine:
         base = self._docs_with_query_flag(hits)
         return self._field_counts(base, field, compiled, hits is not None)
 
+    def bucket_heads_df(
+        self,
+        field: str,
+        input: Optional[Dict[str, Any]] = None,
+        size: int = 10,
+    ) -> DataFrame:
+        """Distributed bucket top-``size`` for ONE facet — the scale path
+        for huge facet dimensions (e.g. conv_id at 10^9 conversations)
+        where ``get_buckets``'s driver-side assembly would not fit: the
+        default itemsjs ordering (doc_count desc, key asc) runs as a
+        window over the counted buckets, so only ``size`` rows reach the
+        driver. Zero-count buckets are not represented (they can never
+        enter a doc_count-descending head unless fewer than ``size``
+        buckets are nonzero — callers needing exact reference parity on
+        zero-padding use get_buckets)."""
+        input = input or {}
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        pred = ir_to_column(compiled.bucket_pred[field], hits is not None)
+        counted = (
+            base.filter(pred)
+            .select(F.explode(F.array_distinct(FK_PREFIX + field)).alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        # orderBy+limit → TakeOrderedAndProject: per-partition top-k
+        # heaps merged on the driver; no global sort, no single-partition
+        # window — this is what survives a 10^9-key dimension
+        return counted.orderBy(
+            F.col("doc_count").desc(), F.col("key").asc()
+        ).limit(size)
+
     def _field_counts(
         self, base: DataFrame, field: str, compiled, has_query: bool
     ) -> DataFrame:
