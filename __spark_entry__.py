@@ -364,6 +364,14 @@ def _q_neardup_pairs(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Iterative connected components over the ≥0.5-jaccard near-dup
+    graph (label propagation; oracle = DuckDB recursive CTE)."""
+    df = _documents(spark, sf_dir)
+    pairs = dedup_ops.jaccard_pairs(df, "doc_id", threshold=0.5)
+    return dedup_ops.cluster_pairs(df, pairs, "doc_id")
+
+
 def _q_simhash(spark, sf_dir):
     return dedup_ops.simhash(_documents(spark, sf_dir), "doc_id", bits=32)
 
@@ -555,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash_signatures,
         "neardup_jaccard_pairs": _q_neardup_pairs,
+        "neardup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "embedding_topk_cosine": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -717,6 +726,29 @@ pairs AS (
 SELECT a, b, round(common::DOUBLE / (ca.c + cb.c - common), 6) AS jaccard
 FROM pairs JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
 WHERE round(common::DOUBLE / (ca.c + cb.c - common), 6) >= 0.5
+"""
+
+    # connected components over the same pair graph: recursive CTE
+    # spreads every reachable label, then min per node = component id
+    sqls["neardup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  WITH e AS (SELECT DISTINCT doc_id, g FROM ({_SHINGLES_SQL})),
+  card AS (SELECT doc_id, count(*) AS c FROM e GROUP BY doc_id),
+  p AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+    FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+  )
+  SELECT a, b FROM p JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+  WHERE round(common::DOUBLE / (ca.c + cb.c - common), 6) >= 0.5
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY id
 """
 
     sums = ", ".join(

@@ -109,6 +109,55 @@ def jaccard_pairs(
     )
 
 
+def cluster_pairs(
+    ids: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 50
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by
+    min-label propagation: (id, cluster_id) where cluster_id is the
+    smallest doc id in the component (singletons keep their own id).
+
+    The iterative shape for Spark: each round is one join + one groupBy
+    (both equi-shuffles on id); rounds needed = graph diameter, which
+    for near-dup graphs is tiny (clusters are cliques or short chains).
+    Deterministic: labels are pure min-folds over ids."""
+    labels = ids.select(F.col(id_col).alias("id")).withColumn(
+        "label", F.col("id")
+    ).persist()
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nlabel"], labels["label"])
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
 ) -> DataFrame:
