@@ -382,7 +382,10 @@ class SearchEngine:
         qdf = self.spark.createDataFrame(
             rows, "qid long, term string, w double, mask long, mag double, fmask long"
         )
-        joined = idx.postings.join(F.broadcast(qdf), "term")
+        all_terms = sorted({r[1] for r in rows})
+        joined = idx.postings.filter(F.col("term").isin(all_terms)).join(
+            F.broadcast(qdf), "term"
+        )
         per = joined.groupBy("qid", DOCID).agg(
             F.bit_or("mask").alias("mask"),
             F.first("mag").alias("mag"),
@@ -422,7 +425,13 @@ class SearchEngine:
             rows, "term string, w double, mask long"
         )
 
-        joined = idx.postings.join(F.broadcast(expanded_df), "term")
+        # explicit isin BEFORE the join: against a persisted term-sorted
+        # postings table this pushes an In(term, ...) filter into the
+        # parquet scan (row-group min/max pruning); on the cached path
+        # it just narrows the join input
+        joined = idx.postings.filter(
+            F.col("term").isin(list(qv.weights))
+        ).join(F.broadcast(expanded_df), "term")
         per_doc = joined.groupBy(DOCID).agg(
             F.bit_or("mask").alias("mask"),
             # deterministic reduction order: sort contributions by term
