@@ -423,3 +423,28 @@ def test_transcripts_randomized_differential(spark, tx_rows):
             inp["sort"] = "by_turn"
             inp["page"] = rng.randint(1, 3)
         check(spark, "tx150", tx_rows, cfg, inp)
+
+
+def test_aggregation_mutates_size_permanently(spark):
+    """App C.6: aggregation() sets the named facet's size to 10000 in the
+    shared config — subsequent search() calls see the mutated size."""
+    cfg = {"aggregations": {"genres": {"size": 3}}, "searchableFields": []}
+    oracle = ItemsJSOracle(fx.fresh(fx.movies()), json.loads(json.dumps(cfg)))
+    eng = get_engine(spark, "movies", fx.movies(), {"aggregations": {"genres": {"size": 3}}, "searchableFields": [], "__tag": "mut"})
+    before_e = len(eng.search({})["data"]["aggregations"]["genres"]["buckets"])
+    before_o = len(oracle.search({})["data"]["aggregations"]["genres"]["buckets"])
+    assert before_e == before_o == 3
+    eng.aggregation({"name": "genres"})
+    oracle.aggregation({"name": "genres"})
+    after_e = len(eng.search({})["data"]["aggregations"]["genres"]["buckets"])
+    after_o = len(oracle.search({})["data"]["aggregations"]["genres"]["buckets"])
+    assert after_e == after_o > 3  # all genres now visible
+
+
+def test_empty_ids_arrays_are_truthy(spark):
+    """JS truthiness: `_ids: []` selects the ids branch (empty result),
+    it does NOT fall through to all-documents."""
+    cfg = dict(ITEMS_CFG)
+    check(spark, "items", fx.ITEMS, cfg, {"_ids": []})
+    check(spark, "items", fx.ITEMS, cfg, {"ids": []})
+    check(spark, "items", fx.ITEMS, cfg, {"_ids": [2]})
