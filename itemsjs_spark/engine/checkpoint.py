@@ -15,16 +15,23 @@ Manifest per bucket (the lineage/metrics record):
   {bucket, n_buckets, rows, blocks, bytes, duration_s, attempt,
    input_fingerprint, finished_at_epoch}
 
-``input_fingerprint`` ties the checkpoint to its input snapshot (count +
-schema hash of the postings frame); a fingerprint mismatch invalidates
-all buckets, preventing a silent mixed-snapshot index.
+``input_fingerprint`` ties the checkpoint to its input snapshot: row
+count + schema + an order-independent content digest (bit_xor of
+xxhash64 over every (term, _docid, tf) row, computed in the same pass
+as the count). A row-level change — even one preserving cardinality —
+changes the digest, so resume can never silently mix snapshots.
+
+All manifest/listing I/O goes through the Hadoop FileSystem API of the
+SparkSession that owns the postings frame, so checkpoints work wherever
+the block data lands (HDFS, S3A, file://) — not only on the driver's
+local disk.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import os
+import posixpath
 import time
 from typing import Dict, List, Optional
 
@@ -38,25 +45,85 @@ from .blocks import build_posting_blocks
 MANIFEST = "_manifest.json"
 
 
-def input_fingerprint(postings: DataFrame, n_rows: Optional[int] = None) -> str:
-    if n_rows is None:
-        n_rows = postings.count()
+class _HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for the small
+    driver-side control files (manifests) and listings. Uses the same
+    filesystem resolution as Spark's own writers, so ``out_path`` may be
+    hdfs://, s3a://, file:// or a bare local path."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._path(base).getFileSystem(self._conf)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._path(p))
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._path(p)))
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self._fs.create(self._path(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, p: str) -> Optional[str]:
+        path = self._path(p)
+        if not self._fs.exists(path):
+            return None
+        stream = self._fs.open(path)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def parquet_sizes(self, p: str):
+        """(n_files, total_bytes) over *.parquet under ``p`` (recursive)."""
+        n_files = 0
+        n_bytes = 0
+        it = self._fs.listFiles(self._path(p), True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                n_bytes += st.getLen()
+        return n_files, n_bytes
+
+
+def input_fingerprint(postings: DataFrame) -> str:
+    """Snapshot identity of a postings frame: (rows, schema, content
+    digest) in ONE aggregation pass. The digest is bit_xor of xxhash64
+    over full rows — order-independent (the frame has no defined order)
+    but sensitive to any row-level change."""
+    from .indexer import DOCID
+
+    row = postings.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("term", DOCID, "tf")).alias("digest"),
+    ).collect()[0]
     schema = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in postings.schema)
-    return hashlib.sha256(f"{n_rows}|{schema}".encode()).hexdigest()[:16]
+    key = f"{row['n']}|{row['digest']}|{schema}"
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
 def _bucket_dir(path: str, bucket: int) -> str:
-    return os.path.join(path, f"bucket={bucket}")
+    return posixpath.join(path, f"bucket={bucket}")
 
 
-def _read_manifest(path: str, bucket: int) -> Optional[dict]:
-    p = os.path.join(_bucket_dir(path, bucket), MANIFEST)
-    if not os.path.exists(p):
+def _read_manifest(fs: _HadoopFS, path: str, bucket: int) -> Optional[dict]:
+    text = fs.read_text(posixpath.join(_bucket_dir(path, bucket), MANIFEST))
+    if text is None:
         return None
     try:
-        with open(p) as f:
-            return json.load(f)
-    except (OSError, json.JSONDecodeError):
+        return json.loads(text)
+    except json.JSONDecodeError:
         return None
 
 
@@ -72,7 +139,9 @@ def build_blocks_checkpointed(
 
     Returns a build report {resumed: [...], built: [...], manifests}.
     """
-    os.makedirs(out_path, exist_ok=True)
+    spark = postings.sparkSession
+    fs = _HadoopFS(spark, out_path)
+    fs.mkdirs(out_path)
     fp = input_fingerprint(postings)
 
     resumed: List[int] = []
@@ -82,7 +151,7 @@ def build_blocks_checkpointed(
         "__bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
     for b in range(n_buckets):
-        m = _read_manifest(out_path, b)
+        m = _read_manifest(fs, out_path, b)
         if m and m.get("input_fingerprint") == fp:
             resumed.append(b)
             manifests.append(m)
@@ -97,13 +166,7 @@ def build_blocks_checkpointed(
         stats = (
             part.agg(F.count("*").alias("rows")).collect()[0]
         )
-        n_blocks = 0
-        n_bytes = 0
-        for root, _dirs, files in os.walk(bdir):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    n_blocks += 1
-                    n_bytes += os.path.getsize(os.path.join(root, fn))
+        n_blocks, n_bytes = fs.parquet_sizes(bdir)
         attempt = (m.get("attempt", 0) + 1) if m else 1
         manifest = {
             "bucket": b,
@@ -116,8 +179,7 @@ def build_blocks_checkpointed(
             "input_fingerprint": fp,
             "finished_at_epoch": int(time.time()),
         }
-        with open(os.path.join(bdir, MANIFEST), "w") as f:
-            json.dump(manifest, f)
+        fs.write_text(posixpath.join(bdir, MANIFEST), json.dumps(manifest))
         built.append(b)
         manifests.append(manifest)
     return {"resumed": resumed, "built": built, "manifests": manifests}
@@ -125,5 +187,5 @@ def build_blocks_checkpointed(
 
 def read_blocks(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.option("basePath", out_path).parquet(
-        os.path.join(out_path, "bucket=*")
+        posixpath.join(out_path, "bucket=*")
     )

@@ -40,8 +40,12 @@ def build_pyfiles_zip(dest_path: str | None = None) -> str:
 
 
 def ensure_shipped(spark: SparkSession) -> None:
-    """Idempotently attach the package zip to this SparkSession."""
-    key = id(spark)
+    """Idempotently attach the package zip to this SparkSession.
+
+    Keyed on applicationId (stable per SparkContext), not id(spark): a
+    stopped session's address can be reused by a new one, which would
+    silently skip the addPyFile for the new context."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     zip_path = build_pyfiles_zip()

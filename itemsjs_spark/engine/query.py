@@ -629,6 +629,7 @@ class SearchEngine:
         facets_time = time.time() - t_f
         if total is None:  # no facet fields configured → plain count
             total = flt.count()
+        t_s = time.time()
         ordered = self._order(flt, input, hits)
         page_df = ordered.offset((page - 1) * per_page).limit(per_page)
 
@@ -640,6 +641,7 @@ class SearchEngine:
             .withColumnRenamed(DOCID, "_id")
             .collect()
         ]
+        sorting_time = time.time() - t_s
         all_filtered_items = None
         if input.get("is_all_filtered_items") and not (
             input.get("sort") is None and hits is not None
@@ -657,7 +659,7 @@ class SearchEngine:
                 "total": int((time.time() - t0) * 1000),
                 "facets": int(facets_time * 1000),
                 "search": int(search_time * 1000),
-                "sorting": 0,
+                "sorting": int(sorting_time * 1000),
             },
             "data": {
                 "items": items,

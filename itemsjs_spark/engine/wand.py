@@ -106,9 +106,12 @@ def wand_topk(
     i = 0
     while i < len(ranges):
         theta = heap[k - 1][0] if len(heap) >= k else -math.inf
-        # block-max pruning: everything below the current k-th score
-        # (bounds are sorted descending, so we can stop outright)
-        if ranges[i]["ub"] / magnitude <= theta:
+        # block-max pruning: everything STRICTLY below the current k-th
+        # score (bounds are sorted descending, so we can stop outright).
+        # Strict `<`: a range whose bound EQUALS theta may hold a doc
+        # tied on score that wins the str(docid)-ascending tie-break —
+        # skipping it would break exact rank parity with fulltext_hits.
+        if ranges[i]["ub"] / magnitude < theta:
             break
         batch = [r["range_id"] for r in ranges[i : i + batch_ranges]]
         i += batch_ranges

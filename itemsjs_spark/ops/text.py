@@ -15,19 +15,18 @@ from pyspark.sql import functions as F
 
 from ..analysis.lunr_analysis import STOP_WORDS
 
-_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS) if w)
-
-
 def ws_tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def stopword_ratio(text: Column, stoplist_sql: Optional[str] = None) -> Column:
+def stopword_ratio(text: Column, stoplist: Optional[Sequence[str]] = None) -> Column:
     """Fraction of whitespace tokens in the (english) stopword list —
-    the backbone of the n-gram language-ID heuristic."""
-    stops = stoplist_sql or _STOPLIST_SQL
+    the backbone of the n-gram language-ID heuristic. Built from the
+    passed Column (works for any column expression, not just `text`)."""
+    stops = sorted(w for w in (stoplist or STOP_WORDS) if w)
     toks = ws_tokens(text)
-    hits = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stops})))")
+    stop_arr = F.array(*[F.lit(w) for w in stops])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return hits.cast("double") / F.size(toks)
 
 

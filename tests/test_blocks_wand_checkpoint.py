@@ -164,3 +164,16 @@ def test_hot_term_salted_across_ranges(spark):
     assert len(hot) >= 10  # split across many independent groups
     assert max(r["n"] for r in hot) <= 128  # bounded per block
     assert sum(r["n"] for r in hot) == n_hot  # lossless
+
+
+def test_checkpoint_invalidated_by_content_change(spark, tx_engine, tmp_path):
+    """A row-level input change that PRESERVES count+schema must
+    invalidate every bucket (content digest in the fingerprint)."""
+    out = str(tmp_path / "blocks_digest")
+    postings = tx_engine.index.postings
+    rep1 = build_blocks_checkpointed(postings, out, n_buckets=2, range_size=512)
+    assert rep1["resumed"] == []
+    # same cardinality + schema, different rows: every tf doubled
+    mutated = postings.withColumn("tf", F.col("tf") * 2.0)
+    rep2 = build_blocks_checkpointed(mutated, out, n_buckets=2, range_size=512)
+    assert rep2["resumed"] == [] and sorted(rep2["built"]) == [0, 1]

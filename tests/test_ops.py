@@ -107,3 +107,14 @@ def test_text_ops_shapes(spark, docs):
     assert 0.0 <= q[0] <= q[1] <= 1.0
     fp = text.fingerprint(docs).select("fingerprint").distinct().count()
     assert fp > 1
+
+
+def test_stopword_ratio_custom_column_name(spark, docs):
+    """Regression: the numerator must come from the PASSED column, not a
+    hardcoded `text` — language_id over a renamed body column."""
+    renamed = docs.select("doc_id", F.col("text").alias("body"))
+    out = text.language_id(renamed, text_col="body").select(
+        "doc_id", "stopword_ratio"
+    )
+    ref = text.language_id(docs).select("doc_id", "stopword_ratio")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
