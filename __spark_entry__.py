@@ -358,9 +358,17 @@ def _q_minhash_signatures(spark, sf_dir):
     return dedup_ops.minhash_signatures(_documents(spark, sf_dir), "doc_id", k=8)
 
 
+# skew bound for the shared-shingle candidate join (mirrored in the
+# DuckDB oracle): shingles in more than this many docs are cut from the
+# shingle universe before pairing — the df-cut that keeps the join
+# sub-quadratic under hot boilerplate shingles at 100 TB
+_JACCARD_MAX_DF = 50
+
+
 def _q_neardup_pairs(spark, sf_dir):
     return dedup_ops.jaccard_pairs(
-        _documents(spark, sf_dir), "doc_id", threshold=0.5
+        _documents(spark, sf_dir), "doc_id", threshold=0.5,
+        max_shingle_df=_JACCARD_MAX_DF,
     )
 
 
@@ -368,7 +376,9 @@ def _q_dedup_clusters(spark, sf_dir):
     """Iterative connected components over the ≥0.5-jaccard near-dup
     graph (label propagation; oracle = DuckDB recursive CTE)."""
     df = _documents(spark, sf_dir)
-    pairs = dedup_ops.jaccard_pairs(df, "doc_id", threshold=0.5)
+    pairs = dedup_ops.jaccard_pairs(
+        df, "doc_id", threshold=0.5, max_shingle_df=_JACCARD_MAX_DF
+    )
     return dedup_ops.cluster_pairs(df, pairs, "doc_id")
 
 
@@ -715,8 +725,15 @@ SELECT query_id, neighbor_id, cosine FROM (
         f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
     )
 
+    # the df-cut (HAVING count(*) <= cap) mirrors jaccard_pairs'
+    # max_shingle_df — the capped shingle universe IS the semantics
+    _capped_e = (
+        f"WITH e0 AS (SELECT DISTINCT doc_id, g FROM ({_SHINGLES_SQL})), "
+        f"keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= {_JACCARD_MAX_DF}), "
+        f"e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN keep USING (g))"
+    )
     sqls["neardup_jaccard_pairs"] = f"""
-WITH e AS (SELECT DISTINCT doc_id, g FROM ({_SHINGLES_SQL})),
+{_capped_e},
 card AS (SELECT doc_id, count(*) AS c FROM e GROUP BY doc_id),
 pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -732,7 +749,7 @@ WHERE round(common::DOUBLE / (ca.c + cb.c - common), 6) >= 0.5
     # spreads every reachable label, then min per node = component id
     sqls["neardup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
-  WITH e AS (SELECT DISTINCT doc_id, g FROM ({_SHINGLES_SQL})),
+  {_capped_e},
   card AS (SELECT doc_id, count(*) AS c FROM e GROUP BY doc_id),
   p AS (
     SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common

@@ -13,7 +13,7 @@ Designed for 100 TB corpora:
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,23 +51,67 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    collapse_exact: bool = True,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
-    """(a, b) candidate pairs sharing at least one LSH band bucket.
-    Band key = concat of the band's minhash values; the self-join is an
-    equi-join on (band_idx, band_key) — shuffle-bounded, never a cross
-    join. Distinct pairs out."""
+    """(a, b) candidate edges connecting docs that share at least one LSH
+    band bucket. Band key = concat of the band's minhash values; the
+    self-join is an equi-join on (band_idx, band_key) — shuffle-bounded,
+    never a cross join.
+
+    Skew bounds (the two ways a 100 TB run blows up without them):
+
+    * ``collapse_exact`` (default on): docs with IDENTICAL full
+      signatures — exact/near-exact duplicate clusters, the classic web
+      boilerplate case — are collapsed to one representative (min id)
+      before the band join. The cluster's members attach via LINEAR star
+      edges (rep, member) instead of |cluster|²/2 clique pairs, and only
+      representatives enter band buckets. The output is therefore a
+      candidate GRAPH, not the full pair relation: its connected
+      components equal the naive all-pairs components (any naive pair
+      (a, b) maps to the rep pair (rep(a), rep(b)) plus the two stars),
+      which is the property downstream clustering needs.
+    * ``max_bucket_size``: band buckets holding more than this many
+      representatives contribute NO pairs (the spill rule). Such buckets
+      are boilerplate signatures whose pair expansion is quadratic;
+      membership alone says little at that density. Set None to disable.
+    """
+    hcols = [f"h{i}" for i in range(k)]
+    star = None
+    if collapse_exact:
+        reps = sigs.groupBy(*hcols).agg(F.min(id_col).alias("__rep"))
+        with_rep = sigs.join(reps, hcols)
+        star = (
+            with_rep.filter(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("a"), F.col(id_col).alias("b"))
+        )
+        base = reps.select(F.col("__rep").alias(id_col), *hcols)
+    else:
+        base = sigs
+
     bands = []
     for b in range(k // rows_per_band):
         cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
         bands.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("key"))
         )
-    e = sigs.select(
+    e = base.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        ok_buckets = (
+            e.groupBy("band", "key")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band", "key")
+        )
+        e = e.join(ok_buckets, ["band", "key"])
     x, y = e.alias("x"), e.alias("y")
-    return (
+    pairs = (
         x.join(y, ["band", "key"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
@@ -75,6 +119,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    return pairs.unionByName(star) if star is not None else pairs
 
 
 def jaccard_pairs(
@@ -83,10 +128,29 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """(a, b, jaccard) over distinct n-token shingles, candidates from
-    shared shingles (equi-join on the shingle)."""
+    shared shingles (equi-join on the shingle).
+
+    ``max_shingle_df`` bounds skew: a shingle appearing in d docs emits
+    d²/2 join rows, so one ubiquitous shingle ("the of a …") makes the
+    candidate join quadratic in its document frequency. With the cap,
+    shingles with df > max_shingle_df are EXCLUDED from the shingle
+    universe entirely — both candidate generation and the jaccard
+    numerator/denominator use the capped universe, so the score stays a
+    true Jaccard (of the informative shingle sets) rather than a biased
+    ratio. This is the standard df-cut from near-dup literature; near
+    duplicates still share many rare shingles."""
     e = df.select(id_col, F.explode(shingles(text_col, n)).alias("g")).distinct()
+    if max_shingle_df is not None:
+        ok = (
+            e.groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("g")
+        )
+        e = e.join(ok, "g")
     card = e.groupBy(id_col).agg(F.count("*").alias("c"))
     x, y = e.alias("x"), e.alias("y")
     pairs = (
