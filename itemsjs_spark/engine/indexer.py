@@ -86,32 +86,66 @@ def assign_docids(
     df: DataFrame, order_by: Sequence[str], num_partitions: Optional[int] = None
 ) -> DataFrame:
     """1-based dense ``_docid`` under a total ordering, without a global
-    row window (reference semantics: _id = input position,
-    src/fulltext.ts:56-58).
+    single-partition window anywhere (reference semantics: _id = input
+    position, src/fulltext.ts:56-58).
 
-    Deterministic two-level scheme: per-group counts (group = all order
-    keys but the last, e.g. ``conv_id``) → ordered prefix sum over the
-    *group* table (orders of magnitude smaller than the corpus; recurse
-    the same trick if even that overflows one task) → per-row
-    ``row_number`` windowed *within* each group, which parallelizes
-    across groups.
+    Three-level distributed prefix sum:
 
-    Deliberately avoids ``spark_partition_id()``-based zipWithIndex:
-    physical partition ids are not stable across the two jobs it needs
-    (AQE may coalesce the shuffle differently per job), which silently
-    duplicates/skips ids. Everything here is a pure function of row
-    values, so re-execution and speculative tasks are safe — the same
-    property the per-partition build checkpoints rely on."""
+    1. per-group counts (group = all order keys but the last, e.g.
+       ``conv_id``) — one corpus shuffle, map-side combined;
+    2. the *group* table is range-partitioned on the group keys and
+       sorted within partitions; per-range totals are one tiny job
+       (``num_partitions`` rows to the driver), turned into per-range
+       base offsets by a driver-side cumulative sum — the classic
+       two-level scan, so no task ever sees more than |groups|/P rows;
+    3. group offset = range base + a per-RANGE window prefix sum
+       (partitioned by range id → parallel), then per-row ``row_number``
+       windowed *within* each group (parallel across groups).
+
+    Determinism contract: range boundaries are SAMPLED once by
+    ``repartitionByRange``; the ranged group table is persisted and
+    materialized immediately (the totals job), pinning the range→offset
+    mapping before any consumer runs. Re-executed/speculative tasks
+    re-read that pinned shuffle, so assignments are stable. Callers
+    should materialize the result promptly (build_index persists docs
+    right after) — the persisted group table stays referenced by the
+    result plan either way."""
     keys = list(order_by)
     gkeys = keys[:-1] if len(keys) > 1 else keys
+    spark = df.sparkSession
+    n_part = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
+
     counts = df.groupBy(*gkeys).agg(F.count("*").alias("__cnt"))
-    wg = (
-        Window.orderBy(*[F.col(c) for c in gkeys])
+    ranged = (
+        counts.repartitionByRange(n_part, *[F.col(c) for c in gkeys])
+        .sortWithinPartitions(*gkeys)
+        .withColumn("__rid", F.spark_partition_id())
+        .persist()
+    )
+    # one tiny job: per-range totals (≤ n_part rows), pinning the cache
+    totals = ranged.groupBy("__rid").agg(F.sum("__cnt").alias("__t")).collect()
+    base = 0
+    bases = []
+    for r in sorted(totals, key=lambda r: r["__rid"]):
+        bases.append((int(r["__rid"]), base))
+        base += int(r["__t"])
+    if not bases:
+        bases = [(0, 0)]
+    base_df = spark.createDataFrame(bases, "__rid int, __base long")
+
+    w_range = (
+        Window.partitionBy("__rid")
+        .orderBy(*[F.col(c) for c in gkeys])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = counts.withColumn(
-        "__off", F.coalesce(F.sum("__cnt").over(wg), F.lit(0))
-    ).drop("__cnt")
+    offs = (
+        ranged.join(F.broadcast(base_df), "__rid")
+        .withColumn(
+            "__off",
+            F.col("__base") + F.coalesce(F.sum("__cnt").over(w_range), F.lit(0)),
+        )
+        .select(*gkeys, "__off")
+    )
     wr = Window.partitionBy(*gkeys).orderBy(*[F.col(c) for c in keys])
     return (
         df.join(offs, gkeys)

@@ -1,0 +1,81 @@
+"""Distributed docid assignment: dense, unique, order-correct, and no
+single-partition window/exchange anywhere in the plan (VERDICT r1
+scale-killer #3 — the group-table prefix sum must itself be distributed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from itemsjs_spark.engine.indexer import DOCID, assign_docids
+
+
+def _corpus(spark, n_groups=100_000, rows_per_group=3):
+    """n_groups × rows_per_group rows, group keys deliberately written in
+    a hash-scrambled order so range partitioning has real work to do."""
+    return (
+        spark.range(n_groups * rows_per_group, numPartitions=16)
+        .select(
+            F.concat(
+                F.lit("g"),
+                F.lpad((F.col("id") % n_groups).cast("string"), 7, "0"),
+            ).alias("conv_id"),
+            # raw position inside the group; ties impossible
+            (F.col("id") / n_groups).cast("int").alias("turn_idx"),
+        )
+    )
+
+
+def test_docids_dense_unique_ordered_many_groups(spark):
+    n_groups, rpg = 100_000, 3
+    df = _corpus(spark, n_groups, rpg)
+    out = assign_docids(df, ["conv_id", "turn_idx"]).persist()
+    n = out.count()
+    assert n == n_groups * rpg
+
+    stats = out.agg(
+        F.min(DOCID).alias("lo"),
+        F.max(DOCID).alias("hi"),
+        F.countDistinct(DOCID).alias("d"),
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
+
+    # docid order == (conv_id, turn_idx) order: the sorted sequence of
+    # keys by docid must be non-decreasing lexicographically
+    rows = (
+        out.orderBy(DOCID)
+        .select("conv_id", "turn_idx")
+        .collect()
+    )
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert keys == sorted(keys)
+    out.unpersist()
+
+
+def test_docids_stable_across_actions(spark):
+    """Two separate actions over the same assignment must agree — the
+    pinned range boundaries make spark_partition_id safe here."""
+    df = _corpus(spark, 5_000, 4)
+    out = assign_docids(df, ["conv_id", "turn_idx"])
+    a = sorted(map(tuple, out.select("conv_id", "turn_idx", DOCID).collect()))
+    b = sorted(map(tuple, out.select("conv_id", "turn_idx", DOCID).collect()))
+    assert a == b
+
+
+def test_docids_plan_has_no_single_partition_exchange(spark):
+    df = _corpus(spark, 10_000, 2)
+    out = assign_docids(df, ["conv_id", "turn_idx"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_docids_single_key_order(spark):
+    """Degenerate case: one order key (group == key)."""
+    df = spark.range(1000, numPartitions=8).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("k")
+    )
+    out = assign_docids(df, ["k"])
+    rows = out.orderBy(DOCID).select("k").collect()
+    ks = [r["k"] for r in rows]
+    assert ks == sorted(ks)
+    assert out.agg(F.countDistinct(DOCID)).collect()[0][0] == 1000
