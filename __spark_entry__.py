@@ -29,7 +29,6 @@ from pyspark.sql import types as T
 from itemsjs_spark.engine import itemsjs_spark
 from itemsjs_spark.analysis.lunr_analysis import STOP_WORDS, build_pipeline, tokenize
 from itemsjs_spark.analysis.porter import stem
-from itemsjs_spark.data.transcripts import transcripts_df
 from itemsjs_spark.engine.indexer import DOCID
 from itemsjs_spark.engine.packaging import ensure_shipped
 from itemsjs_spark.ops import dedup as dedup_ops
@@ -139,15 +138,20 @@ def _ft_query(qtext: str, k: int):
     return run
 
 
-def _ft_sql(qtext: str, k: int) -> str:
+def _ft_sql(
+    qtext: str, k: int, extra_ctes: str = "", corpus: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """lunr-1.0.0 scoring restated in ANSI SQL over ``corpus`` (a table
+    or a CTE defined by ``extra_ctes``) keyed by ``id_col``."""
     pipeline = build_pipeline()
     tokens = pipeline(tokenize(qtext))
     values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
     n = len(tokens)
     return f"""
-WITH tok AS (
-  SELECT doc_id, {_stem_case('u.t')} AS term
-  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+WITH {extra_ctes} tok AS (
+  SELECT {id_col} AS doc_id, {_stem_case('u.t')} AS term
+  FROM {corpus}, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
   WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
 ),
 doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -157,7 +161,7 @@ tf AS (
 ),
 idf AS (
   SELECT term,
-         1.0 + ln((SELECT count(*)::DOUBLE FROM documents) / count(DISTINCT doc_id)::DOUBLE) AS idf
+         1.0 + ln((SELECT count(*)::DOUBLE FROM {corpus}) / count(DISTINCT doc_id)::DOUBLE) AS idf
   FROM tok GROUP BY term
 ),
 q(tok_idx, tok) AS (VALUES {values}),
@@ -508,13 +512,29 @@ def _q_multimodal_features(spark, sf_dir):
 
 
 def _q_transcripts_topk(spark, sf_dir):
-    """North-rule corpus: engine over the transcript shape (conv_id,
-    turn_idx, role, text, tool, ts). Deterministic synthetic input;
-    no DuckDB oracle (index build + lunr scoring are checked by the
-    pytest oracle instead — rows-only here)."""
+    """North-rule corpus: the full engine pipeline — distributed docid
+    assignment (`assign_docids` via order_by), facet + posting index
+    build, lunr scoring — over the transcript shape (conv_id, turn_idx,
+    role, text, tool, ts). The corpus derives from documents.parquet by
+    pure relational transforms, so the DuckDB oracle can restate BOTH
+    the derivation (incl. the docid = rank(conv_id, turn_idx) contract)
+    and the scoring independently."""
 
     def build():
-        tdf = transcripts_df(spark, n_turns=2000, n_convs=200, seed=42)
+        d = _documents(spark, sf_dir)
+        w = Window.partitionBy("source").orderBy("doc_id")
+        tdf = d.select(
+            F.col("source").alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("user"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("assistant"))
+            .otherwise(F.lit("tool")).alias("role"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 2, F.lit("bash")).alias("tool"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id").cast("long") * 37
+            ).alias("ts"),
+        )
         cfg = {
             "aggregations": {"role": {"size": 10}, "tool": {"size": 10}},
             "searchableFields": ["text"],
@@ -522,7 +542,7 @@ def _q_transcripts_topk(spark, sf_dir):
         return itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
 
     eng = _cached(("eng_tx", sf_dir), spark, build)
-    hits = eng.fulltext_hits("shuffle partition")
+    hits = eng.fulltext_hits("merge sort")
     s = F.round(F.col("__score"), 6)
     return (
         hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
@@ -582,7 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "doc_fingerprint": _q_fingerprint,
         "multimodal_features": _q_multimodal_features,
-        # transcript-shape corpus (north rule; rows-only check)
+        # transcript-shape corpus (north rule; full oracle)
         "transcripts_fulltext_topk": _q_transcripts_topk,
     }
 
@@ -839,6 +859,17 @@ GROUP BY doc_id
         f"SELECT doc_id, 16::BIGINT AS n_bytes, {fcols} FROM h"
     )
 
-    # transcripts_fulltext_topk intentionally omitted (rows-only check):
-    # input is synthesized in-query; covered by the pytest lunr oracle.
+    # transcript corpus derived relationally from documents; _docid must
+    # equal the engine's assign_docids rank over (conv_id, turn_idx),
+    # which for this derivation is row_number() ORDER BY (source, doc_id)
+    sqls["transcripts_fulltext_topk"] = _ft_sql(
+        "merge sort",
+        20,
+        extra_ctes=(
+            "corpus AS (SELECT row_number() OVER (ORDER BY source, doc_id) "
+            "AS _docid, text FROM documents),"
+        ),
+        corpus="corpus",
+        id_col="_docid",
+    )
     return sqls
