@@ -282,6 +282,36 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _q_ft_blocks_engine(spark, sf_dir):
+    """Production path: SearchEngine reconstructed from the CHECKPOINTED
+    compressed block store (Index.write_blocks → Index.read); the exact
+    scorer decodes only the query terms' blocks (term predicate pushed
+    into the compressed parquet scan). Must be score-identical to the
+    in-memory engine, hence shares the lunr-in-SQL oracle."""
+    import tempfile
+
+    def build():
+        from itemsjs_spark.engine import Index, SearchEngine
+
+        eng = _doc_engine(spark, sf_dir)
+        eng._ensure_fulltext_materialized()
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"itemsjs_blockstore_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        )
+        eng.index.write_blocks(out, n_buckets=4, range_size=256, block_size=64)
+        return SearchEngine(Index.read(spark, out))
+
+    eng2 = _cached(("eng_blocks", sf_dir), spark, build)
+    hits = eng2.fulltext_hits("fast join")
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(50)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 def _events_engine(spark, sf_dir):
     def build():
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -582,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_prefix_expand": _ft_query("s", 50),
         "fulltext_plus_facet": _q_query_plus_filter,
         "fulltext_wand_topk": _q_wand_topk,
+        "fulltext_blocks_engine": _q_ft_blocks_engine,
         "events_facet_counts": _q_events_facets,
         "events_sort_paginate": _q_events_sort_page,
         "similar_items": _q_similar,
@@ -660,6 +691,8 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["fulltext_single_term"] = _ft_sql("spark", 50)
     # WAND over compressed blocks must reproduce the exact scorer's top-k
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
+    # engine rebuilt from the checkpointed block store: same scores
+    sqls["fulltext_blocks_engine"] = _ft_sql("fast join", 50)
     sqls["events_facet_counts"] = """
 WITH k AS (SELECT DISTINCT event_type AS key FROM events),
 c AS (SELECT event_type AS key, count(*) AS c FROM events

@@ -131,3 +131,40 @@ def decode_block(row) -> Tuple[np.ndarray, np.ndarray]:
     docids = decode_varint_deltas(bytes(row["docids"]), int(row["n"]))
     tfs = np.frombuffer(bytes(row["tfs"]), dtype=np.float64)
     return docids, tfs
+
+
+def postings_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Decode a (filtered) block table back to row-level postings
+    (term, _docid, tf) — Arrow-batched, one pass, no shuffle.
+
+    Callers MUST filter ``blocks`` by term BEFORE this call (the filter
+    is then a parquet-scan predicate on the compressed table; row-group
+    min/max on the term-sorted layout prunes IO). A filter applied to
+    the returned frame would instead decode everything first — Catalyst
+    cannot push predicates through mapInPandas."""
+    from .indexer import DOCID
+
+    def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            terms: List[np.ndarray] = []
+            ids: List[np.ndarray] = []
+            tfs: List[np.ndarray] = []
+            for _, row in pdf.iterrows():
+                d = decode_varint_deltas(bytes(row["docids"]), int(row["n"]))
+                t = np.frombuffer(bytes(row["tfs"]), dtype=np.float64)
+                terms.append(np.repeat(row["term"], len(d)))
+                ids.append(d)
+                tfs.append(t)
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    DOCID: np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                }
+            )
+
+    return blocks.select("term", "n", "docids", "tfs").mapInPandas(
+        decode, schema=f"term string, {DOCID} long, tf double"
+    )

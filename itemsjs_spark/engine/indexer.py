@@ -168,6 +168,31 @@ class Index:
     facet_fields: List[str]
     text_fields: List[Tuple[str, float]]
     configuration: Dict[str, Any] = dc_field(default_factory=dict)
+    # compressed delta+varint block store (blocks.py layout); when set it
+    # is the postings source of record — `postings` may be None and the
+    # exact scorer decodes only the query terms' blocks
+    posting_blocks: Optional[DataFrame] = None
+
+    def postings_subset(self, terms: Sequence[str]) -> DataFrame:
+        """Row-level postings restricted to ``terms`` — THE read API for
+        scorers. On a block-backed index the term predicate lands on the
+        compressed parquet scan (PushedFilters + row-group pruning on
+        the term-sorted layout) and only matching blocks are decoded; on
+        a row-level index it narrows the postings scan the same way."""
+        term_list = list(terms)
+        if self.postings is not None:
+            return self.postings.filter(F.col("term").isin(term_list))
+        if self.posting_blocks is None:
+            raise ValueError("index has no fulltext postings")
+        from .blocks import postings_from_blocks
+
+        return postings_from_blocks(
+            self.posting_blocks.filter(F.col("term").isin(term_list))
+        )
+
+    @property
+    def has_fulltext(self) -> bool:
+        return self.terms is not None
 
     def persist(self) -> "Index":
         self.docs = self.docs.persist()
@@ -204,23 +229,72 @@ class Index:
             ).sortWithinPartitions("term").write.mode("overwrite").parquet(
                 os.path.join(path, "terms")
             )
+        self._write_meta(path)
+
+    def _write_meta(self, path: str) -> None:
+        from .checkpoint import _HadoopFS
+
         meta = {
             "n_docs": self.n_docs,
             "facet_fields": self.facet_fields,
             "text_fields": self.text_fields,
             "configuration": _json_safe(self.configuration),
         }
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        _HadoopFS(self.spark, path).write_text(
+            os.path.join(path, "meta.json"), json.dumps(meta)
+        )
+
+    def write_blocks(
+        self,
+        path: str,
+        n_buckets: int = 32,
+        range_size: int = 1 << 20,
+        block_size: int = 1 << 14,
+    ) -> Dict[str, Any]:
+        """Persist with postings as the CHECKPOINTED compressed block
+        store (delta+varint, per-bucket manifests with lineage/metrics —
+        checkpoint.py) instead of row-level parquet. The production
+        layout: resumable build, term-pruned compressed scans, and the
+        same files serve both the exact scorer and block-max WAND.
+        Returns the checkpoint build report."""
+        from .checkpoint import build_blocks_checkpointed
+
+        self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        self.facet_values.write.mode("overwrite").parquet(
+            os.path.join(path, "facet_values")
+        )
+        if self.postings is None:
+            raise ValueError("write_blocks needs row-level postings to encode")
+        report = build_blocks_checkpointed(
+            self.postings,
+            os.path.join(path, "posting_blocks"),
+            n_buckets=n_buckets,
+            range_size=range_size,
+            block_size=block_size,
+        )
+        self.terms.repartitionByRange(
+            max(self.spark.sparkContext.defaultParallelism, 1), "term"
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+            os.path.join(path, "terms")
+        )
+        self._write_meta(path)
+        return report
 
     @staticmethod
     def read(spark: SparkSession, path: str) -> "Index":
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
-        postings = terms = None
-        if os.path.exists(os.path.join(path, "postings")):
-            postings = spark.read.parquet(os.path.join(path, "postings"))
+        """Open a persisted index — either layout: row-level postings
+        (``write``) or the checkpointed block store (``write_blocks``)."""
+        from .checkpoint import _HadoopFS, read_blocks
+
+        fs = _HadoopFS(spark, path)
+        meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
+        postings = terms = blocks = None
+        if fs.exists(os.path.join(path, "terms")):
             terms = spark.read.parquet(os.path.join(path, "terms"))
+        if fs.exists(os.path.join(path, "postings")):
+            postings = spark.read.parquet(os.path.join(path, "postings"))
+        elif fs.exists(os.path.join(path, "posting_blocks")):
+            blocks = read_blocks(spark, os.path.join(path, "posting_blocks"))
         return Index(
             spark=spark,
             docs=spark.read.parquet(os.path.join(path, "docs")),
@@ -231,6 +305,7 @@ class Index:
             facet_fields=meta["facet_fields"],
             text_fields=[tuple(t) for t in meta["text_fields"]],
             configuration=meta["configuration"],
+            posting_blocks=blocks,
         )
 
 

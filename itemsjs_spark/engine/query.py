@@ -135,11 +135,14 @@ class SearchEngine:
     def _ensure_fulltext_materialized(self) -> None:
         """Cache postings/terms once: the tokenizing mapInPandas scan must
         not rerun per query (in a deployment these are persisted parquet
-        tables, see Index.write)."""
-        if self._ft_materialized or self.index.postings is None:
+        tables, see Index.write). On a block-backed index there is
+        nothing to pin — postings stay on disk as compressed blocks and
+        every query reads only its terms' blocks (that's the point)."""
+        if self._ft_materialized or self.index.terms is None:
             return
-        self.index.postings = self.index.postings.persist()
-        self.index.postings.count()
+        if self.index.postings is not None:
+            self.index.postings = self.index.postings.persist()
+            self.index.postings.count()
         self.index.terms = self.index.terms.persist()
         self.index.terms.count()
         self._ft_materialized = True
@@ -284,13 +287,25 @@ class SearchEngine:
         return qv, idf_map
 
     def fulltext_topk(
-        self, query: str, k: int, blocks: DataFrame, batch_ranges: int = 64
+        self,
+        query: str,
+        k: int,
+        blocks: Optional[DataFrame] = None,
+        batch_ranges: int = 64,
     ) -> DataFrame:
         """Block-max WAND top-k over a compressed posting-block table
-        (blocks.py layout). Scale path: prunes docid ranges by metadata
-        upper bounds; scores are bit-identical to ``fulltext_hits``."""
+        (blocks.py layout; defaults to the index's own block store).
+        Scale path: prunes docid ranges by metadata upper bounds; scores
+        are bit-identical to ``fulltext_hits``."""
         from .wand import wand_topk
 
+        if blocks is None:
+            blocks = self.index.posting_blocks
+        if blocks is None:
+            raise ValueError(
+                "fulltext_topk needs a posting-block table: pass one or "
+                "open the index via Index.read over a write_blocks store"
+            )
         analyzed = self._query_vector(query)
         empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
         if analyzed is None:
@@ -383,9 +398,7 @@ class SearchEngine:
             rows, "qid long, term string, w double, mask long, mag double, fmask long"
         )
         all_terms = sorted({r[1] for r in rows})
-        joined = idx.postings.filter(F.col("term").isin(all_terms)).join(
-            F.broadcast(qdf), "term"
-        )
+        joined = idx.postings_subset(all_terms).join(F.broadcast(qdf), "term")
         per = joined.groupBy("qid", DOCID).agg(
             F.bit_or("mask").alias("mask"),
             F.first("mag").alias("mag"),
@@ -425,13 +438,14 @@ class SearchEngine:
             rows, "term string, w double, mask long"
         )
 
-        # explicit isin BEFORE the join: against a persisted term-sorted
+        # term subset BEFORE the join: against a persisted term-sorted
         # postings table this pushes an In(term, ...) filter into the
-        # parquet scan (row-group min/max pruning); on the cached path
-        # it just narrows the join input
-        joined = idx.postings.filter(
-            F.col("term").isin(list(qv.weights))
-        ).join(F.broadcast(expanded_df), "term")
+        # parquet scan (row-group min/max pruning); on a block-backed
+        # index only the matching compressed blocks are decoded; on the
+        # cached path it just narrows the join input
+        joined = idx.postings_subset(list(qv.weights)).join(
+            F.broadcast(expanded_df), "term"
+        )
         per_doc = joined.groupBy(DOCID).agg(
             F.bit_or("mask").alias("mask"),
             # deterministic reduction order: sort contributions by term

@@ -69,3 +69,81 @@ def test_term_predicate_reaches_parquet_scan(engines, spark, tmp_path):
     # the spark term (stemmed 'spark') must appear inside a pushed In/EqualTo
     pushed = [ln for ln in text.splitlines() if "PushedFilters" in ln and "term" in ln]
     assert any("spark" in ln for ln in pushed), pushed
+
+
+# ---------------------------------------------------------------------------
+# compressed block-store layout (Index.write_blocks → Index.read)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def block_engines(spark, tmp_path_factory):
+    tdf = transcripts_df(spark, n_turns=2000, n_convs=200, seed=9)
+    cfg = {
+        "aggregations": {"role": {"size": 10}, "tool": {"size": 10}},
+        "searchableFields": ["text"],
+    }
+    mem = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    path = str(tmp_path_factory.mktemp("blockidx") / "artifacts")
+    report = mem.index.write_blocks(path, n_buckets=4, range_size=512, block_size=64)
+    disk = SearchEngine(Index.read(spark, path))
+    return mem, disk, report
+
+
+@pytest.mark.parametrize("idx", range(len(SEARCHES)))
+def test_block_engine_matches_memory_engine(block_engines, idx):
+    """Full search() parity through the decoded compressed block store."""
+    mem, disk, _report = block_engines
+    a = mem.search(dict(SEARCHES[idx]))
+    b = disk.search(dict(SEARCHES[idx]))
+    assert a["pagination"] == b["pagination"]
+    assert [i["_id"] for i in a["data"]["items"]] == [
+        i["_id"] for i in b["data"]["items"]
+    ]
+    for fld, entry in a["data"]["aggregations"].items():
+        assert entry["buckets"] == b["data"]["aggregations"][fld]["buckets"], fld
+
+
+def test_block_engine_scores_bit_identical(block_engines):
+    mem, disk, _ = block_engines
+    for q in ("spark", "shuffle partition", "s"):
+        a = sorted(map(tuple, mem.fulltext_hits(q).collect()))
+        b = sorted(map(tuple, disk.fulltext_hits(q).collect()))
+        assert a == b, q
+
+
+def test_block_engine_wand_default_blocks(block_engines):
+    """fulltext_topk with NO blocks arg uses the index's own store and
+    matches the exact scorer's top-k."""
+    mem, disk, _ = block_engines
+    exact = mem.fulltext_hits("spark")
+    from pyspark.sql import functions as FF
+    top = sorted(
+        map(tuple, exact.orderBy(
+            FF.col("__score").desc(), FF.col("_docid").cast("string").asc()
+        ).limit(10).collect())
+    )
+    wand = sorted(map(tuple, disk.fulltext_topk("spark", 10).collect()))
+    assert wand == top
+
+
+def test_block_engine_checkpoint_report(block_engines):
+    _mem, _disk, report = block_engines
+    assert sorted(report["built"]) == [0, 1, 2, 3]
+    assert all(m["rows"] >= 0 and m["bytes"] > 0 for m in report["manifests"])
+
+
+def test_term_predicate_reaches_block_scan(block_engines, spark, tmp_path):
+    """The exact scorer over a block store must push the term predicate
+    into the COMPRESSED parquet scan (only matching blocks decode)."""
+    mem, _disk, _ = block_engines
+    path2 = str(tmp_path / "blockidx2")
+    mem.index.write_blocks(path2, n_buckets=4, range_size=512, block_size=64)
+    disk2 = SearchEngine(Index.read(spark, path2))
+    plan = io.StringIO()
+    df = disk2.fulltext_hits("spark")
+    with contextlib.redirect_stdout(plan):
+        df.explain(mode="formatted")
+    text = plan.getvalue()
+    pushed = [ln for ln in text.splitlines() if "PushedFilters" in ln and "term" in ln]
+    assert any("spark" in ln for ln in pushed), text
