@@ -841,6 +841,14 @@ class SearchEngine:
         if not self.index.facet_fields:
             return {}, None
 
+        dim = self._facet_dim_cache()
+        if dim is None:
+            # facet dimension too large for driver-side assembly: the
+            # distributed head path (never collects a dimension)
+            return self._get_buckets_huge(
+                input, compiled, base, has_query, with_total
+            )
+
         counts_rows = self._all_field_counts(
             base, compiled, has_query, with_total=with_total
         ).collect()
@@ -851,21 +859,6 @@ class SearchEngine:
                 total = r["doc_count"]
                 continue
             counts[r["field"]][r["key"]] = r["doc_count"]
-
-        dim = self._facet_dim_cache()
-        if dim is None:
-            # huge facet dimension: enumerate keys per field distributedly
-            # (kept correct; the driver-side fast path covers normal dims)
-            dim = {}
-            for fld in self.index.facet_fields:
-                rows = (
-                    self.index.facet_values.filter(F.col("field") == fld)
-                    .select("key", "enum_rank")
-                    .collect()
-                )
-                dim[fld] = sorted(
-                    [(r["key"], r["enum_rank"]) for r in rows], key=lambda kr: kr[1]
-                )
 
         out: Dict[str, Any] = {}
         position = 1
@@ -913,6 +906,116 @@ class SearchEngine:
                     "max": max(vals) if vals else None,
                     "avg": (sum(vals) / len(vals)) if vals else float("nan"),
                     "sum": sum(vals),
+                }
+            out[fld] = entry
+        return out, total
+
+    def _get_buckets_huge(
+        self,
+        input: Dict[str, Any],
+        compiled,
+        base: DataFrame,
+        has_query: bool,
+        with_total: bool,
+    ):
+        """Bucket assembly for facet dimensions above
+        MAX_DRIVER_FACET_DIM (e.g. conv_id over 10^9 conversations):
+        per field one distributed count + TakeOrderedAndProject head —
+        only ``size`` rows ever reach the driver; facet_stats runs as a
+        distributed aggregate.
+
+        Documented parity caveat vs the reference's in-memory assembly:
+        zero-count buckets are not represented (they can only enter a
+        head when fewer than ``size`` buckets are nonzero), and bucket
+        ordering uses Spark's string ordering (ASCII == lodash; exotic
+        UTF-16 surrogate keys may order differently)."""
+        from ..core.ordering import bucket_sort_spec
+
+        total: Optional[int] = None
+        if with_total:
+            total = base.filter(
+                ir_to_column(compiled.final_pred, has_query)
+            ).count()
+
+        out: Dict[str, Any] = {}
+        position = 1
+        for fld in self.index.facet_fields:
+            agg = self.aggregations.get(fld) or {}
+            raw_filters = (input.get("filters") or {}).get(fld) or []
+            selected_keys = [rv for rv in raw_filters if isinstance(rv, str)]
+            size = agg.get("size") or 10
+
+            pred = ir_to_column(compiled.bucket_pred[fld], has_query)
+            counted = (
+                base.filter(pred)
+                .select(F.explode(F.array_distinct(FK_PREFIX + fld)).alias("key"))
+                .groupBy("key")
+                .agg(F.count("*").alias("doc_count"))
+                .withColumn(
+                    "selected",
+                    F.col("key").isin(selected_keys)
+                    if selected_keys
+                    else F.lit(False),
+                )
+            )
+
+            iteratees, orders = bucket_sort_spec(agg)
+            sort_cols = []
+            for i, it in enumerate(iteratees):
+                o = orders[i] if i < len(orders) else "asc"
+                c = F.col(it) if it in ("key", "doc_count", "selected") else F.col("key")
+                sort_cols.append(c.desc() if o == "desc" else c.asc())
+            sort_cols.append(F.col("key").asc())  # stability tie-break
+            # orderBy+limit → per-partition top-k heaps, no global sort
+            head = counted.orderBy(*sort_cols).limit(size).collect()
+            buckets = [
+                {
+                    "key": r["key"],
+                    "doc_count": r["doc_count"],
+                    "selected": bool(r["selected"]),
+                }
+                for r in head
+            ]
+
+            entry: Dict[str, Any] = {
+                "name": fld,
+                "title": agg.get("title") or humanize(fld),
+                "position": position,
+                "buckets": buckets,
+            }
+            position += 1
+
+            if agg.get("show_facet_stats"):
+                # any non-numeric key in the DIMENSION is an error
+                # (reference parity) — checked distributedly
+                dim_keys = self.index.facet_values.filter(
+                    F.col("field") == fld
+                ).select("key")
+                n_nan = dim_keys.filter(
+                    ~F.col("key").rlike(r"^\s*[+-]?[0-9]")
+                    & ~F.trim("key").isin("Infinity", "-Infinity", "+Infinity", "")
+                ).limit(1).count()
+                if n_nan:
+                    raise EngineError(
+                        "You cant use chars to calculate the facet_stats."
+                    )
+                intval = F.regexp_extract("key", r"^\s*([+-]?[0-9]+)", 1).cast(
+                    "double"
+                )
+                srow = counted.select(
+                    F.col("doc_count"), intval.alias("v")
+                ).agg(
+                    F.min(F.when(F.col("doc_count") > 0, F.col("v"))).alias("mn"),
+                    F.max(F.when(F.col("doc_count") > 0, F.col("v"))).alias("mx"),
+                    F.sum(F.col("v") * F.col("doc_count")).alias("sm"),
+                    F.sum("doc_count").alias("cnt"),
+                ).collect()[0]
+                cnt = srow["cnt"] or 0
+                entry["facet_stats"] = {
+                    "min": srow["mn"],
+                    "max": srow["mx"],
+                    "avg": (srow["sm"] / cnt) if cnt else float("nan"),
+                    "sum": srow["sm"] or 0,
                 }
             out[fld] = entry
         return out, total
