@@ -84,6 +84,26 @@ class _HadoopFS:
         finally:
             stream.close()
 
+    def delete(self, p: str) -> None:
+        path = self._path(p)
+        if self._fs.exists(path):
+            self._fs.delete(path, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move src over dst (dst replaced if present) — per-file atomic
+        on HDFS; the commit primitive for snapshot appends."""
+        self.delete(dst)
+        self._fs.rename(self._path(src), self._path(dst))
+
+    def list_parquet(self, p: str):
+        names = []
+        it = self._fs.listFiles(self._path(p), False)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                names.append(st.getPath().getName())
+        return sorted(names)
+
     def parquet_sizes(self, p: str):
         """(n_files, total_bytes) over *.parquet under ``p`` (recursive)."""
         n_files = 0
@@ -180,6 +200,84 @@ def build_blocks_checkpointed(
             "finished_at_epoch": int(time.time()),
         }
         fs.write_text(posixpath.join(bdir, MANIFEST), json.dumps(manifest))
+        built.append(b)
+        manifests.append(manifest)
+    return {"resumed": resumed, "built": built, "manifests": manifests}
+
+
+def append_blocks_checkpointed(
+    delta_postings: DataFrame,
+    out_path: str,
+    snapshot: str,
+    n_buckets: int = 32,
+    range_size: int = 1 << 20,
+    block_size: int = 1 << 14,
+) -> Dict[str, object]:
+    """Per-bucket snapshot APPEND to an existing block store: encode the
+    delta's blocks and move them into each bucket directory under
+    deterministic ``snap-<snapshot>-*`` names — existing bucket files are
+    never rewritten (the per-bucket merge the north rule's incremental
+    reindex wants). Resumable per (bucket, snapshot) via sidecar
+    manifests ``_manifest.<snapshot>.json``; a crashed attempt re-runs
+    idempotently because the rename targets are deterministic.
+
+    ``n_buckets``/``range_size``/``block_size`` must match the base
+    build. Readers need no changes: read_blocks globs every parquet file
+    per bucket, and both WAND and the exact scorer already merge
+    multiple blocks per (term, range)."""
+    spark = delta_postings.sparkSession
+    fs = _HadoopFS(spark, out_path)
+    fp = input_fingerprint(delta_postings)
+    manifest_name = f"_manifest.{snapshot}.json"
+
+    resumed: List[int] = []
+    built: List[int] = []
+    manifests: List[dict] = []
+    bucketed = delta_postings.withColumn(
+        "__bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    for b in range(n_buckets):
+        bdir = _bucket_dir(out_path, b)
+        mtext = fs.read_text(posixpath.join(bdir, manifest_name))
+        m = None
+        if mtext is not None:
+            try:
+                m = json.loads(mtext)
+            except json.JSONDecodeError:
+                m = None
+        if m and m.get("input_fingerprint") == fp:
+            resumed.append(b)
+            manifests.append(m)
+            continue
+        t0 = time.time()
+        part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
+        blocks = build_posting_blocks(
+            part, range_size=range_size, block_size=block_size
+        )
+        tmp = posixpath.join(out_path, f"_tmp_snap_{snapshot}", f"bucket={b}")
+        blocks.write.mode("overwrite").parquet(tmp)
+        n_rows = part.agg(F.count("*")).collect()[0][0]
+        moved = 0
+        for i, fn in enumerate(fs.list_parquet(tmp)):
+            fs.rename(
+                posixpath.join(tmp, fn),
+                posixpath.join(bdir, f"snap-{snapshot}-{i:05d}.parquet"),
+            )
+            moved += 1
+        fs.delete(posixpath.join(out_path, f"_tmp_snap_{snapshot}"))
+        attempt = (m.get("attempt", 0) + 1) if m else 1
+        manifest = {
+            "bucket": b,
+            "snapshot": snapshot,
+            "n_buckets": n_buckets,
+            "rows": n_rows,
+            "blocks": moved,
+            "duration_s": round(time.time() - t0, 3),
+            "attempt": attempt,
+            "input_fingerprint": fp,
+            "finished_at_epoch": int(time.time()),
+        }
+        fs.write_text(posixpath.join(bdir, manifest_name), json.dumps(manifest))
         built.append(b)
         manifests.append(manifest)
     return {"resumed": resumed, "built": built, "manifests": manifests}

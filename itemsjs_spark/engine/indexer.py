@@ -317,6 +317,123 @@ def _json_safe(obj):
         return {}
 
 
+def _facet_dim_counts(
+    docs: DataFrame, facet_fields: Sequence[str]
+) -> Optional[DataFrame]:
+    """(field, key, doc_count, __first=(docid,pos)) per facet value —
+    the unranked facet dimension; None when no facet fields."""
+    fv_parts = []
+    for fld in facet_fields:
+        exploded = docs.select(
+            F.col(DOCID), F.posexplode(FK_PREFIX + fld).alias("__pos", "key")
+        )
+        fv_parts.append(
+            exploded.groupBy("key").agg(
+                F.countDistinct(DOCID).alias("doc_count"),
+                F.min(F.struct(DOCID, "__pos")).alias("__first"),
+            )
+            .withColumn("field", F.lit(fld))
+        )
+    if not fv_parts:
+        return None
+    fv = fv_parts[0]
+    for p in fv_parts[1:]:
+        fv = fv.unionByName(p)
+    return fv
+
+
+def _rank_facet_dim(fv: DataFrame, old_rank_col: Optional[str] = None) -> DataFrame:
+    """enum_rank over an unranked dimension: canonical integer keys
+    ascending, then (optionally) the previous snapshot's rank, then
+    first-occurrence order — JS object key enumeration semantics."""
+    is_int = F.col("key").rlike(_INT_KEY_RE)
+    fv = fv.withColumn("__is_int", is_int).withColumn(
+        "__int_val", F.when(is_int, F.col("key").cast("long"))
+    )
+    order = [F.desc("__is_int"), F.asc_nulls_last("__int_val")]
+    if old_rank_col:
+        order.append(F.asc_nulls_last(old_rank_col))
+    order += [F.col("__first." + DOCID).asc(), F.col("__first.__pos").asc()]
+    w = Window.partitionBy("field").orderBy(*order)
+    return fv.withColumn("enum_rank", F.row_number().over(w)).select(
+        "field", "key", "doc_count", "enum_rank"
+    )
+
+
+def tokenize_postings(
+    docs: DataFrame,
+    text_fields: Sequence[Tuple[str, float]],
+    configuration: Dict[str, Any],
+) -> DataFrame:
+    """Arrow-batched lunr tokenization of ``docs`` (must carry _docid) →
+    (term, _docid, tf). The per-partition closure is shared by the full
+    build and incremental append, so snapshots tokenize identically."""
+    pipeline_flags = dict(
+        is_exact_search=bool(configuration.get("isExactSearch")),
+        remove_stop_word_filter=bool(configuration.get("removeStopWordFilter")),
+    )
+    fields_spec = list(text_fields)
+    present = [f for f, _ in fields_spec if f in docs.columns]
+    # fields_spec may register the same column twice (the reference
+    # hardcodes `name` boost 10 AND counts it again if listed in
+    # searchableFields — SURVEY.md §2.4); select each physical column
+    # ONCE and fan the token list out to every registration.
+    unique_present = list(dict.fromkeys(present))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField(DOCID, T.LongType()),
+            T.StructField("tf", T.DoubleType()),
+        ]
+    )
+
+    def tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pipeline = build_pipeline(**pipeline_flags)
+        empty_tokens: List[str] = []
+        for pdf in batches:
+            out_terms: List[str] = []
+            out_ids: List[int] = []
+            out_tf: List[float] = []
+            ids = pdf[DOCID].tolist()
+            col_map = {f: pdf[f].tolist() for f in unique_present}
+            for i, did in enumerate(ids):
+                tokens_map = {}
+                for f in unique_present:
+                    v = col_map[f][i]
+                    if v is not None and not isinstance(v, (list, tuple)):
+                        if isinstance(v, np.ndarray):
+                            v = v.tolist()
+                        elif isinstance(v, float) and math.isnan(v):
+                            v = None
+                    tokens_map[f] = pipeline(tokenize(v))
+                field_tokens = [
+                    (tokens_map.get(f, empty_tokens), boost)
+                    for f, boost in fields_spec
+                ]
+                tfs = scoring.doc_tf(field_tokens)
+                did = int(did)
+                for term, tf in tfs.items():
+                    out_terms.append(term)
+                    out_ids.append(did)
+                    out_tf.append(tf)
+            yield pd.DataFrame({"term": out_terms, DOCID: out_ids, "tf": out_tf})
+
+    return docs.select(DOCID, *unique_present).mapInPandas(
+        tokenize_partition, schema=out_schema
+    )
+
+
+def terms_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
+    terms = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return terms.withColumn(
+        "idf",
+        F.lit(1.0) + F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -363,37 +480,9 @@ def build_index(
         narrow.unpersist()
 
     # facet dimension: one pass per field over (docid, key, pos)
-    fv_parts = []
-    for fld in facet_fields:
-        exploded = docs.select(
-            F.col(DOCID), F.posexplode(FK_PREFIX + fld).alias("__pos", "key")
-        )
-        fv_parts.append(
-            exploded.groupBy("key").agg(
-                F.countDistinct(DOCID).alias("doc_count"),
-                F.min(F.struct(DOCID, "__pos")).alias("__first"),
-            )
-            .withColumn("field", F.lit(fld))
-        )
-    if fv_parts:
-        fv = fv_parts[0]
-        for p in fv_parts[1:]:
-            fv = fv.unionByName(p)
-        is_int = F.col("key").rlike(_INT_KEY_RE)
-        fv = fv.withColumn("__is_int", is_int).withColumn(
-            "__int_val", F.when(is_int, F.col("key").cast("long"))
-        )
-        w = Window.partitionBy("field").orderBy(
-            F.desc("__is_int"),
-            F.asc_nulls_last("__int_val"),
-            F.col("__first." + DOCID).asc(),
-            F.col("__first.__pos").asc(),
-        )
-        facet_values = (
-            fv.withColumn("enum_rank", F.row_number().over(w))
-            .select("field", "key", "doc_count", "enum_rank")
-            .persist()  # small dimension; queried by every bucket pass
-        )
+    fv = _facet_dim_counts(docs, facet_fields)
+    if fv is not None:
+        facet_values = _rank_facet_dim(fv).persist()  # small dimension
     else:
         facet_values = spark.createDataFrame(
             [], "field string, key string, doc_count long, enum_rank int"
@@ -410,66 +499,120 @@ def build_index(
     if want_ft:
         searchable = configuration.get("searchableFields") or []
         text_fields = [("name", 10.0)] + [(f, 1.0) for f in searchable]
-        present = [f for f, _ in text_fields if f in df.columns]
-        pipeline_flags = dict(
-            is_exact_search=bool(configuration.get("isExactSearch")),
-            remove_stop_word_filter=bool(configuration.get("removeStopWordFilter")),
+        postings = tokenize_postings(docs, text_fields, configuration)
+        terms = terms_from_postings(postings, n_docs)
+
+    return Index(
+        spark=spark,
+        docs=docs,
+        facet_values=facet_values,
+        postings=postings,
+        terms=terms,
+        n_docs=n_docs,
+        facet_fields=facet_fields,
+        text_fields=text_fields,
+        configuration=configuration,
+    )
+
+
+def append_index(
+    index: Index,
+    new_df: DataFrame,
+    docid_col: Optional[str] = None,
+    order_by: Optional[Sequence[str]] = None,
+) -> Index:
+    """Iceberg-style snapshot append: incorporate ``new_df`` WITHOUT
+    re-tokenizing the existing corpus.
+
+    * new docids continue after the current snapshot (``order_by`` ranks
+      the delta internally, offset by ``n_docs``); with ``docid_col``
+      the caller owns uniqueness across snapshots;
+    * ONLY the delta passes through the Arrow tokenizer — merged
+      postings = old postings (parquet scan / cache, no tokenizer in
+      its plan) ∪ delta postings;
+    * terms merge incrementally (old df + delta df, idf recomputed for
+      the new corpus size — a terms-table-sized job, not a corpus scan);
+    * the facet dimension merges old ranks with the delta's first
+      occurrences (old keys keep relative enum order; new integer keys
+      interleave numerically, new string keys append — JS semantics).
+
+    Query parity: identical to a full rebuild whenever the delta's
+    order keys sort after the existing corpus (the snapshot-append
+    contract); docids, tf, df and idf then all coincide.
+    """
+    spark = index.spark
+    configuration = index.configuration
+
+    if docid_col:
+        new_docs = new_df.withColumn(DOCID, F.col(docid_col).cast("long"))
+    elif order_by:
+        new_docs = assign_docids(new_df, order_by).withColumn(
+            DOCID, F.col(DOCID) + F.lit(index.n_docs)
         )
-        fields_spec = text_fields
-
-        out_schema = T.StructType(
-            [
-                T.StructField("term", T.StringType()),
-                T.StructField(DOCID, T.LongType()),
-                T.StructField("tf", T.DoubleType()),
-            ]
+    else:
+        raise ValueError("need docid_col or order_by for stable _docid")
+    for fld in index.facet_fields:
+        new_docs = new_docs.withColumn(
+            FK_PREFIX + fld, facet_keys_col(new_docs, fld)
         )
+    new_docs = new_docs.persist()
+    n_new = new_docs.count()
+    n_docs = index.n_docs + n_new
 
-        # fields_spec may register the same column twice (the reference
-        # hardcodes `name` boost 10 AND counts it again if listed in
-        # searchableFields — SURVEY.md §2.4); select each physical column
-        # ONCE and fan the token list out to every registration.
-        unique_present = list(dict.fromkeys(present))
+    missing = [c for c in index.docs.columns if c not in new_docs.columns]
+    if missing:
+        raise ValueError(f"append delta lacks columns {missing}")
+    docs = index.docs.unionByName(new_docs.select(*index.docs.columns))
 
-        def tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import numpy as np
-
-            pipeline = build_pipeline(**pipeline_flags)
-            empty_tokens: List[str] = []
-            for pdf in batches:
-                out_terms: List[str] = []
-                out_ids: List[int] = []
-                out_tf: List[float] = []
-                ids = pdf[DOCID].tolist()
-                col_map = {f: pdf[f].tolist() for f in unique_present}
-                for i, did in enumerate(ids):
-                    tokens_map = {}
-                    for f in unique_present:
-                        v = col_map[f][i]
-                        if v is not None and not isinstance(v, (list, tuple)):
-                            if isinstance(v, np.ndarray):
-                                v = v.tolist()
-                            elif isinstance(v, float) and math.isnan(v):
-                                v = None
-                        tokens_map[f] = pipeline(tokenize(v))
-                    field_tokens = [
-                        (tokens_map.get(f, empty_tokens), boost)
-                        for f, boost in fields_spec
-                    ]
-                    tfs = scoring.doc_tf(field_tokens)
-                    did = int(did)
-                    for term, tf in tfs.items():
-                        out_terms.append(term)
-                        out_ids.append(did)
-                        out_tf.append(tf)
-                yield pd.DataFrame({"term": out_terms, DOCID: out_ids, "tf": out_tf})
-
-        select_cols = [DOCID] + unique_present
-        postings = docs.select(*select_cols).mapInPandas(
-            tokenize_partition, schema=out_schema
+    # dimension merge: old (key → doc_count, enum_rank) ⟗ delta counts
+    delta_fv = _facet_dim_counts(new_docs, index.facet_fields)
+    if delta_fv is not None:
+        old = index.facet_values.select(
+            "field", "key",
+            F.col("doc_count").alias("__old_count"),
+            F.col("enum_rank").alias("__old_rank"),
         )
-        terms = postings.groupBy("term").agg(F.count("*").alias("df"))
-        terms = terms.withColumn(
+        first_t = f"struct<{DOCID}:bigint,__pos:int>"
+        merged = (
+            old.join(delta_fv, ["field", "key"], "full_outer")
+            .withColumn(
+                "doc_count",
+                F.coalesce("__old_count", F.lit(0))
+                + F.coalesce("doc_count", F.lit(0)),
+            )
+            .withColumn("__first", F.col("__first").cast(first_t))
+        )
+        facet_values = _rank_facet_dim(
+            merged, old_rank_col="__old_rank"
+        ).persist()
+    else:
+        facet_values = index.facet_values
+
+    postings = index.postings
+    terms = index.terms
+    if index.terms is not None:
+        if index.postings is None:
+            raise ValueError(
+                "append over a block-backed index: decode or re-open the "
+                "row-level postings first (Index.postings required)"
+            )
+        delta_post = tokenize_postings(
+            new_docs, index.text_fields, configuration
+        )
+        postings = index.postings.unionByName(delta_post)
+        delta_terms = delta_post.groupBy("term").agg(
+            F.count("*").alias("__delta_df")
+        )
+        merged_terms = (
+            index.terms.select("term", "df")
+            .join(delta_terms, "term", "full_outer")
+            .withColumn(
+                "df",
+                F.coalesce("df", F.lit(0)) + F.coalesce("__delta_df", F.lit(0)),
+            )
+            .select("term", "df")
+        )
+        terms = merged_terms.withColumn(
             "idf",
             F.lit(1.0) + F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
         )
@@ -481,7 +624,7 @@ def build_index(
         postings=postings,
         terms=terms,
         n_docs=n_docs,
-        facet_fields=facet_fields,
-        text_fields=text_fields,
+        facet_fields=index.facet_fields,
+        text_fields=index.text_fields,
         configuration=configuration,
     )

@@ -93,6 +93,10 @@ class SearchEngine:
     # which turns existence probes + zero-count bucket fill into lookups;
     # beyond it, per-query probe jobs and distributed bucket top-k are used.
     MAX_DRIVER_FACET_DIM = 200_000
+    # expanded query terms up to this count ship as map literals in the
+    # scoring projection (no per-query BroadcastExchange); larger prefix
+    # expansions fall back to a broadcast join
+    MAX_MAP_LITERAL_TERMS = 256
 
     def __init__(self, index: Index):
         self.index = index
@@ -121,7 +125,10 @@ class SearchEngine:
         idx = self.index
         jobs = [idx.docs, idx.facet_values]
         if idx.postings is not None and not self._ft_materialized:
-            idx.postings = idx.postings.persist()
+            n_part = max(self.spark.sparkContext.defaultParallelism, 1)
+            idx.postings = idx.postings.repartition(
+                n_part, F.col(DOCID)
+            ).persist()
             jobs.append(idx.postings)
         idx.facet_values = idx.facet_values.persist()
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
@@ -141,7 +148,15 @@ class SearchEngine:
         if self._ft_materialized or self.index.terms is None:
             return
         if self.index.postings is not None:
-            self.index.postings = self.index.postings.persist()
+            # cache hash-partitioned by _docid: the per-doc scoring
+            # aggregate (groupBy _docid) then needs NO exchange — every
+            # query's scoring job is single-stage (HashPartitioning on
+            # _docid satisfies the agg's clustering requirement, also
+            # for the batch scorer's (qid, _docid) grouping)
+            n_part = max(self.spark.sparkContext.defaultParallelism, 1)
+            self.index.postings = self.index.postings.repartition(
+                n_part, F.col(DOCID)
+            ).persist()
             self.index.postings.count()
         self.index.terms = self.index.terms.persist()
         self.index.terms.count()
@@ -162,6 +177,18 @@ class SearchEngine:
             self.configuration,
             docid_col=docid_col,
             order_by=order_by,
+        )
+
+    def append(
+        self, new_df: DataFrame, docid_col=None, order_by=None
+    ) -> "SearchEngine":
+        """Snapshot append (scale extension beyond the reference's
+        full-rebuild reindex): only the delta is tokenized; see
+        indexer.append_index for the merge semantics."""
+        from .indexer import append_index
+
+        return SearchEngine(
+            append_index(self.index, new_df, docid_col=docid_col, order_by=order_by)
         )
 
     def reconfigured(self, configuration: Dict[str, Any]) -> "SearchEngine":
@@ -434,18 +461,31 @@ class SearchEngine:
              sum(1 << i for i in qv.term_tokens[term]))
             for term in qv.weights
         ]
-        expanded_df = self.spark.createDataFrame(
-            rows, "term string, w double, mask long"
-        )
 
-        # term subset BEFORE the join: against a persisted term-sorted
+        # term subset BEFORE weighting: against a persisted term-sorted
         # postings table this pushes an In(term, ...) filter into the
         # parquet scan (row-group min/max pruning); on a block-backed
         # index only the matching compressed blocks are decoded; on the
         # cached path it just narrows the join input
-        joined = idx.postings_subset(list(qv.weights)).join(
-            F.broadcast(expanded_df), "term"
-        )
+        subset = idx.postings_subset(list(qv.weights))
+        if len(rows) <= self.MAX_MAP_LITERAL_TERMS:
+            # small expansions (the common case): weights/masks as MAP
+            # literals — a pure projection, no BroadcastExchange job per
+            # query (measured ~0.3 s/query at 1M postings in local mode)
+            wmap = F.create_map(
+                *[x for t, w, _m in rows for x in (F.lit(t), F.lit(w))]
+            )
+            mmap = F.create_map(
+                *[x for t, _w, m in rows for x in (F.lit(t), F.lit(m))]
+            )
+            joined = subset.withColumn("w", wmap[F.col("term")]).withColumn(
+                "mask", mmap[F.col("term")]
+            )
+        else:
+            expanded_df = self.spark.createDataFrame(
+                rows, "term string, w double, mask long"
+            )
+            joined = subset.join(F.broadcast(expanded_df), "term")
         per_doc = joined.groupBy(DOCID).agg(
             F.bit_or("mask").alias("mask"),
             # deterministic reduction order: sort contributions by term
@@ -627,7 +667,10 @@ class SearchEngine:
         t_search = time.time()
         hits, _ = self._candidates(input)
         if hits is not None:
+            # materialize the scored candidates ONCE; the facets and
+            # page jobs below both read this cache
             hits = hits.persist()
+            hits.count()
         compiled = self.compile(input, has_query=hits is not None)
         base = self._docs_with_query_flag(hits)
         if hits is not None:
@@ -635,33 +678,54 @@ class SearchEngine:
         flt = base.filter(ir_to_column(compiled.final_pred, hits is not None))
         search_time = time.time() - t_search
 
-        # one corpus pass: all facet buckets + the result total together
-        t_f = time.time()
-        aggregations, total = self._get_buckets_impl(
-            input, compiled, base, hits is not None, with_total=True
-        )
-        facets_time = time.time() - t_f
+        # facets pass and page collect are independent given the cached
+        # hits — submit them from two driver threads so Spark overlaps
+        # the jobs (both pure JVM; on a cluster this hides the smaller
+        # job entirely, in local mode the tasks interleave)
+        from concurrent.futures import ThreadPoolExecutor
+
+        t_par = time.time()
+
+        def run_facets():
+            # one corpus pass: all facet buckets + the result total
+            return self._get_buckets_impl(
+                input, compiled, base, hits is not None, with_total=True
+            )
+
+        ordered = self._order(flt, input, hits)
+        page_df = ordered.offset((page - 1) * per_page).limit(per_page)
+        keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)
+                and c not in (IN_QUERY, QRANK, SCORE)]
+
+        page_secs = [0.0]
+
+        def run_page():
+            t0 = time.time()
+            out = [
+                _row_to_item(r)
+                for r in page_df.select(*keep)
+                .withColumnRenamed(DOCID, "_id")
+                .collect()
+            ]
+            page_secs[0] = time.time() - t0
+            return out
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_facets = ex.submit(run_facets)
+            f_page = ex.submit(run_page)
+            aggregations, total = f_facets.result()
+            items = f_page.result()
+        facets_time = time.time() - t_par
         if total is None:  # no facet fields configured → plain count
             total = flt.count()
         t_s = time.time()
-        ordered = self._order(flt, input, hits)
-        page_df = ordered.offset((page - 1) * per_page).limit(per_page)
-
-        keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)
-                and c not in (IN_QUERY, QRANK, SCORE)]
-        items = [
-            _row_to_item(r)
-            for r in page_df.select(*keep)
-            .withColumnRenamed(DOCID, "_id")
-            .collect()
-        ]
-        sorting_time = time.time() - t_s
         all_filtered_items = None
         if input.get("is_all_filtered_items") and not (
             input.get("sort") is None and hits is not None
         ):
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
+        sorting_time = page_secs[0] + (time.time() - t_s)
 
         if hits is not None:
             base.unpersist()

@@ -1,0 +1,155 @@
+"""Incremental reindex (snapshot append): only the delta is tokenized,
+and when delta order keys sort after the base corpus the appended index
+is query-identical to a full rebuild (docids, tf, df, idf all coincide).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from itemsjs_spark.data.transcripts import transcripts_df
+from itemsjs_spark.engine import Index, SearchEngine, itemsjs_spark
+from itemsjs_spark.engine.checkpoint import (
+    append_blocks_checkpointed,
+    build_blocks_checkpointed,
+    read_blocks,
+)
+
+CFG = {
+    "aggregations": {"role": {"size": 10}, "tool": {"size": 10}},
+    "searchableFields": ["text"],
+}
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    base = transcripts_df(spark, n_turns=1500, n_convs=150, seed=5).persist()
+    # delta conversations sort AFTER every base conv_id ("d…" > "c…"):
+    # the snapshot-append contract under which append == full rebuild
+    delta = (
+        transcripts_df(spark, n_turns=500, n_convs=50, seed=6)
+        .withColumn(
+            "conv_id", F.concat(F.lit("d"), F.substring("conv_id", 2, 10))
+        )
+        .persist()
+    )
+    return base, delta
+
+
+@pytest.fixture(scope="module")
+def engines(spark, corpora, tmp_path_factory):
+    base, delta = corpora
+    path = str(tmp_path_factory.mktemp("appendidx") / "base")
+    itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"]).index.write(
+        path
+    )
+    # base re-opened from DISK: its postings plan is a parquet scan, so
+    # the only tokenizer anywhere is the delta's
+    base_disk = SearchEngine(Index.read(spark, path))
+    appended = base_disk.append(delta, order_by=["conv_id", "turn_idx"])
+    full = itemsjs_spark(
+        spark,
+        base.unionByName(delta),
+        CFG,
+        order_by=["conv_id", "turn_idx"],
+    )
+    return appended, full
+
+
+def test_append_scores_equal_full_rebuild(engines):
+    appended, full = engines
+    for q in ("spark", "shuffle partition", "s"):
+        a = sorted(map(tuple, appended.fulltext_hits(q).collect()))
+        b = sorted(map(tuple, full.fulltext_hits(q).collect()))
+        assert a == b, q
+
+
+def test_append_search_equal_full_rebuild(engines):
+    appended, full = engines
+    for inp in (
+        {"query": "broadcast", "per_page": 8},
+        {"filters": {"role": ["assistant"]}},
+        {"not_filters": {"tool": ["bash"]}, "page": 2, "per_page": 5},
+    ):
+        a = appended.search(dict(inp))
+        b = full.search(dict(inp))
+        assert a["pagination"] == b["pagination"], inp
+        assert [i["_id"] for i in a["data"]["items"]] == [
+            i["_id"] for i in b["data"]["items"]
+        ], inp
+        for fld, entry in b["data"]["aggregations"].items():
+            assert (
+                a["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
+            ), (inp, fld)
+
+
+def test_append_tokenizes_only_the_delta(spark, corpora, tmp_path):
+    base, delta = corpora
+    path = str(tmp_path / "base2")
+    itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"]).index.write(
+        path
+    )
+    appended = SearchEngine(Index.read(spark, path)).append(
+        delta, order_by=["conv_id", "turn_idx"]
+    )
+    text = appended.index.postings._jdf.queryExecution().optimizedPlan().toString()
+    # one Arrow tokenizer (the delta); the base side is a parquet scan
+    assert text.count("MapInPandas") == 1, text
+    assert "parquet" in text, text
+
+
+def test_append_facet_dimension_merge(spark):
+    base = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "red")], "id long, color string"
+    )
+    delta = spark.createDataFrame(
+        [(4, "green"), (5, "blue")], "id long, color string"
+    )
+    cfg = {"aggregations": {"color": {"size": 10}}, "native_search_enabled": False}
+    eng = itemsjs_spark(spark, base, cfg, docid_col="id").append(
+        delta, docid_col="id"
+    )
+    rows = {
+        r["key"]: (r["doc_count"], r["enum_rank"])
+        for r in eng.index.facet_values.collect()
+    }
+    # counts merged; old keys keep their relative enum order, new key after
+    assert rows["red"] == (2, 1)
+    assert rows["blue"] == (2, 2)
+    assert rows["green"][0] == 1 and rows["green"][1] == 3
+
+
+def test_block_store_snapshot_append(spark, corpora, tmp_path):
+    base, delta = corpora
+    out = str(tmp_path / "blocks")
+    base_eng = itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"])
+    base_eng._ensure_fulltext_materialized()
+    build_blocks_checkpointed(
+        base_eng.index.postings, out, n_buckets=4, range_size=512, block_size=64
+    )
+    appended = base_eng.append(delta, order_by=["conv_id", "turn_idx"])
+    delta_postings = appended.index.postings.subtract(base_eng.index.postings)
+    delta_postings = delta_postings.persist()
+    rep = append_blocks_checkpointed(
+        delta_postings, out, snapshot="s2", n_buckets=4, range_size=512, block_size=64
+    )
+    assert sorted(rep["built"]) == [0, 1, 2, 3]
+    # resume: second run skips every bucket
+    rep2 = append_blocks_checkpointed(
+        delta_postings, out, snapshot="s2", n_buckets=4, range_size=512, block_size=64
+    )
+    assert rep2["built"] == [] and sorted(rep2["resumed"]) == [0, 1, 2, 3]
+    # the merged store serves WAND with scores equal to the full corpus
+    blocks = read_blocks(spark, out)
+    full = itemsjs_spark(
+        spark, base.unionByName(delta), CFG, order_by=["conv_id", "turn_idx"]
+    )
+    exact = full.fulltext_hits("spark")
+    top = sorted(
+        map(tuple, exact.orderBy(
+            F.col("__score").desc(), F.col("_docid").cast("string").asc()
+        ).limit(10).collect())
+    )
+    wand = sorted(map(tuple, appended.fulltext_topk("spark", 10, blocks).collect()))
+    assert wand == top
