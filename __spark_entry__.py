@@ -506,6 +506,15 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return emb_ops.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """Multi-probe IVF ANN: coarse sign-pattern cells, query probes its
+    cell + all Hamming-1 cells, exact re-rank. The probe expansion and
+    cell assignment are restated verbatim in the DuckDB oracle, so the
+    approximate algorithm itself is oracle-checked."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb_ops.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column → Arrow-batched
     feature extraction via mapInPandas. The 'decode' is a deterministic
@@ -628,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "embedding_topk_cosine": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "langid_heuristic": _q_langid,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
@@ -762,6 +772,32 @@ s AS (
          round(list_dot_product(q.qe, e.emb) /
                (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cosine
   FROM eb e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s
+) WHERE rn <= 10
+"""
+
+    # multi-probe IVF: same cell assignment; probes = cell + Hamming-1
+    nb = 8
+    probe_exprs = ["qbucket"] + [
+        (
+            f"substr(qbucket, 1, {i}) || "
+            f"(CASE WHEN substr(qbucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+            + (f" || substr(qbucket, {i + 2}, {nb - i - 1})" if i < nb - 1 else "")
+        )
+        for i in range(nb)
+    ]
+    probes_list = "[" + ", ".join(probe_exprs) + "]"
+    sqls["ann_ivf_topk"] = f"""
+WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ({bucket_sql}) AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS qid, emb AS qe, bucket AS qbucket FROM eb WHERE vec_id < 5),
+q AS (SELECT qid, qe, unnest({probes_list}) AS cell FROM q0),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, e.emb) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cosine
+  FROM eb e JOIN q ON e.bucket = q.cell AND e.vec_id <> q.qid
 )
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s

@@ -30,8 +30,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "60000"))
 # the scaling probe needs compute-dominant work, not driver overhead:
-# a bigger corpus than the headline run so per-core work is measurable
-SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "960000"))
+# 2M turns ≈ 40+ s of build at the high level, so fixed per-job driver
+# latency (~2-3 s total) is <7% of wall-clock — the tokenizer dominates
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "2000000"))
 # N→4N proxy: local[4] vs local[16] (BASELINE.md calibration: 16 threads
 # is this box's true-parallelism peak; 32 SMT threads oversubscribe the
 # single JVM and run SLOWER than 8 — so 4→16 is the honest executor analog)
@@ -124,6 +125,25 @@ def timed(fn):
     return time.time() - t0
 
 
+def cpu_chain_seconds(spark) -> float:
+    """Machine-parallelism calibration: a pure-JVM xxhash chain over
+    spark.range — no shuffle, no Python, no IO. Its N→4N ratio is the
+    box's achievable parallel speedup AT MEASUREMENT TIME (SMT, turbo
+    clocks and host sharing cap it well below 4× on this VM); engine
+    efficiencies are reported raw AND normalized by this ceiling."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100_000_000, 1, 64)
+    expr = F.xxhash64("id")
+    for _ in range(8):
+        expr = F.xxhash64(expr)
+    probe = lambda: df.select(expr.alias("h")).agg(F.bit_xor("h")).collect()
+    probe()
+    return statistics.median(timed(probe) for _ in range(3))
+
+
 def headline_queries(spark, eng):
     """Reference-shaped query set over the transcript index + the
     training-data operators over the sf documents/embeddings tables."""
@@ -147,11 +167,15 @@ def headline_queries(spark, eng):
         {"query": "broadcast join", "filters": {"role": ["assistant"]}}
     ).count()
     Q = entry.queries()
+    # ANN paths headline similarity search (VERDICT r1: the exact
+    # brute-force cosine stays a driver-contract correctness query, not
+    # a throughput headline)
     for name in (
         "dedup_minhash_signatures",
         "neardup_jaccard_pairs",
         "dedup_simhash",
-        "embedding_topk_cosine",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
         "similar_items",
     ):
         qs[name] = lambda name=name: Q[name](spark, SF_DIR).count()
@@ -172,6 +196,7 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
         t_build = time.time() - t0
 
         times = {}
+        cpu_sec = None
         if include_docs_ops:
             qs = headline_queries(spark, eng)
         else:  # scaling probe: compute-dominant batch workloads
@@ -183,6 +208,7 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
                     "role", {"filters": {"tool": ["bash"]}}
                 ).count(),
             }
+            cpu_sec = cpu_chain_seconds(spark)
         # warm once (JIT/codegen/broadcast), then measure (median of 3
         # on probes; single shot on the long headline suite)
         import statistics
@@ -190,7 +216,9 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
         for name, fn in qs.items():
             fn()
             if include_docs_ops:
-                times[name] = timed(fn)
+                # min of 2: the shared host's speed drifts ~2x across
+                # minutes; one extra shot halves the noise for cheap
+                times[name] = min(timed(fn) for _ in range(2))
             else:
                 times[name] = statistics.median(timed(fn) for _ in range(3))
         return {
@@ -200,6 +228,7 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
             "queries": times,
             "query_total_sec": sum(times.values()),
             "qps": len(times) / max(sum(times.values()), 1e-9),
+            "cpu_chain_sec": cpu_sec,
         }
     finally:
         spark.stop()
@@ -269,6 +298,7 @@ def main():
                 "queries": {
                     k: min(r["queries"][k] for r in rs) for k in rs[0]["queries"]
                 },
+                "cpu_chain_sec": min(r["cpu_chain_sec"] for r in rs),
             }
 
         lo, hi = best(runs[n_lo]), best(runs[n_hi])
@@ -278,6 +308,11 @@ def main():
         # (the offline shape where per-query driver latency amortizes)
         q_lo = len(BATCH_QUERIES) / max(lo["queries"]["ft_batch32"], 1e-9)
         q_hi = len(BATCH_QUERIES) / max(hi["queries"]["ft_batch32"], 1e-9)
+        query_eff = (q_hi / q_lo) / ratio
+        # machine ceiling measured in the SAME subprocesses: what a pure
+        # JVM compute chain achieves from N to 4N threads on this box
+        # right now (shared host; SMT + turbo clocks cap it below 1.0)
+        cpu_eff = (lo["cpu_chain_sec"] / hi["cpu_chain_sec"]) / ratio
         out["scaling"] = {
             "proxy": f"local[{n_lo}] vs local[{n_hi}] on identical input (N vs 4N)",
             "n_turns": SCALING_TURNS,
@@ -286,7 +321,10 @@ def main():
             "build_scaling_efficiency": round(build_eff, 3),
             f"query_qps_n{n_lo}": round(q_lo, 3),
             f"query_qps_n{n_hi}": round(q_hi, 3),
-            "query_scaling_efficiency": round((q_hi / q_lo) / ratio, 3),
+            "query_scaling_efficiency": round(query_eff, 3),
+            "machine_parallel_ceiling": round(cpu_eff, 3),
+            "build_efficiency_vs_ceiling": round(build_eff / cpu_eff, 3),
+            "query_efficiency_vs_ceiling": round(query_eff / cpu_eff, 3),
         }
 
     print(json.dumps(out))

@@ -8,8 +8,11 @@
   re-ranking. Recall is tunable via n_planes (fewer planes → bigger
   buckets → higher recall). The hyperplanes derive from a seeded LCG so
   any engine (incl. the DuckDB oracle) reproduces the bucketing exactly.
-* ``ivf_topk`` — IVF-style variant: k-means-free coarse quantization by
-  LSH bucket as the inverted-file key, probing the query's bucket only.
+* ``ivf_topk`` — IVF-style variant: k-means-free coarse quantization
+  (hyperplane sign pattern = the inverted-file cell key); queries probe
+  their own cell PLUS every cell at Hamming distance ≤ n_probe_bits
+  (multi-probe), trading a bounded candidate-set growth (1 + planes
+  cells per query) for much higher recall than single-cell LSH.
 """
 
 from __future__ import annotations
@@ -51,6 +54,71 @@ def lsh_bucket(emb: Column, planes: Sequence[Sequence[int]]) -> Column:
             ).otherwise(F.lit("0"))
             for p in planes
         ]
+    )
+
+
+def probe_cells(bucket: Column, n_planes: int) -> Column:
+    """The multi-probe cell set for a sign-pattern key: the cell itself
+    plus each single-bit flip (all distinct, so no candidate dedup is
+    needed downstream)."""
+    flips = []
+    for i in range(n_planes):
+        flipped = F.when(
+            F.substring(bucket, i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(
+                F.substring(bucket, 1, i),
+                flipped,
+                F.substring(bucket, i + 2, n_planes - i - 1),
+            )
+        )
+    return F.array(bucket, *flips)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus rows live in ONE coarse cell
+    (hyperplane sign pattern); each query probes its cell + all
+    Hamming-1 neighbors, then candidates re-rank by exact cosine.
+    Candidate generation is an equi-join on the cell key — at corpus
+    scale the probed-cell fan-out is 1 + n_planes broadcast rows per
+    query, never a cross join."""
+    planes = lsh_planes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    ).withColumn("cell", lsh_bucket(F.col("emb"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).cast("array<double>").alias("qe"),
+        )
+        .withColumn("qcell", lsh_bucket(F.col("qe"), planes))
+        .withColumn("cell", F.explode(probe_cells(F.col("qcell"), n_planes)))
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )
 
 

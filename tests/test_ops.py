@@ -225,3 +225,30 @@ def test_stopword_ratio_custom_column_name(spark, docs):
     )
     ref = text.language_id(docs).select("doc_id", "stopword_ratio")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_ivf_multiprobe_recall_supersets_single_cell(spark, emb):
+    """Multi-probe IVF candidates ⊇ single-cell LSH candidates (same
+    planes), so recall can only improve; scores stay exact-cosine."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = embeddings.cosine_topk(emb, queries, k=10).collect()
+    lsh = embeddings.lsh_bucketed_topk(emb, queries, k=10, n_planes=8).collect()
+    ivf = embeddings.ivf_topk(emb, queries, k=10, n_planes=8).collect()
+
+    def recall(rows):
+        exact_sets, got = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(exact_sets[q] & got.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ) / len(exact_sets)
+
+    assert recall(ivf) >= recall(lsh)
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
