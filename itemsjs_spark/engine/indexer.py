@@ -345,7 +345,16 @@ def _facet_dim_counts(
 def _rank_facet_dim(fv: DataFrame, old_rank_col: Optional[str] = None) -> DataFrame:
     """enum_rank over an unranked dimension: canonical integer keys
     ascending, then (optionally) the previous snapshot's rank, then
-    first-occurrence order — JS object key enumeration semantics."""
+    first-occurrence order — JS object key enumeration semantics.
+
+    Distributed two-level rank (same scheme as assign_docids): a naive
+    ``Window.partitionBy(field)`` puts one ENTIRE field's dimension in a
+    single task — a 10^9-conversation facet would serialize (and with a
+    single facet field Catalyst constant-folds the partition key away,
+    making it a global single-partition window). Instead the dimension
+    is range-partitioned on (field, enum order); per-(range, field)
+    counts (≤ ranges × fields rows) become base offsets driver-side and
+    the per-row rank is a window inside each (range, field) slice."""
     is_int = F.col("key").rlike(_INT_KEY_RE)
     fv = fv.withColumn("__is_int", is_int).withColumn(
         "__int_val", F.when(is_int, F.col("key").cast("long"))
@@ -354,9 +363,34 @@ def _rank_facet_dim(fv: DataFrame, old_rank_col: Optional[str] = None) -> DataFr
     if old_rank_col:
         order.append(F.asc_nulls_last(old_rank_col))
     order += [F.col("__first." + DOCID).asc(), F.col("__first.__pos").asc()]
-    w = Window.partitionBy("field").orderBy(*order)
-    return fv.withColumn("enum_rank", F.row_number().over(w)).select(
-        "field", "key", "doc_count", "enum_rank"
+
+    spark = fv.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    rep = (
+        fv.repartitionByRange(n_part, F.col("field"), *order)
+        .sortWithinPartitions(F.col("field"), *order)
+        .withColumn("__rid", F.spark_partition_id())
+        .persist()
+    )
+    cnts = rep.groupBy("__rid", "field").agg(F.count("*").alias("__c")).collect()
+    if not cnts:
+        return rep.withColumn("enum_rank", F.lit(0)).select(
+            "field", "key", "doc_count", "enum_rank"
+        )
+    run: Dict[str, int] = {}
+    rows = []
+    for r in sorted(cnts, key=lambda r: r["__rid"]):
+        base = run.get(r["field"], 0)
+        rows.append((int(r["__rid"]), r["field"], base))
+        run[r["field"]] = base + int(r["__c"])
+    odf = spark.createDataFrame(rows, "__rid int, field string, __base long")
+    w = Window.partitionBy("__rid", "field").orderBy(*order)
+    return (
+        rep.join(F.broadcast(odf), ["__rid", "field"])
+        .withColumn(
+            "enum_rank", (F.col("__base") + F.row_number().over(w)).cast("int")
+        )
+        .select("field", "key", "doc_count", "enum_rank")
     )
 
 

@@ -41,6 +41,10 @@ class EngineError(ValueError):
     pass
 
 
+class _ExpansionTooLarge(Exception):
+    """Internal: a prefix expansion exceeded MAX_DRIVER_EXPANSION."""
+
+
 def _js_truthy(v: Any) -> bool:
     return not (
         v is None
@@ -97,6 +101,10 @@ class SearchEngine:
     # scoring projection (no per-query BroadcastExchange); larger prefix
     # expansions fall back to a broadcast join
     MAX_MAP_LITERAL_TERMS = 256
+    # prefix expansions beyond this never reach the driver: fulltext_hits
+    # switches to the fully distributed expansion (a 1-char query against
+    # a 10^12-turn vocabulary would otherwise collect millions of rows)
+    MAX_DRIVER_EXPANSION = 100_000
 
     def __init__(self, index: Index):
         self.index = index
@@ -292,7 +300,14 @@ class SearchEngine:
         for tok in distinct_tokens:
             c = F.col("term").startswith(tok)
             cond = c if cond is None else (cond | c)
-        expanded = idx.terms.filter(cond).select("term", "df", "idf").collect()
+        expanded = (
+            idx.terms.filter(cond)
+            .select("term", "df", "idf")
+            .limit(self.MAX_DRIVER_EXPANSION + 1)
+            .collect()
+        )
+        if len(expanded) > self.MAX_DRIVER_EXPANSION:
+            raise _ExpansionTooLarge(query)
         term_rows = sorted(expanded, key=lambda r: r["term"])
 
         by_token: Dict[str, List] = {
@@ -333,7 +348,14 @@ class SearchEngine:
                 "fulltext_topk needs a posting-block table: pass one or "
                 "open the index via Index.read over a write_blocks store"
             )
-        analyzed = self._query_vector(query)
+        try:
+            analyzed = self._query_vector(query)
+        except _ExpansionTooLarge:
+            raise EngineError(
+                "prefix expansion exceeds driver capacity; WAND needs the "
+                "driver-side query vector — use fulltext_hits, whose "
+                "distributed-expansion path handles this query"
+            )
         empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
         if analyzed is None:
             return empty
@@ -385,10 +407,18 @@ class SearchEngine:
         for tok in sorted(all_tokens):
             c = F.col("term").startswith(tok)
             cond = c if cond is None else (cond | c)
-        term_rows = sorted(
-            idx.terms.filter(cond).select("term", "idf").collect(),
-            key=lambda r: r["term"],
+        rows_raw = (
+            idx.terms.filter(cond)
+            .select("term", "idf")
+            .limit(self.MAX_DRIVER_EXPANSION + 1)
+            .collect()
         )
+        if len(rows_raw) > self.MAX_DRIVER_EXPANSION:
+            raise EngineError(
+                "combined prefix expansion exceeds driver capacity; run the "
+                "oversized queries individually through fulltext_hits"
+            )
+        term_rows = sorted(rows_raw, key=lambda r: r["term"])
         idf_map = {r["term"]: r["idf"] for r in term_rows}
         by_token: Dict[str, List[str]] = {}
         for tok in all_tokens:
@@ -450,7 +480,10 @@ class SearchEngine:
         property of the consumer (ORDER BY __score DESC, str(_docid) ASC)."""
         idx = self.index
         empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
-        analyzed = self._query_vector(query)
+        try:
+            analyzed = self._query_vector(query)
+        except _ExpansionTooLarge:
+            return self._fulltext_hits_distributed_expansion(query)
         if analyzed is None:
             return empty
         qv, idf_map = analyzed
@@ -499,6 +532,99 @@ class SearchEngine:
             F.lit(0.0),
             lambda acc, x: acc + x["c"],
         ) / F.lit(qv.magnitude)
+        return (
+            per_doc.filter(F.col("mask") == full_mask)
+            .withColumn(SCORE, score)
+            .select(DOCID, SCORE)
+        )
+
+    def _fulltext_hits_distributed_expansion(self, query: str) -> DataFrame:
+        """Scale path for prefix expansions too large for the driver
+        (e.g. a 1-char query against a 10^12-turn vocabulary): the whole
+        lunr query vector — expansion, similarity boosts, magnitude,
+        token masks — is computed as DataFrame aggregates; no term list
+        ever reaches the driver.
+
+        Scores equal the driver path's to float rounding (the |q|²
+        reduction order is non-deterministic here, so the last ulps can
+        differ — the driver path, which covers every expansion a human
+        query produces, stays bit-exact to the oracle)."""
+        idx = self.index
+        empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
+        tokens = self.pipeline(tokenize(query))
+        if not tokens or idx.terms is None:
+            return empty
+        self._ensure_fulltext_materialized()
+        n_fields = len(idx.text_fields)
+        boosts_sum = sum(b for _, b in idx.text_fields)
+        qtf = (1.0 / len(tokens)) * n_fields * boosts_sum
+
+        tokdf = self.spark.createDataFrame(
+            list(enumerate(tokens)), "tok_idx int, tok string"
+        )
+        # broadcast theta-join: every (token position, expanded term) pair
+        exp = idx.terms.join(
+            F.broadcast(tokdf), F.col("term").startswith(F.col("tok"))
+        )
+        sim = F.when(F.col("term") == F.col("tok"), F.lit(1.0)).otherwise(
+            F.lit(1.0)
+            / F.log(
+                F.greatest(
+                    F.lit(3.0),
+                    (F.length("term") - F.length("tok")).cast("double"),
+                )
+            )
+        )
+        exp = exp.select(
+            "term",
+            "tok_idx",
+            "idf",
+            (F.lit(qtf) * F.col("idf") * sim).alias("val"),
+        ).persist()
+
+        stats = exp.agg(
+            F.sum(F.col("val") * F.col("val")).alias("ss"),
+            F.count_distinct("tok_idx").alias("nt"),
+        ).collect()[0]
+        n_distinct = len(set(tokens))
+        if not stats["nt"] or stats["nt"] < n_distinct or not stats["ss"]:
+            # some token has no expansion → conjunctive AND is empty
+            exp.unpersist()
+            return empty
+        magnitude = math.sqrt(float(stats["ss"]))
+
+        termvec = exp.groupBy("term").agg(
+            # lunr.Vector insert: the FIRST query token (by position)
+            # expanding to a term owns its dot-product weight
+            F.min(F.struct("tok_idx", "val")).alias("__fw"),
+            F.max("idf").alias("__idf"),  # constant within a term
+            F.bit_or(F.expr("shiftleft(1L, tok_idx)")).alias("mask"),
+        ).select(
+            # contribution per posting = qweight × doc-side idf × tf
+            "term",
+            (F.col("__fw.val") * F.col("__idf")).alias("w"),
+            "mask",
+        )
+
+        if idx.postings is not None:
+            postings = idx.postings
+        else:
+            from .blocks import postings_from_blocks
+
+            postings = postings_from_blocks(idx.posting_blocks)
+        joined = postings.join(termvec, "term")
+        full_mask = (1 << len(tokens)) - 1
+        per_doc = joined.groupBy(DOCID).agg(
+            F.bit_or("mask").alias("mask"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("term"), (F.col("w") * F.col("tf")).alias("c"))
+                )
+            ).alias("contribs"),
+        )
+        score = F.aggregate(
+            "contribs", F.lit(0.0), lambda acc, x: acc + x["c"]
+        ) / F.lit(magnitude)
         return (
             per_doc.filter(F.col("mask") == full_mask)
             .withColumn(SCORE, score)

@@ -177,3 +177,27 @@ def test_checkpoint_invalidated_by_content_change(spark, tx_engine, tmp_path):
     mutated = postings.withColumn("tf", F.col("tf") * 2.0)
     rep2 = build_blocks_checkpointed(mutated, out, n_buckets=2, range_size=512)
     assert rep2["resumed"] == [] and sorted(rep2["built"]) == [0, 1]
+
+
+def test_distributed_expansion_matches_driver_path(spark, tx_engine):
+    """Oversized prefix expansions spill to the fully distributed query
+    vector — same ranks, scores equal to float rounding."""
+    eng = tx_engine
+    cases = ["s", "pa", "shuffle part", "s br"]
+    refs = {q: sorted(map(tuple, eng.fulltext_hits(q).collect())) for q in cases}
+    assert all(refs[q] for q in cases)
+    eng.MAX_DRIVER_EXPANSION = 2  # force the spill for every prefix query
+    try:
+        for q in cases:
+            got = sorted(map(tuple, eng.fulltext_hits(q).collect()))
+            assert [g[0] for g in got] == [r[0] for r in refs[q]], q
+            for (gd, gs), (rd, rs) in zip(got, refs[q]):
+                assert gs == pytest.approx(rs, rel=1e-9), (q, gd)
+        # a token with no expansion empties the conjunctive AND
+        assert eng.fulltext_hits("s zzzqqq").count() == 0
+        # WAND + batch refuse loudly instead of collecting the expansion
+        from itemsjs_spark.engine.query import EngineError
+        with pytest.raises(EngineError, match="driver capacity"):
+            eng.fulltext_hits_batch(["s"]).count()
+    finally:
+        del eng.MAX_DRIVER_EXPANSION
