@@ -257,6 +257,7 @@ def append_blocks_checkpointed(
         tmp = posixpath.join(out_path, f"_tmp_snap_{snapshot}", f"bucket={b}")
         blocks.write.mode("overwrite").parquet(tmp)
         n_rows = part.agg(F.count("*")).collect()[0][0]
+        fs.mkdirs(bdir)  # first snapshot into a fresh bucket dir
         moved = 0
         for i, fn in enumerate(fs.list_parquet(tmp)):
             fs.rename(

@@ -1,0 +1,94 @@
+"""Structured Streaming ingest: micro-batches append snapshots to the
+index store; the opened index is query-identical to a full rebuild over
+everything ingested (epochs arriving in order-key order), and epoch
+replay is idempotent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from itemsjs_spark.data.transcripts import transcripts_df
+from itemsjs_spark.engine import SearchEngine, itemsjs_spark
+from itemsjs_spark.streaming import StreamingIndexWriter, read_stream_index
+
+CFG = {
+    "aggregations": {"role": {"size": 10}, "tool": {"size": 10}},
+    "searchableFields": ["text"],
+}
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    src, out, ckpt = str(root / "src"), str(root / "idx"), str(root / "ckpt")
+    base = transcripts_df(spark, n_turns=1500, n_convs=150, seed=5).persist()
+    delta = (
+        transcripts_df(spark, n_turns=500, n_convs=50, seed=6)
+        .withColumn("conv_id", F.concat(F.lit("d"), F.substring("conv_id", 2, 10)))
+        .persist()
+    )
+    writer = StreamingIndexWriter(
+        out, CFG, ["conv_id", "turn_idx"], n_buckets=4, range_size=512, block_size=64
+    )
+    # wave A: one file so it lands in one deterministic micro-batch
+    base.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    writer.attach(stream, ckpt).awaitTermination()
+    # wave B arrives later; the stream checkpoint picks only new files
+    delta.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(base.schema).parquet(src)
+    writer.attach(stream2, ckpt).awaitTermination()
+    return base, delta, out, writer
+
+
+def test_stream_index_matches_full_rebuild(spark, streamed):
+    base, delta, out, _writer = streamed
+    eng = SearchEngine(read_stream_index(spark, out, CFG))
+    full = itemsjs_spark(
+        spark, base.unionByName(delta), CFG, order_by=["conv_id", "turn_idx"]
+    )
+    assert eng.index.n_docs == full.index.n_docs == 2000
+    for q in ("spark", "shuffle partition", "s"):
+        a = sorted(map(tuple, eng.fulltext_hits(q).collect()))
+        b = sorted(map(tuple, full.fulltext_hits(q).collect()))
+        assert a == b, q
+    for inp in (
+        {"query": "broadcast", "per_page": 8},
+        {"filters": {"role": ["assistant"]}, "per_page": 5},
+    ):
+        a = eng.search(dict(inp))
+        b = full.search(dict(inp))
+        assert a["pagination"] == b["pagination"], inp
+        assert [i["_id"] for i in a["data"]["items"]] == [
+            i["_id"] for i in b["data"]["items"]
+        ], inp
+        for fld, entry in b["data"]["aggregations"].items():
+            assert (
+                a["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
+            ), (inp, fld)
+
+
+def test_stream_epoch_replay_is_idempotent(spark, streamed):
+    base, _delta, out, writer = streamed
+    from itemsjs_spark.engine.checkpoint import _HadoopFS
+
+    before = writer._read_meta(_HadoopFS(spark, out))
+    # replay an already-committed epoch (what a restarted stream does)
+    writer.process_batch(base, epoch_id=before["epochs"][0])
+    after = writer._read_meta(_HadoopFS(spark, out))
+    assert after == before
+
+
+def test_stream_wand_over_merged_store(spark, streamed):
+    base, delta, out, _writer = streamed
+    eng = SearchEngine(read_stream_index(spark, out, CFG))
+    exact = eng.fulltext_hits("spark")
+    top = sorted(
+        map(tuple, exact.orderBy(
+            F.col("__score").desc(), F.col("_docid").cast("string").asc()
+        ).limit(10).collect())
+    )
+    wand = sorted(map(tuple, eng.fulltext_topk("spark", 10).collect()))
+    assert wand == top
