@@ -446,6 +446,14 @@ def _q_token_count(spark, sf_dir):
     )
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    return text_ops.unigram_logprob(_documents(spark, sf_dir), "doc_id")
+
+
+def _q_charngram_fit(spark, sf_dir):
+    return text_ops.charngram_profile_fit(_documents(spark, sf_dir), "doc_id")
+
+
 def _q_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(_documents(spark, sf_dir)).select(
         "doc_id", "fingerprint"
@@ -642,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_fingerprint,
+        "unigram_logprob": _q_unigram_logprob,
+        "charngram_profile_fit": _q_charngram_fit,
         "multimodal_features": _q_multimodal_features,
         # transcript-shape corpus (north rule; full oracle)
         "transcripts_fulltext_topk": _q_transcripts_topk,
@@ -910,6 +920,31 @@ SELECT doc_id,
        length(text)::BIGINT AS chars,
        ceil(length(text) / 4.0)::BIGINT AS bpe_est
 FROM documents
+"""
+
+    sqls["unigram_logprob"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT count(*)::DOUBLE AS t FROM tok)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-ln(cnt / t)), 6) AS avg_neg_logprob
+FROM tok JOIN freq USING (tok), total
+GROUP BY doc_id
+"""
+
+    sqls["charngram_profile_fit"] = """
+WITH g AS (
+  SELECT doc_id, substr(text, i, 3) AS g
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+        FROM documents WHERE length(text) >= 3)
+),
+dvec AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+profile AS (SELECT g, sum(c) AS cf FROM dvec GROUP BY g),
+cnorm AS (SELECT sqrt(sum(cf * cf)) AS n FROM profile)
+SELECT doc_id,
+       round(sum(c * cf) / (sqrt(sum(c * c)) * max(cnorm.n)), 6) AS profile_fit
+FROM dvec JOIN profile USING (g), cnorm
+GROUP BY doc_id
 """
 
     sqls["doc_fingerprint"] = """

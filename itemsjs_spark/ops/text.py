@@ -70,6 +70,65 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Perplexity proxy for quality filtering: per-doc mean negative log
+    probability of its tokens under the CORPUS unigram model (the
+    classic cheap stand-in for LM perplexity — boilerplate and natural
+    text score low, gibberish/rare-token soup scores high).
+
+    Plan shape: one explode, one token-frequency aggregate (map-side
+    combined), one equi-join token→frequency, one per-doc aggregate.
+    No driver-side state; the token model never leaves the cluster."""
+    tok = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = tok.count()
+    scored = tok.join(freq, "tok").select(
+        id_col,
+        (-F.log(F.col("cnt").cast("double") / F.lit(float(total)))).alias("nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
+    )
+
+
+def charngram_profile_fit(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Domain-fit score: cosine similarity between a document's char
+    n-gram count vector and the corpus-wide profile — low-fit documents
+    are encoding junk / off-domain content (the char-n-gram analog of
+    the langid profile method, with the corpus itself as the profile).
+
+    All sparse-vector algebra stays relational: the dot product is an
+    equi-join on the n-gram, norms are aggregates."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> substring({text_col}, i, {n})) ELSE array() END"
+    )
+    g = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    dvec = g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    profile = dvec.groupBy("g").agg(F.sum("c").alias("cf"))
+    cnorm = float(
+        profile.agg(F.sqrt(F.sum(F.col("cf") * F.col("cf")))).collect()[0][0]
+    )
+    return (
+        dvec.join(profile, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("cf")).alias("__dot"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__dn"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.col("__dot") / (F.col("__dn") * F.lit(cnorm)), 6
+            ).alias("profile_fit"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min hash over all
     ``window``-char shingles (rolling-hash family; md5 keeps it portable
