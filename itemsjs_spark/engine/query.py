@@ -790,6 +790,9 @@ class SearchEngine:
                 '"query" and "filter" options are not working once native search is disabled'
             )
 
+        if self._wand_search_applies(input):
+            return self._search_wand(input)
+
         t_search = time.time()
         hits, _ = self._candidates(input)
         if hits is not None:
@@ -870,6 +873,100 @@ class SearchEngine:
                 "allFilteredItems": all_filtered_items,
                 "aggregations": aggregations,
             },
+        }
+
+    # ------------------------------------------------------------------
+    # WAND-accelerated search (block-backed, facetless configs)
+    # ------------------------------------------------------------------
+    def _wand_search_applies(self, input: Dict[str, Any]) -> bool:
+        """Relevance-ordered search with nothing to cross — the page is
+        exactly the WAND top-k over the block store, and the total is a
+        membership count (no per-doc score materialization anywhere)."""
+        return bool(
+            input.get("query")
+            and self.index.posting_blocks is not None
+            and not self.index.facet_fields
+            and not input.get("sort")
+            and not callable(input.get("filter"))
+            and input.get("_ids") is None
+            and input.get("ids") is None
+            and not input.get("filters")
+            and not input.get("not_filters")
+            and not input.get("filters_query")
+            and not input.get("is_all_filtered_items")
+        )
+
+    def _search_wand(self, input: Dict[str, Any]) -> Dict[str, Any]:
+        import time
+
+        t0 = time.time()
+        per_page, page = _parse_paging(input)
+        query = input["query"]
+
+        t_s = time.time()
+        analyzed = self._query_vector(query)
+        search_time = time.time() - t_s
+        if analyzed is None:
+            return {
+                "pagination": {"per_page": per_page, "page": page, "total": 0},
+                "timings": {
+                    "total": int((time.time() - t0) * 1000),
+                    "facets": 0,
+                    "search": int(search_time * 1000),
+                    "sorting": 0,
+                },
+                "data": {"items": [], "allFilteredItems": None, "aggregations": {}},
+            }
+
+        # total = conjunctive membership count: mask-only aggregate over
+        # the query terms' decoded blocks — no contribution collection
+        qv, _idf = analyzed
+        full_mask = (1 << qv.n_tokens) - 1
+        mrows = [
+            (t, sum(1 << i for i in qv.term_tokens[t])) for t in qv.weights
+        ]
+        mmap = F.create_map(
+            *[x for t, m_ in mrows for x in (F.lit(t), F.lit(m_))]
+        )
+        total = (
+            self.index.postings_subset(list(qv.weights))
+            .withColumn("mask", mmap[F.col("term")])
+            .groupBy(DOCID)
+            .agg(F.bit_or("mask").alias("mask"))
+            .filter(F.col("mask") == full_mask)
+            .count()
+        )
+
+        t_p = time.time()
+        k = page * per_page
+        topk = self.fulltext_topk(query, k)
+        ranked = topk.orderBy(
+            F.col(SCORE).desc(), F.col(DOCID).cast("string").asc()
+        ).offset((page - 1) * per_page).limit(per_page)
+        page_docs = self.index.docs.join(
+            F.broadcast(ranked.select(DOCID, SCORE)), DOCID
+        ).orderBy(F.col(SCORE).desc(), F.col(DOCID).cast("string").asc())
+        keep = [
+            c for c in page_docs.columns
+            if not c.startswith(FK_PREFIX) and c != SCORE
+        ]
+        items = [
+            _row_to_item(r)
+            for r in page_docs.select(*keep)
+            .withColumnRenamed(DOCID, "_id")
+            .collect()
+        ]
+        sorting_time = time.time() - t_p
+
+        return {
+            "pagination": {"per_page": per_page, "page": page, "total": total},
+            "timings": {
+                "total": int((time.time() - t0) * 1000),
+                "facets": 0,
+                "search": int(search_time * 1000),
+                "sorting": int(sorting_time * 1000),
+            },
+            "data": {"items": items, "allFilteredItems": None, "aggregations": {}},
         }
 
     # ------------------------------------------------------------------

@@ -70,6 +70,55 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("src_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """'image' payload -> resized payload + typed metadata struct. The
+    fake kernel produces a deterministic width×height byte raster by
+    cyclic sampling of the source bytes (shape-correct, contract-real);
+    a real one decodes + resamples via PIL/libvips at the marked line."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not fake:
+                    raise NotImplementedError("plug PIL/libvips resampling here")
+                b = bytes(payload)
+                blobs.append(bytes(b[i % len(b)] for i in range(n_out)))
+                ids.append(int(did))
+                metas.append(
+                    {"width": width, "height": height, "src_bytes": len(b)}
+                )
+            yield pd.DataFrame({"doc_id": ids, "resized": blobs, "meta": metas})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

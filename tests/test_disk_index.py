@@ -147,3 +147,29 @@ def test_term_predicate_reaches_block_scan(block_engines, spark, tmp_path):
     text = plan.getvalue()
     pushed = [ln for ln in text.splitlines() if "PushedFilters" in ln and "term" in ln]
     assert any("spark" in ln for ln in pushed), text
+
+
+def test_wand_search_fast_path_matches_full_engine(spark, tmp_path):
+    """Facetless block-backed search() routes through WAND + membership
+    count — response-identical to the full scoring path."""
+    tdf = transcripts_df(spark, n_turns=2000, n_convs=200, seed=9)
+    cfg = {"searchableFields": ["text"]}
+    mem = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    path = str(tmp_path / "nofacet")
+    mem.index.write_blocks(path, n_buckets=4, range_size=512, block_size=64)
+    disk = SearchEngine(Index.read(spark, path))
+    assert disk._wand_search_applies({"query": "spark"})
+    assert not mem._wand_search_applies({"query": "spark"})
+    for inp in (
+        {"query": "spark", "per_page": 7},
+        {"query": "shuffle partition", "per_page": 5, "page": 2},
+        {"query": "zzznope"},
+        {"query": "s", "per_page": 3},
+    ):
+        a = mem.search(dict(inp))
+        b = disk.search(dict(inp))
+        assert b["pagination"] == a["pagination"], inp
+        assert [i["_id"] for i in b["data"]["items"]] == [
+            i["_id"] for i in a["data"]["items"]
+        ], inp
+        assert b["data"]["aggregations"] == a["data"]["aggregations"] == {}

@@ -252,3 +252,16 @@ def test_ivf_multiprobe_recall_supersets_single_cell(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert r["cosine"] == exact_cos[key]
+
+
+def test_multimodal_resize_plumbing(spark, docs):
+    payloads = docs.limit(20).select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    out = multimodal.resize_images(payloads, width=4, height=3).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(bytes(r["resized"])) == 12
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 3
+        assert r["meta"]["src_bytes"] == 16
+    import pytest as _pt
+    with _pt.raises(Exception, match="NotImplementedError|plug"):
+        multimodal.resize_images(payloads, 4, 3, fake=False).collect()
