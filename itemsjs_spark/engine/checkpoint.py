@@ -284,6 +284,68 @@ def append_blocks_checkpointed(
     return {"resumed": resumed, "built": built, "manifests": manifests}
 
 
+def compact_blocks(
+    spark: SparkSession,
+    out_path: str,
+    n_buckets: int,
+    range_size: int = 1 << 20,
+    block_size: int = 1 << 14,
+) -> Dict[str, object]:
+    """Offline maintenance: fold every snapshot's ``snap-*`` delta files
+    back into one optimally-packed block set per bucket (many small
+    appended blocks per (term, range) → one, restoring WAND's per-range
+    upper-bound tightness and minimal file counts).
+
+    Per bucket: decode → re-encode → write to a hidden staging dir →
+    delete old dir → atomic dir rename. A crash between delete and
+    rename is recovered on the next call (staging dir adopted), so the
+    store is never silently partial. Snapshot sidecar manifests are
+    superseded by a fresh base manifest whose fingerprint matches the
+    merged contents."""
+    from .blocks import build_posting_blocks, postings_from_blocks
+
+    fs = _HadoopFS(spark, out_path)
+    staging_root = posixpath.join(out_path, "_compacting")
+
+    report: List[dict] = []
+    for b in range(n_buckets):
+        bdir = _bucket_dir(out_path, b)
+        tmp = posixpath.join(staging_root, f"bucket={b}")
+        # crash recovery: adopt a finished staging dir whose swap died
+        if fs.exists(tmp) and not fs.exists(bdir):
+            fs.rename(tmp, bdir)
+        if not fs.exists(bdir):
+            continue
+        t0 = time.time()
+        postings = postings_from_blocks(spark.read.parquet(bdir)).persist()
+        fp = input_fingerprint(postings)
+        blocks = build_posting_blocks(
+            postings, range_size=range_size, block_size=block_size
+        )
+        blocks.write.mode("overwrite").parquet(tmp)
+        n_rows = postings.count()
+        postings.unpersist()
+        n_files, n_bytes = fs.parquet_sizes(tmp)
+        manifest = {
+            "bucket": b,
+            "n_buckets": n_buckets,
+            "rows": n_rows,
+            "blocks": n_files,
+            "bytes": n_bytes,
+            "duration_s": round(time.time() - t0, 3),
+            "attempt": 1,
+            "compacted": True,
+            "input_fingerprint": fp,
+            "finished_at_epoch": int(time.time()),
+        }
+        fs.write_text(posixpath.join(tmp, MANIFEST), json.dumps(manifest))
+        fs.delete(bdir)
+        fs.rename(tmp, bdir)
+        report.append(manifest)
+    fs.delete(staging_root)
+    return {"compacted": [m["bucket"] for m in report], "manifests": report}
+
+
 def read_blocks(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.option("basePath", out_path).parquet(
         posixpath.join(out_path, "bucket=*")

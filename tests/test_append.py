@@ -153,3 +153,41 @@ def test_block_store_snapshot_append(spark, corpora, tmp_path):
     )
     wand = sorted(map(tuple, appended.fulltext_topk("spark", 10, blocks).collect()))
     assert wand == top
+
+
+def test_block_store_compaction(spark, corpora, tmp_path):
+    """Compaction folds snap-* deltas into one packed block set per
+    bucket, preserving exact + WAND results."""
+    from itemsjs_spark.engine.checkpoint import _HadoopFS, compact_blocks
+
+    base, delta = corpora
+    out = str(tmp_path / "blocks")
+    base_eng = itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"])
+    base_eng._ensure_fulltext_materialized()
+    build_blocks_checkpointed(
+        base_eng.index.postings, out, n_buckets=4, range_size=512, block_size=64
+    )
+    appended = base_eng.append(delta, order_by=["conv_id", "turn_idx"])
+    delta_postings = appended.index.postings.subtract(base_eng.index.postings).persist()
+    append_blocks_checkpointed(
+        delta_postings, out, snapshot="s2", n_buckets=4, range_size=512, block_size=64
+    )
+    fs = _HadoopFS(spark, out)
+    before = sum(len(fs.list_parquet(f"{out}/bucket={b}")) for b in range(4))
+    wand_before = sorted(
+        map(tuple, appended.fulltext_topk("spark", 10, read_blocks(spark, out)).collect())
+    )
+    rep = compact_blocks(spark, out, n_buckets=4, range_size=512, block_size=64)
+    assert sorted(rep["compacted"]) == [0, 1, 2, 3]
+    after_files = [fs.list_parquet(f"{out}/bucket={b}") for b in range(4)]
+    assert sum(len(f) for f in after_files) <= before
+    assert not any(fn.startswith("snap-") for fns in after_files for fn in fns)
+    wand_after = sorted(
+        map(tuple, appended.fulltext_topk("spark", 10, read_blocks(spark, out)).collect())
+    )
+    assert wand_after == wand_before
+    # decoded contents identical to the pre-compaction postings multiset
+    from itemsjs_spark.engine.blocks import postings_from_blocks
+    merged = sorted(map(tuple, postings_from_blocks(read_blocks(spark, out)).collect()))
+    expect = sorted(map(tuple, appended.index.postings.collect()))
+    assert merged == expect
