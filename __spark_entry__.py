@@ -312,6 +312,36 @@ def _q_ft_blocks_engine(spark, sf_dir):
     )
 
 
+def _q_facet_counts_blocks(spark, sf_dir):
+    """Index-side facet set algebra: the crossed bucket counts computed
+    from compressed facet-posting BLOCKS (per-value docid sets, bitmap-
+    AND analog) instead of a corpus scan — shares facet_counts_crossed's
+    oracle, proving the two physical strategies agree."""
+    from itemsjs_spark.engine import facetblocks as fb
+
+    eng = _doc_engine(spark, sf_dir)
+
+    def build():
+        b = fb.build_facet_blocks(eng.index, range_size=256, block_size=64).persist()
+        b.count()
+        return b
+
+    blocks = _cached(("fblocks", sf_dir), spark, build)
+    fd = fb.intersect_all(
+        [
+            fb.docids_for_values(blocks, "source", ["src3"]),
+            fb.docids_for_values(blocks, "lang", ["en"]),
+        ]
+    )
+    a = fb.crossed_bucket_counts(eng.index, blocks, "source", fd).withColumn(
+        "field", F.lit("source")
+    )
+    b2 = fb.crossed_bucket_counts(eng.index, blocks, "lang", fd).withColumn(
+        "field", F.lit("lang")
+    )
+    return a.unionByName(b2).select("field", "key", "doc_count")
+
+
 def _events_engine(spark, sf_dir):
     def build():
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -630,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_plus_facet": _q_query_plus_filter,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
+        "facet_counts_blocks_path": _q_facet_counts_blocks,
         "events_facet_counts": _q_events_facets,
         "events_sort_paginate": _q_events_sort_page,
         "similar_items": _q_similar,
@@ -680,6 +711,8 @@ SELECT 'lang' AS field, lk.key, coalesce(lc.c, 0)::BIGINT AS doc_count FROM lk L
     sqls["facet_counts_crossed"] = stacked(
         "source = 'src3' AND lang = 'en'", "source = 'src3' AND lang = 'en'"
     )
+    # the facet-block path must reproduce the scan path's crossed counts
+    sqls["facet_counts_blocks_path"] = sqls["facet_counts_crossed"]
     # disjunctive source: self-excluded from source buckets, applied to lang's
     sqls["disjunctive_bucket_counts"] = stacked(
         "lang = 'en'", "source IN ('src1','src2') AND lang = 'en'"
