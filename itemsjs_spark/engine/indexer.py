@@ -147,11 +147,18 @@ def assign_docids(
         .select(*gkeys, "__off")
     )
     wr = Window.partitionBy(*gkeys).orderBy(*[F.col(c) for c in keys])
-    return (
+    out = (
         df.join(offs, gkeys)
         .withColumn(DOCID, (F.col("__off") + F.row_number().over(wr)).cast("long"))
         .drop("__off")
     )
+    # the pinned group table is conversation-count sized (potentially
+    # 10^9 rows); callers that materialize the result should release it
+    # (build_index does, right after docs.count()). Recompute after
+    # release stays stable: the shuffle files / partitioner instance of
+    # the frozen lineage are reused, not resampled.
+    out._interim_caches = [ranged]
+    return out
 
 
 _INT_KEY_RE = r"^(0|[1-9][0-9]{0,9})$"  # canonical array-index keys
@@ -488,10 +495,12 @@ def build_index(
     aggregations = configuration.get("aggregations") or {}
     facet_fields = [f for f in aggregations.keys() if f in df.columns]
 
+    interim: List[DataFrame] = []
     if docid_col:
         docs = df.withColumn(DOCID, F.col(docid_col).cast("long"))
     elif order_by:
         docs = assign_docids(df, order_by)
+        interim = getattr(docs, "_interim_caches", [])
     else:
         raise ValueError("need docid_col or order_by for stable _docid")
 
@@ -507,6 +516,8 @@ def build_index(
     n_part = max(spark.sparkContext.defaultParallelism, 1)
     docs = docs.persist()
     n_docs = docs.count()
+    for c in interim:  # docid group table: baked into the docs cache now
+        c.unpersist()
     if docs.rdd.getNumPartitions() < n_part:
         narrow = docs
         docs = narrow.repartition(n_part, F.col(DOCID)).persist()
@@ -577,12 +588,13 @@ def append_index(
     spark = index.spark
     configuration = index.configuration
 
+    interim: List[DataFrame] = []
     if docid_col:
         new_docs = new_df.withColumn(DOCID, F.col(docid_col).cast("long"))
     elif order_by:
-        new_docs = assign_docids(new_df, order_by).withColumn(
-            DOCID, F.col(DOCID) + F.lit(index.n_docs)
-        )
+        ranked = assign_docids(new_df, order_by)
+        interim = getattr(ranked, "_interim_caches", [])
+        new_docs = ranked.withColumn(DOCID, F.col(DOCID) + F.lit(index.n_docs))
     else:
         raise ValueError("need docid_col or order_by for stable _docid")
     for fld in index.facet_fields:
@@ -591,6 +603,8 @@ def append_index(
         )
     new_docs = new_docs.persist()
     n_new = new_docs.count()
+    for c in interim:
+        c.unpersist()
     n_docs = index.n_docs + n_new
 
     missing = [c for c in index.docs.columns if c not in new_docs.columns]

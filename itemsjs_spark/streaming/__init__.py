@@ -101,14 +101,16 @@ class StreamingIndexWriter:
         if int(epoch_id) in meta["epochs"]:
             return  # replayed epoch: already committed
 
-        delta = assign_docids(batch_df, self.order_by).withColumn(
-            DOCID, F.col(DOCID) + F.lit(int(meta["n_docs"]))
-        )
+        ranked = assign_docids(batch_df, self.order_by)
+        interim = getattr(ranked, "_interim_caches", [])
+        delta = ranked.withColumn(DOCID, F.col(DOCID) + F.lit(int(meta["n_docs"])))
         for fld in self.facet_fields:
             if fld in batch_df.columns:
                 delta = delta.withColumn(FK_PREFIX + fld, facet_keys_col(delta, fld))
         delta = delta.persist()
         n_new = delta.count()
+        for c in interim:
+            c.unpersist()
         if n_new == 0:
             delta.unpersist()
             meta["epochs"].append(int(epoch_id))
