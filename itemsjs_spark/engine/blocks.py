@@ -41,6 +41,8 @@ def encode_varint_deltas(docids: np.ndarray) -> bytes:
     prev = 0
     for v in docids.tolist():
         d = v - prev
+        if d < 0:  # unsorted/overflowed input would loop forever below
+            raise ValueError("docids must be ascending for delta encoding")
         prev = v
         while True:
             b = d & 0x7F

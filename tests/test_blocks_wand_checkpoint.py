@@ -201,3 +201,23 @@ def test_distributed_expansion_matches_driver_path(spark, tx_engine):
             eng.fulltext_hits_batch(["s"]).count()
     finally:
         del eng.MAX_DRIVER_EXPANSION
+
+
+def test_varint_roundtrip_property():
+    """Property: encode∘decode is identity for any ascending docid list
+    (hypothesis-driven; covers 1-byte through multi-byte varint spans)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200
+        )
+    )
+    def check(deltas):
+        ids = np.cumsum(np.array(sorted(deltas), dtype=np.int64))
+        ids = np.unique(ids)
+        out = decode_varint_deltas(encode_varint_deltas(ids), len(ids))
+        assert np.array_equal(out, ids)
+
+    check()
