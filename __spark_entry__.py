@@ -371,6 +371,50 @@ def _q_events_sort_page(spark, sf_dir):
     return df.limit(25).select("_id", "event_type", F.round("value", 6).alias("value"))
 
 
+def _orders_engine(spark, sf_dir):
+    def build():
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        cfg = {
+            "aggregations": {
+                "o_orderstatus": {"size": 10},
+                "o_orderpriority": {"size": 10},
+            },
+            "native_search_enabled": False,
+            "sortings": {
+                "by_total_desc": {"field": "o_totalprice", "order": "desc"}
+            },
+            "custom_id_field": "o_orderkey",
+        }
+        return itemsjs_spark(spark, df, cfg, docid_col="o_orderkey")
+
+    return _cached(("eng_orders", sf_dir), spark, build)
+
+
+def _q_orders_crossed_counts(spark, sf_dir):
+    """Generality check: the same engine over the TPC-H orders table —
+    crossed conjunctive counts across both facet fields."""
+    eng = _orders_engine(spark, sf_dir)
+    a = eng.bucket_counts_df(
+        "o_orderstatus", {"filters": {"o_orderpriority": ["1-URGENT"]}}
+    ).withColumn("field", F.lit("o_orderstatus"))
+    b = eng.bucket_counts_df(
+        "o_orderpriority", {"filters": {"o_orderpriority": ["1-URGENT"]}}
+    ).withColumn("field", F.lit("o_orderpriority"))
+    return a.unionByName(b).select("field", "key", "doc_count")
+
+
+def _q_orders_sort_page(spark, sf_dir):
+    eng = _orders_engine(spark, sf_dir)
+    df = eng.result_df(
+        {"filters": {"o_orderstatus": ["O"]}, "sort": "by_total_desc"}
+    )
+    return df.limit(20).select(
+        "_id",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("double"), 6).alias("total"),
+    )
+
+
 def _q_query_plus_filter(spark, sf_dir):
     # fulltext hits crossed with a conjunctive facet filter (O15/O21)
     eng = _doc_engine(spark, sf_dir)
@@ -662,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "facet_counts_blocks_path": _q_facet_counts_blocks,
         "events_facet_counts": _q_events_facets,
+        "orders_crossed_counts": _q_orders_crossed_counts,
+        "orders_sort_paginate": _q_orders_sort_page,
         "events_sort_paginate": _q_events_sort_page,
         "similar_items": _q_similar,
         "aggregation_endpoint": _q_aggregation,
@@ -751,6 +797,24 @@ WITH k AS (SELECT DISTINCT event_type AS key FROM events),
 c AS (SELECT event_type AS key, count(*) AS c FROM events
       WHERE event_type <> 'error' GROUP BY 1)
 SELECT k.key, coalesce(c.c, 0)::BIGINT AS doc_count FROM k LEFT JOIN c USING (key)
+"""
+    sqls["orders_crossed_counts"] = """
+WITH sk AS (SELECT DISTINCT o_orderstatus AS key FROM orders),
+pk AS (SELECT DISTINCT o_orderpriority AS key FROM orders),
+sc AS (SELECT o_orderstatus AS key, count(*) AS c FROM orders
+       WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+pc AS (SELECT o_orderpriority AS key, count(*) AS c FROM orders
+       WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+SELECT 'o_orderstatus' AS field, sk.key, coalesce(sc.c, 0)::BIGINT AS doc_count
+FROM sk LEFT JOIN sc USING (key)
+UNION ALL
+SELECT 'o_orderpriority' AS field, pk.key, coalesce(pc.c, 0)::BIGINT AS doc_count
+FROM pk LEFT JOIN pc USING (key)
+"""
+    sqls["orders_sort_paginate"] = """
+SELECT o_orderkey AS _id, o_orderstatus, round(o_totalprice::DOUBLE, 6) AS total
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """
     sqls["events_sort_paginate"] = """
 SELECT event_id AS _id, event_type, round(value, 6) AS value FROM events
