@@ -9,7 +9,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for the main run (default 32)
   SPARK_GRAFT_BENCH_TURNS  transcript corpus size (default 60000)
-  SPARK_GRAFT_SCALING  "0" to skip the local[8]-vs-local[32] probe
+  SPARK_GRAFT_SCALING  "0" to skip the local[4]-vs-local[16] probe
 
 The scaling probe is the sandbox proxy for the north rule's N→4N
 executor criterion (BASELINE.md): the same index-build + query job at

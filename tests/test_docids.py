@@ -79,3 +79,30 @@ def test_docids_single_key_order(spark):
     ks = [r["k"] for r in rows]
     assert ks == sorted(ks)
     assert out.agg(F.countDistinct(DOCID)).collect()[0][0] == 1000
+
+
+def test_docids_property_random_key_multisets(spark):
+    """Property (hypothesis): for arbitrary key multisets the assignment
+    is always dense, unique, and ordered by (conv_id, turn_idx)."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = st.text(alphabet="abc", min_size=0, max_size=3)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(keys, st.integers(0, 9)), min_size=1, max_size=60))
+    def check(rows):
+        # turn_idx must be unique within a group for a total order
+        seen = set()
+        uniq = []
+        for k, t in rows:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                uniq.append((k, t))
+        df = spark.createDataFrame(uniq, "conv_id string, turn_idx int")
+        out = assign_docids(df, ["conv_id", "turn_idx"]).collect()
+        assert sorted(r[DOCID] for r in out) == list(range(1, len(uniq) + 1))
+        by_docid = sorted(out, key=lambda r: r[DOCID])
+        ks = [(r["conv_id"], r["turn_idx"]) for r in by_docid]
+        assert ks == sorted(uniq)
+
+    check()
