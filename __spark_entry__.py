@@ -282,6 +282,40 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _q_wand_filtered(spark, sf_dir):
+    """Filtered block-max WAND: facet filter evaluated INSIDE each docid
+    range's scoring group (facet blocks co-locate with posting blocks by
+    range) — rank/score-identical to exact scoring ∩ filter."""
+    from itemsjs_spark.engine import facetblocks as fb
+    from itemsjs_spark.engine.blocks import build_posting_blocks
+
+    eng = _doc_engine(spark, sf_dir)
+
+    def build_blocks():
+        eng._ensure_fulltext_materialized()
+        b = build_posting_blocks(
+            eng.index.postings, range_size=64, block_size=32
+        ).persist()
+        b.count()
+        return b
+
+    def build_fblocks():
+        b = fb.build_facet_blocks(eng.index, range_size=64, block_size=32).persist()
+        b.count()
+        return b
+
+    blocks = _cached(("blocks", sf_dir), spark, build_blocks)
+    fblocks = _cached(("fblocks64", sf_dir), spark, build_fblocks)
+    hits = eng.fulltext_topk_filtered(
+        "spark", 25, {"lang": ["en"]}, blocks=blocks, facet_blocks=fblocks
+    )
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 def _q_ft_blocks_engine(spark, sf_dir):
     """Production path: SearchEngine reconstructed from the CHECKPOINTED
     compressed block store (Index.write_blocks → Index.read); the exact
@@ -704,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_plus_facet": _q_query_plus_filter,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
+        "fulltext_wand_filtered": _q_wand_filtered,
         "facet_counts_blocks_path": _q_facet_counts_blocks,
         "events_facet_counts": _q_events_facets,
         "orders_crossed_counts": _q_orders_crossed_counts,
@@ -792,6 +827,13 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # engine rebuilt from the checkpointed block store: same scores
     sqls["fulltext_blocks_engine"] = _ft_sql("fast join", 50)
+    # filtered WAND: exact scoring ∩ facet filter, re-ranked top-25
+    _ft_all = _ft_sql("spark", 10**9)
+    sqls["fulltext_wand_filtered"] = (
+        f"SELECT _id, score FROM ({_ft_all}) q "
+        "JOIN documents d ON d.doc_id = q._id WHERE d.lang = 'en' "
+        "ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT 25"
+    )
     sqls["events_facet_counts"] = """
 WITH k AS (SELECT DISTINCT event_type AS key FROM events),
 c AS (SELECT event_type AS key, count(*) AS c FROM events

@@ -376,6 +376,63 @@ class SearchEngine:
             batch_ranges=batch_ranges,
         ).withColumnRenamed("_docid", DOCID).withColumnRenamed("__score", SCORE)
 
+    def fulltext_topk_filtered(
+        self,
+        query: str,
+        k: int,
+        filters: Dict[str, Sequence[Any]],
+        blocks: Optional[DataFrame] = None,
+        facet_blocks: Optional[DataFrame] = None,
+        batch_ranges: int = 64,
+    ) -> DataFrame:
+        """Filtered block-max WAND: top-k among docs matching the query
+        AND a conjunctive facet selection (OR within a field's values,
+        AND across fields) — the filter intersection happens INSIDE each
+        range's scoring group (facet-posting blocks co-locate with the
+        query's posting blocks by docid range), so selective filters
+        never materialize an unfiltered candidate set.
+
+        ``facet_blocks`` must be built with the same range_size as
+        ``blocks`` (facetblocks.build_facet_blocks)."""
+        from .wand import wand_topk
+
+        if blocks is None:
+            blocks = self.index.posting_blocks
+        if blocks is None or facet_blocks is None:
+            raise ValueError(
+                "fulltext_topk_filtered needs posting AND facet block tables"
+            )
+        try:
+            analyzed = self._query_vector(query)
+        except _ExpansionTooLarge:
+            raise EngineError(
+                "prefix expansion exceeds driver capacity; use fulltext_hits"
+            )
+        empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
+        if analyzed is None:
+            return empty
+        qv, idf_map = analyzed
+        term_weights = {t: qv.weights[t] * idf_map[t] for t in qv.weights}
+        term_masks = {
+            t: sum(1 << i for i in qv.term_tokens[t]) for t in qv.weights
+        }
+        filter_fields = {
+            fld: [x for x in (js_key(v) for v in vals or []) if x is not None]
+            for fld, vals in filters.items()
+        }
+        return wand_topk(
+            self.spark,
+            blocks,
+            term_weights,
+            term_masks,
+            (1 << qv.n_tokens) - 1,
+            qv.magnitude,
+            k,
+            batch_ranges=batch_ranges,
+            filter_blocks=facet_blocks,
+            filter_fields=filter_fields,
+        ).withColumnRenamed("_docid", DOCID).withColumnRenamed("__score", SCORE)
+
     def fulltext_hits_batch(self, queries: Sequence[str]) -> DataFrame:
         """Score MANY queries in ONE Spark job: (qid, _docid, __score).
 

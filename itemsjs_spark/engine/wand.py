@@ -42,6 +42,8 @@ def wand_topk(
     magnitude: float,
     k: int,
     batch_ranges: int = 64,
+    filter_blocks: Optional[DataFrame] = None,
+    filter_fields: Optional[Dict[str, List[str]]] = None,
 ) -> DataFrame:
     """Top-k (_docid, __score) for an analyzed query.
 
@@ -49,12 +51,35 @@ def wand_topk(
     in SearchEngine.fulltext_hits); contribution of a posting = w * tf.
     term_masks: term -> bitmask of query-token indexes it expands.
     full_mask: all query tokens — a doc must cover it (conjunctive AND).
-    """
+
+    Filtered WAND: ``filter_blocks`` is a facet-posting block table
+    (facetblocks.py; terms = ``field␟key``) built with the SAME
+    range_size as ``blocks``; ``filter_fields`` maps field → accepted
+    keys (OR within a field, AND across fields). Because facet and
+    fulltext blocks share docid ranges, each admitted range's facet
+    postings co-locate with its query postings in the same
+    applyInPandas group — the filter intersection is evaluated locally
+    during scoring, shuffle-free, and pruning bounds stay admissible
+    (filtering only removes candidates)."""
     terms = sorted(term_weights)
     if not terms or magnitude == 0.0:
         return spark.createDataFrame([], "_docid long, __score double")
 
     tblocks = blocks.filter(F.col("term").isin(terms))
+    n_filter_fields = 0
+    if filter_blocks is not None and filter_fields:
+        from .facetblocks import SEP
+
+        fterms = sorted(
+            f + SEP + key for f, keys in filter_fields.items() for key in keys
+        )
+        field_of = {t: t.split(SEP, 1)[0] for t in fterms}
+        n_filter_fields = len(set(field_of.values()))
+        tblocks = tblocks.unionByName(
+            filter_blocks.filter(F.col("term").isin(fterms))
+        )
+    else:
+        field_of = {}
 
     # ---- phase 1: per-range upper bounds from metadata only ----------
     w_rows = [(t, float(term_weights[t])) for t in terms]
@@ -74,12 +99,33 @@ def wand_topk(
 
     def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
         # decode all blocks of this range, accumulate per-doc
-        # (score, token-mask); conjunctive filter; local top-k
+        # (score, token-mask); conjunctive + facet filter; local top-k
         per_term: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
+        per_field: Dict[str, List[np.ndarray]] = {}
         for _, row in pdf.iterrows():
             d = decode_varint_deltas(bytes(row["docids"]), int(row["n"]))
+            fld = field_of.get(row["term"])
+            if fld is not None:  # facet-posting block: filter side
+                per_field.setdefault(fld, []).append(d)
+                continue
             t = np.frombuffer(bytes(row["tfs"]), dtype=np.float64)
             per_term.setdefault(row["term"], []).append((d, t))
+        if not per_term:
+            return pd.DataFrame({"_docid": [], "__score": []}).astype(
+                {"_docid": "int64", "__score": "float64"}
+            )
+        allowed: Optional[np.ndarray] = None
+        if n_filter_fields:
+            if len(per_field) < n_filter_fields:
+                # some required field has no values in this range
+                return pd.DataFrame({"_docid": [], "__score": []}).astype(
+                    {"_docid": "int64", "__score": "float64"}
+                )
+            for parts in per_field.values():
+                ids = np.unique(np.concatenate(parts))  # OR within field
+                allowed = ids if allowed is None else np.intersect1d(
+                    allowed, ids, assume_unique=True
+                )
         all_ids = np.concatenate(
             [d for parts in per_term.values() for d, _ in parts]
         )
@@ -94,6 +140,8 @@ def wand_topk(
                 score[idx] += w * t
                 mask[idx] |= m
         ok = mask == full_mask
+        if allowed is not None:
+            ok &= np.isin(uniq, allowed, assume_unique=True)
         ids, sc = uniq[ok], score[ok]
         if len(ids) > k:
             # top-k by (score desc, str(docid) asc) — lexicographic ref

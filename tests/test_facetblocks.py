@@ -104,3 +104,53 @@ def test_term_predicate_prunes_facet_block_scan(eng_blocks, spark, tmp_path):
     text = buf.getvalue()
     pushed = [ln for ln in text.splitlines() if "PushedFilters" in ln and "term" in ln]
     assert any("assistant" in ln for ln in pushed), text
+
+
+def test_filtered_wand_matches_exact_filtered_topk(spark):
+    """WAND with in-range facet filtering == exact scorer ∩ facet filter
+    (ranks AND scores), across conjunctive multi-field filters."""
+    from itemsjs_spark.engine.blocks import build_posting_blocks
+
+    tdf = transcripts_df(spark, n_turns=2500, n_convs=250, seed=21)
+    cfg = {
+        "aggregations": {"role": {"size": 10}, "tool": {"size": 10}},
+        "searchableFields": ["text"],
+    }
+    eng = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    eng._ensure_fulltext_materialized()
+    blocks = build_posting_blocks(
+        eng.index.postings, range_size=512, block_size=64
+    ).persist()
+    fblocks = fb.build_facet_blocks(
+        eng.index, range_size=512, block_size=64
+    ).persist()
+
+    cases = [
+        ("spark", {"role": ["assistant"]}),
+        ("shuffle partition", {"role": ["assistant"], "tool": ["bash"]}),
+        ("s", {"role": ["user", "system"]}),
+        ("spark", {"tool": ["browser"]}),
+    ]
+    docs = eng.index.docs
+    for q, filters in cases:
+        got = sorted(
+            map(tuple, eng.fulltext_topk_filtered(
+                q, 10, filters, blocks=blocks, facet_blocks=fblocks
+            ).collect())
+        )
+        pred = None
+        for fld, vals in filters.items():
+            c = F.arrays_overlap(
+                f"__fk_{fld}", F.array(*[F.lit(v) for v in vals])
+            )
+            pred = c if pred is None else (pred & c)
+        exact = (
+            eng.fulltext_hits(q)
+            .join(docs.filter(pred).select("_docid"), "_docid", "left_semi")
+            .orderBy(F.col("__score").desc(), F.col("_docid").cast("string").asc())
+            .limit(10)
+        )
+        want = sorted(map(tuple, exact.collect()))
+        assert got == want, (q, filters)
+    blocks.unpersist()
+    fblocks.unpersist()
