@@ -66,23 +66,32 @@ class _HadoopFS:
         return bool(self._fs.exists(self._path(p)))
 
     def write_text(self, p: str, text: str) -> None:
-        out = self._fs.create(self._path(p), True)
+        """Crash-safe overwrite: write to a sibling .tmp, then swap. The
+        final rename is atomic; if a crash lands between the delete and
+        the rename, read_text recovers from the completed .tmp — the
+        control file (manifest / commit record) is never half-written."""
+        tmp = p + ".tmp"
+        out = self._fs.create(self._path(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        self.delete(p)
+        self._fs.rename(self._path(tmp), self._path(p))
 
     def read_text(self, p: str) -> Optional[str]:
-        path = self._path(p)
-        if not self._fs.exists(path):
-            return None
-        stream = self._fs.open(path)
-        try:
-            return self._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
+        for cand in (p, p + ".tmp"):  # .tmp: crash between delete+rename
+            path = self._path(cand)
+            if not self._fs.exists(path):
+                continue
+            stream = self._fs.open(path)
+            try:
+                return self._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+        return None
 
     def delete(self, p: str) -> None:
         path = self._path(p)
@@ -96,12 +105,13 @@ class _HadoopFS:
         self._fs.rename(self._path(src), self._path(dst))
 
     def list_parquet(self, p: str):
+        return [n for n in self.list_names(p) if n.endswith(".parquet")]
+
+    def list_names(self, p: str):
         names = []
         it = self._fs.listFiles(self._path(p), False)
         while it.hasNext():
-            st = it.next()
-            if st.getPath().getName().endswith(".parquet"):
-                names.append(st.getPath().getName())
+            names.append(it.next().getPath().getName())
         return sorted(names)
 
     def parquet_sizes(self, p: str):
@@ -249,6 +259,15 @@ def append_blocks_checkpointed(
             resumed.append(b)
             manifests.append(m)
             continue
+        # a compaction may have folded this snapshot into the base —
+        # re-appending it would silently duplicate postings
+        base = _read_manifest(fs, out_path, b)
+        if base and str(snapshot) in base.get("folded_snapshots", []):
+            resumed.append(b)
+            manifests.append(
+                {"bucket": b, "snapshot": snapshot, "folded": True}
+            )
+            continue
         t0 = time.time()
         part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
         blocks = build_posting_blocks(
@@ -258,6 +277,13 @@ def append_blocks_checkpointed(
         blocks.write.mode("overwrite").parquet(tmp)
         n_rows = part.agg(F.count("*")).collect()[0][0]
         fs.mkdirs(bdir)  # first snapshot into a fresh bucket dir
+        # a crashed earlier attempt may have renamed in MORE files than
+        # this attempt produces (partition counts can differ) — clear
+        # this snapshot's files first so the append is truly idempotent
+        if fs.exists(bdir):
+            for fn in fs.list_parquet(bdir):
+                if fn.startswith(f"snap-{snapshot}-"):
+                    fs.delete(posixpath.join(bdir, fn))
         moved = 0
         for i, fn in enumerate(fs.list_parquet(tmp)):
             fs.rename(
@@ -311,12 +337,34 @@ def compact_blocks(
     for b in range(n_buckets):
         bdir = _bucket_dir(out_path, b)
         tmp = posixpath.join(staging_root, f"bucket={b}")
-        # crash recovery: adopt a finished staging dir whose swap died
-        if fs.exists(tmp) and not fs.exists(bdir):
+        # crash recovery: the staging MANIFEST is the completion marker.
+        # If it exists, the encode finished and the swap may have died
+        # anywhere (including mid-delete of bdir, which is not atomic) —
+        # adopt staging. Without it, staging is a partial encode: drop
+        # it and recompact from the (still intact) bucket dir.
+        if fs.exists(posixpath.join(tmp, MANIFEST)):
+            fs.delete(bdir)
             fs.rename(tmp, bdir)
+            m = _read_manifest(fs, out_path, b)
+            if m:
+                report.append(m)
+            continue
+        fs.delete(tmp)
         if not fs.exists(bdir):
             continue
         t0 = time.time()
+        # snapshots being folded in: their sidecar manifests are about
+        # to disappear, so record their ids — append_blocks_checkpointed
+        # treats folded snapshots as already applied (no duplicates on a
+        # replayed append-then-compact pipeline)
+        folded = set()
+        old_base = _read_manifest(fs, out_path, b) or {}
+        folded.update(str(s) for s in old_base.get("folded_snapshots", []))
+        for name in fs.list_names(bdir):
+            if name.startswith("_manifest.") and name.endswith(".json"):
+                snap = name[len("_manifest."):-len(".json")]
+                if snap:
+                    folded.add(snap.removesuffix(".tmp"))
         postings = postings_from_blocks(spark.read.parquet(bdir)).persist()
         fp = input_fingerprint(postings)
         blocks = build_posting_blocks(
@@ -335,6 +383,7 @@ def compact_blocks(
             "duration_s": round(time.time() - t0, 3),
             "attempt": 1,
             "compacted": True,
+            "folded_snapshots": sorted(folded),
             "input_fingerprint": fp,
             "finished_at_epoch": int(time.time()),
         }

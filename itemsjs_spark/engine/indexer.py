@@ -272,13 +272,25 @@ class Index:
         )
         if self.postings is None:
             raise ValueError("write_blocks needs row-level postings to encode")
+        # the checkpointed build scans postings once per bucket (plus the
+        # fingerprint pass); an unmaterialized tokenizer plan would re-run
+        # the Arrow tokenizer ~n_buckets times over the corpus — pin it
+        postings = self.postings
+        pinned_here = postings.storageLevel.useMemory is False and (
+            postings.storageLevel.useDisk is False
+        )
+        if pinned_here:
+            postings = postings.persist()
+            postings.count()
         report = build_blocks_checkpointed(
-            self.postings,
+            postings,
             os.path.join(path, "posting_blocks"),
             n_buckets=n_buckets,
             range_size=range_size,
             block_size=block_size,
         )
+        if pinned_here:
+            postings.unpersist()
         self.terms.repartitionByRange(
             max(self.spark.sparkContext.defaultParallelism, 1), "term"
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(

@@ -334,6 +334,7 @@ class SearchEngine:
         k: int,
         blocks: Optional[DataFrame] = None,
         batch_ranges: int = 64,
+        _analyzed=None,
     ) -> DataFrame:
         """Block-max WAND top-k over a compressed posting-block table
         (blocks.py layout; defaults to the index's own block store).
@@ -349,7 +350,7 @@ class SearchEngine:
                 "open the index via Index.read over a write_blocks store"
             )
         try:
-            analyzed = self._query_vector(query)
+            analyzed = _analyzed if _analyzed is not None else self._query_vector(query)
         except _ExpansionTooLarge:
             raise EngineError(
                 "prefix expansion exceeds driver capacity; WAND needs the "
@@ -661,7 +662,9 @@ class SearchEngine:
             "term",
             (F.col("__fw.val") * F.col("__idf")).alias("w"),
             "mask",
-        )
+        ).persist()
+        termvec.count()
+        exp.unpersist()  # the (larger) expansion table is folded in now
 
         if idx.postings is not None:
             postings = idx.postings
@@ -848,7 +851,10 @@ class SearchEngine:
             )
 
         if self._wand_search_applies(input):
-            return self._search_wand(input)
+            try:
+                return self._search_wand(input)
+            except _ExpansionTooLarge:
+                pass  # oversized prefix: the standard path spills distributed
 
         t_search = time.time()
         hits, _ = self._candidates(input)
@@ -982,13 +988,17 @@ class SearchEngine:
         mrows = [
             (t, sum(1 << i for i in qv.term_tokens[t])) for t in qv.weights
         ]
-        mmap = F.create_map(
-            *[x for t, m_ in mrows for x in (F.lit(t), F.lit(m_))]
-        )
+        subset = self.index.postings_subset(list(qv.weights))
+        if len(mrows) <= self.MAX_MAP_LITERAL_TERMS:
+            mmap = F.create_map(
+                *[x for t, m_ in mrows for x in (F.lit(t), F.lit(m_))]
+            )
+            masked = subset.withColumn("mask", mmap[F.col("term")])
+        else:  # big prefix expansion: broadcast join, not a giant literal
+            mdf = self.spark.createDataFrame(mrows, "term string, mask long")
+            masked = subset.join(F.broadcast(mdf), "term")
         total = (
-            self.index.postings_subset(list(qv.weights))
-            .withColumn("mask", mmap[F.col("term")])
-            .groupBy(DOCID)
+            masked.groupBy(DOCID)
             .agg(F.bit_or("mask").alias("mask"))
             .filter(F.col("mask") == full_mask)
             .count()
@@ -996,7 +1006,7 @@ class SearchEngine:
 
         t_p = time.time()
         k = page * per_page
-        topk = self.fulltext_topk(query, k)
+        topk = self.fulltext_topk(query, k, _analyzed=analyzed)
         ranked = topk.orderBy(
             F.col(SCORE).desc(), F.col(DOCID).cast("string").asc()
         ).offset((page - 1) * per_page).limit(per_page)

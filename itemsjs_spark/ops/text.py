@@ -81,10 +81,13 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     No driver-side state; the token model never leaves the cluster."""
     tok = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = tok.count()
-    scored = tok.join(freq, "tok").select(
+    # corpus size derived INSIDE the plan (Σ cnt over the small frequency
+    # table, broadcast as one row) — no separate driver count() job, and
+    # the exploded tokens are scanned only where the plan needs them
+    total = freq.agg(F.sum("cnt").cast("double").alias("__tot"))
+    scored = tok.join(freq, "tok").crossJoin(F.broadcast(total)).select(
         id_col,
-        (-F.log(F.col("cnt").cast("double") / F.lit(float(total)))).alias("nll"),
+        (-F.log(F.col("cnt").cast("double") / F.col("__tot"))).alias("nll"),
     )
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),

@@ -191,3 +191,37 @@ def test_block_store_compaction(spark, corpora, tmp_path):
     merged = sorted(map(tuple, postings_from_blocks(read_blocks(spark, out)).collect()))
     expect = sorted(map(tuple, appended.index.postings.collect()))
     assert merged == expect
+
+
+def test_append_replay_after_compaction_is_folded(spark, corpora, tmp_path):
+    """Compaction records folded snapshot ids: replaying an already-
+    folded append must be a no-op (no duplicate postings)."""
+    from itemsjs_spark.engine.blocks import postings_from_blocks
+    from itemsjs_spark.engine.checkpoint import compact_blocks
+
+    base, delta = corpora
+    out = str(tmp_path / "blocks")
+    base_eng = itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"])
+    base_eng._ensure_fulltext_materialized()
+    build_blocks_checkpointed(
+        base_eng.index.postings, out, n_buckets=2, range_size=512, block_size=64
+    )
+    appended = base_eng.append(delta, order_by=["conv_id", "turn_idx"])
+    delta_postings = appended.index.postings.subtract(
+        base_eng.index.postings
+    ).persist()
+    append_blocks_checkpointed(
+        delta_postings, out, snapshot="s2", n_buckets=2, range_size=512, block_size=64
+    )
+    compact_blocks(spark, out, n_buckets=2, range_size=512, block_size=64)
+    before = read_blocks(spark, out).agg(F.sum("n")).collect()[0][0]
+    rep = append_blocks_checkpointed(
+        delta_postings, out, snapshot="s2", n_buckets=2, range_size=512, block_size=64
+    )
+    assert rep["built"] == [] and sorted(rep["resumed"]) == [0, 1]
+    after = read_blocks(spark, out).agg(F.sum("n")).collect()[0][0]
+    assert after == before
+    # and the merged store still equals the appended postings multiset
+    merged = sorted(map(tuple, postings_from_blocks(read_blocks(spark, out)).collect()))
+    expect = sorted(map(tuple, appended.index.postings.collect()))
+    assert merged == expect
