@@ -179,6 +179,10 @@ class Index:
     # is the postings source of record — `postings` may be None and the
     # exact scorer decodes only the query terms' blocks
     posting_blocks: Optional[DataFrame] = None
+    # facet-value posting blocks (facetblocks.py; terms = field␟key):
+    # when set, conjunctive facet filters can run as index-side set
+    # algebra instead of corpus scans
+    facet_posting_blocks: Optional[DataFrame] = None
 
     def postings_subset(self, terms: Sequence[str]) -> DataFrame:
         """Row-level postings restricted to ``terms`` — THE read API for
@@ -296,6 +300,16 @@ class Index:
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(
             os.path.join(path, "terms")
         )
+        if self.facet_fields:
+            from .facetblocks import build_facet_blocks
+
+            build_facet_blocks(
+                self, range_size=range_size, block_size=block_size
+            ).repartitionByRange(
+                max(self.spark.sparkContext.defaultParallelism, 1), "term"
+            ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+                os.path.join(path, "facet_blocks")
+            )
         self._write_meta(path)
         return report
 
@@ -307,13 +321,15 @@ class Index:
 
         fs = _HadoopFS(spark, path)
         meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
-        postings = terms = blocks = None
+        postings = terms = blocks = fblocks = None
         if fs.exists(os.path.join(path, "terms")):
             terms = spark.read.parquet(os.path.join(path, "terms"))
         if fs.exists(os.path.join(path, "postings")):
             postings = spark.read.parquet(os.path.join(path, "postings"))
         elif fs.exists(os.path.join(path, "posting_blocks")):
             blocks = read_blocks(spark, os.path.join(path, "posting_blocks"))
+        if fs.exists(os.path.join(path, "facet_blocks")):
+            fblocks = spark.read.parquet(os.path.join(path, "facet_blocks"))
         return Index(
             spark=spark,
             docs=spark.read.parquet(os.path.join(path, "docs")),
@@ -325,6 +341,7 @@ class Index:
             text_fields=[tuple(t) for t in meta["text_fields"]],
             configuration=meta["configuration"],
             posting_blocks=blocks,
+            facet_posting_blocks=fblocks,
         )
 
 

@@ -855,6 +855,8 @@ class SearchEngine:
                 return self._search_wand(input)
             except _ExpansionTooLarge:
                 pass  # oversized prefix: the standard path spills distributed
+        if self._facetblock_search_applies(input):
+            return self._search_facetblocks(input)
 
         t_search = time.time()
         hits, _ = self._candidates(input)
@@ -1037,6 +1039,129 @@ class SearchEngine:
         }
 
     # ------------------------------------------------------------------
+    # facet-block search (index-side set algebra, block-backed configs)
+    # ------------------------------------------------------------------
+    def _facetblock_search_applies(self, input: Dict[str, Any]) -> bool:
+        """Conjunctive filters-only search over an index with facet
+        posting blocks: candidates come from per-value docid sets (the
+        bitmap-AND analog), never a corpus predicate scan. Disjunctive
+        fields (self-exclusion needs per-bucket filter sets), negatives,
+        DNF, queries and callback filters keep the standard path."""
+        filters = input.get("filters")
+        if not filters or self.index.facet_posting_blocks is None:
+            return False
+        if (
+            input.get("query")
+            or input.get("_ids") is not None
+            or input.get("ids") is not None
+            or callable(input.get("filter"))
+            or input.get("not_filters")
+            or input.get("filters_query")
+        ):
+            return False
+        dim = self._facet_dim_cache()
+        if dim is None:
+            return False  # huge dims use their dedicated path
+        dim_keys = {f: {k for k, _ in pairs} for f, pairs in dim.items()}
+        for fld, vals in filters.items():
+            agg = self.aggregations.get(fld)
+            if agg is None or agg.get("conjunction") is False:
+                return False
+            if not vals:
+                return False
+            keys = [js_key(v) for v in vals]
+            # a value absent from the index triggers the reference's
+            # exists-probe quirks — reproduced only by the scan path
+            if any(k is None or k not in dim_keys.get(fld, ()) for k in keys):
+                return False
+        return True
+
+    def _search_facetblocks(self, input: Dict[str, Any]) -> Dict[str, Any]:
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .facetblocks import (
+            crossed_bucket_counts,
+            docids_for_values,
+            intersect_all,
+        )
+
+        t0 = time.time()
+        per_page, page = _parse_paging(input)
+        fblocks = self.index.facet_posting_blocks
+
+        t_s = time.time()
+        sets = [
+            docids_for_values(
+                fblocks, fld, [js_key(v) for v in vals], conjunctive=True
+            )
+            for fld, vals in input["filters"].items()
+        ]
+        fd = intersect_all(sets).persist()
+        total = fd.count()
+        search_time = time.time() - t_s
+
+        # per-field crossed counts and the page collect all depend only
+        # on the (small, cached) filter set — run them concurrently
+        t_f = time.time()
+
+        def field_counts(fld):
+            rows = crossed_bucket_counts(self.index, fblocks, fld, fd).collect()
+            return fld, {r["key"]: r["doc_count"] for r in rows}
+
+        flt = self.index.docs.join(fd, DOCID, "left_semi")
+        ordered = self._order(flt, input, None)
+        page_df = ordered.offset((page - 1) * per_page).limit(per_page)
+        keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)]
+        page_secs = [0.0]
+
+        def run_page():
+            t_p = time.time()
+            out = [
+                _row_to_item(r)
+                for r in page_df.select(*keep)
+                .withColumnRenamed(DOCID, "_id")
+                .collect()
+            ]
+            page_secs[0] = time.time() - t_p
+            return out
+
+        with ThreadPoolExecutor(
+            max_workers=len(self.index.facet_fields) + 1
+        ) as ex:
+            f_page = ex.submit(run_page)
+            futures = [
+                ex.submit(field_counts, fld) for fld in self.index.facet_fields
+            ]
+            counts = dict(f.result() for f in futures)
+            items = f_page.result()
+        aggregations = self._assemble_buckets(
+            input, counts, self._facet_dim_cache()
+        )
+        facets_time = time.time() - t_f
+
+        all_filtered_items = None
+        if input.get("is_all_filtered_items"):
+            all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
+            all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
+        fd.unpersist()
+
+        return {
+            "pagination": {"per_page": per_page, "page": page, "total": total},
+            "timings": {
+                "total": int((time.time() - t0) * 1000),
+                "facets": int(facets_time * 1000),
+                "search": int(search_time * 1000),
+                "sorting": int(page_secs[0] * 1000),
+            },
+            "data": {
+                "items": items,
+                "allFilteredItems": all_filtered_items,
+                "aggregations": aggregations,
+            },
+        }
+
+    # ------------------------------------------------------------------
     # buckets (helpers.ts:388-520)
     # ------------------------------------------------------------------
     def bucket_counts_df(
@@ -1213,6 +1338,19 @@ class SearchEngine:
                 total = r["doc_count"]
                 continue
             counts[r["field"]][r["key"]] = r["doc_count"]
+        return self._assemble_buckets(input, counts, dim), total
+
+    def _assemble_buckets(
+        self,
+        input: Dict[str, Any],
+        counts: Dict[str, Dict[str, int]],
+        dim: Dict[str, List[Tuple[str, int]]],
+    ) -> Dict[str, Any]:
+        """Driver-side reference-parity bucket assembly (zero-count fill,
+        selected flags, lodash ordering, facet_stats) from per-field
+        count maps — shared by the scan path and the facet-block path."""
+        from ..core.ordering import bucket_sort_spec, order_by
+        from ..jsutil import js_is_nan_str, js_parse_int
 
         out: Dict[str, Any] = {}
         position = 1
@@ -1262,7 +1400,7 @@ class SearchEngine:
                     "sum": sum(vals),
                 }
             out[fld] = entry
-        return out, total
+        return out
 
     def _get_buckets_huge(
         self,

@@ -173,3 +173,37 @@ def test_wand_search_fast_path_matches_full_engine(spark, tmp_path):
             i["_id"] for i in a["data"]["items"]
         ], inp
         assert b["data"]["aggregations"] == a["data"]["aggregations"] == {}
+
+
+def test_facetblock_search_path_matches_scan_path(spark, block_engines):
+    """Filters-only search() on a block-backed index routes through the
+    facet-posting-block set algebra — response-identical to the scan
+    path, including zero buckets and selected flags."""
+    mem, disk, _report = block_engines
+    assert disk.index.facet_posting_blocks is not None
+    assert disk._facetblock_search_applies({"filters": {"tool": ["bash"]}})
+    assert not mem._facetblock_search_applies({"filters": {"tool": ["bash"]}})
+    # query present / negatives / unknown fields keep the standard path
+    assert not disk._facetblock_search_applies(
+        {"query": "spark", "filters": {"tool": ["bash"]}}
+    )
+    assert not disk._facetblock_search_applies(
+        {"filters": {"tool": ["bash"]}, "not_filters": {"role": ["user"]}}
+    )
+    for inp in (
+        {"filters": {"tool": ["bash"]}},
+        {"filters": {"role": ["assistant"]}, "per_page": 5, "page": 2},
+        {"filters": {"role": ["assistant"], "tool": ["grep"]}},
+        {"filters": {"role": ["nope-not-a-role"]}},
+        {"filters": {"role": ["user"]}, "sort": None, "per_page": 3},
+    ):
+        a = mem.search(dict(inp))
+        b = disk.search(dict(inp))
+        assert b["pagination"] == a["pagination"], inp
+        assert [i["_id"] for i in b["data"]["items"]] == [
+            i["_id"] for i in a["data"]["items"]
+        ], inp
+        for fld, entry in a["data"]["aggregations"].items():
+            assert (
+                b["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
+            ), (inp, fld)
