@@ -12,6 +12,13 @@ and compaction without any new codec or storage code.
 Operations provided (each a bounded relational plan, never a corpus
 scan):
 
+* ``BlockSetAlgebra``    — evaluates the compiled facet predicate IR
+  (core/facetir.py: contains/hasvalue/and/or/not) as docid-set algebra:
+  contains → one value's decoded posting list, AND → left-semi join
+  chain, OR → distinct union, NOT inside AND → left-anti join. This is
+  the block-store analog of the reference's bitmap AND/OR/sub
+  (src/helpers.ts:147-253) and serves conjunctive, disjunctive
+  (self-exclusion), negative and DNF ``filters_query`` searches alike.
 * ``docids_for_values``  — one facet field's filter as a docid set:
   conjunctive (docid matches ALL values: one groupBy counting distinct
   matched values) or disjunctive (distinct union).
@@ -74,6 +81,108 @@ def _subset(fblocks: DataFrame, terms: Sequence[str]) -> DataFrame:
     """Decode only the requested values' blocks (term predicate lands on
     the compressed scan)."""
     return postings_from_blocks(fblocks.filter(F.col("term").isin(list(terms))))
+
+
+def _freeze(pred: tuple):
+    """Hashable canonical form of a facetir IR node (AND/OR carry lists)."""
+    op = pred[0]
+    if op in ("and", "or"):
+        return (op, tuple(_freeze(p) for p in pred[1]))
+    if op == "not":
+        return ("not", _freeze(pred[1]))
+    return pred
+
+
+class BlockSetAlgebra:
+    """Facet predicate IR → docid-set DataFrames over facet posting blocks.
+
+    ``docids(pred)`` returns ``True`` (every document), ``False`` (no
+    document), or a DataFrame of one ``_docid`` column. Leaves decode
+    only their own value's blocks (term predicate pushed into the
+    compressed scan); AND chains left-semi joins, OR unions distinct,
+    and a NOT child inside an AND becomes a left-anti join — so a
+    negative filter never materializes a complement. A bare NOT (only
+    reachable through OR-of-NOT inputs) anti-joins against the docs
+    docid column, the one place the universe is touched.
+
+    Results are memoized per instance by IR shape, so the shared
+    conjunctive+negative core of per-field bucket predicates
+    (helpers.ts:147-253) is planned once per request.
+    """
+
+    def __init__(self, index: Index, fblocks: DataFrame):
+        self.index = index
+        self.fblocks = fblocks
+        self._memo: dict = {}
+
+    def universe(self) -> DataFrame:
+        return self.index.docs.select(DOCID)
+
+    def as_df(self, res) -> DataFrame:
+        if res is True:
+            return self.universe()
+        if res is False:
+            return self.universe().limit(0)
+        return res
+
+    def docids(self, pred: tuple):
+        key = _freeze(pred)
+        if key not in self._memo:
+            self._memo[key] = self._eval(pred)
+        return self._memo[key]
+
+    def _eval(self, pred: tuple):
+        op = pred[0]
+        if op == "true":
+            return True
+        if op == "false":
+            return False
+        if op == "contains":
+            return _subset(self.fblocks, [pred[1] + SEP + pred[2]]).select(DOCID)
+        if op == "hasvalue":
+            return (
+                postings_from_blocks(
+                    self.fblocks.filter(F.col("term").startswith(pred[1] + SEP))
+                )
+                .select(DOCID)
+                .distinct()
+            )
+        if op == "not":
+            inner = self.docids(pred[1])
+            if isinstance(inner, bool):
+                return not inner
+            return self.universe().join(inner, DOCID, "left_anti")
+        if op == "and":
+            pos, neg = [], []
+            for p in pred[1]:
+                if p[0] == "not":
+                    neg.append(self.docids(p[1]))
+                else:
+                    pos.append(self.docids(p))
+            if any(s is False for s in pos) or any(s is True for s in neg):
+                return False
+            pos = [s for s in pos if s is not True]
+            neg = [s for s in neg if s is not False]
+            if not pos and not neg:
+                return True
+            out = pos[0] if pos else self.universe()
+            for s in pos[1:]:
+                out = out.join(s, DOCID, "left_semi")
+            for s in neg:
+                out = out.join(s, DOCID, "left_anti")
+            return out
+        if op == "or":
+            parts = [self.docids(p) for p in pred[1]]
+            if any(s is True for s in parts):
+                return True
+            parts = [s for s in parts if s is not False]
+            if not parts:
+                return False
+            out = parts[0]
+            for s in parts[1:]:
+                out = out.unionByName(s)
+            return out.distinct() if len(parts) > 1 else out
+        raise ValueError(f"unsupported IR node for block algebra: {pred!r}")
 
 
 def docids_for_values(

@@ -1042,74 +1042,90 @@ class SearchEngine:
     # facet-block search (index-side set algebra, block-backed configs)
     # ------------------------------------------------------------------
     def _facetblock_search_applies(self, input: Dict[str, Any]) -> bool:
-        """Conjunctive filters-only search over an index with facet
-        posting blocks: candidates come from per-value docid sets (the
-        bitmap-AND analog), never a corpus predicate scan. Disjunctive
-        fields (self-exclusion needs per-bucket filter sets), negatives,
-        DNF, queries and callback filters keep the standard path."""
-        filters = input.get("filters")
-        if not filters or self.index.facet_posting_blocks is None:
+        """Filter-algebra search over an index with facet posting blocks:
+        candidates and per-field bucket filter sets come from per-value
+        docid posting lists (the reference's bitmap algebra,
+        helpers.ts:147-253), never a corpus predicate scan. Covers
+        conjunctive, disjunctive (self-exclusion), negative and DNF
+        ``filters_query`` inputs — the exists-probe / missing-value
+        quirks live in the shared IR compiler, so parity is inherited.
+        Queries, _ids/ids and callback filters keep the standard path."""
+        if self.index.facet_posting_blocks is None:
             return False
+        if not (
+            input.get("filters")
+            or input.get("not_filters")
+            or input.get("filters_query")
+        ):
+            return False  # unfiltered search: the scan path is one pass
         if (
             input.get("query")
             or input.get("_ids") is not None
             or input.get("ids") is not None
             or callable(input.get("filter"))
-            or input.get("not_filters")
-            or input.get("filters_query")
         ):
             return False
-        dim = self._facet_dim_cache()
-        if dim is None:
-            return False  # huge dims use their dedicated path
-        dim_keys = {f: {k for k, _ in pairs} for f, pairs in dim.items()}
-        for fld, vals in filters.items():
-            agg = self.aggregations.get(fld)
-            if agg is None or agg.get("conjunction") is False:
-                return False
-            if not vals:
-                return False
-            keys = [js_key(v) for v in vals]
-            # a value absent from the index triggers the reference's
-            # exists-probe quirks — reproduced only by the scan path
-            if any(k is None or k not in dim_keys.get(fld, ()) for k in keys):
-                return False
-        return True
+        # the driver-side dim cache backs exists-probes and bucket
+        # assembly; huge dims use their dedicated distributed path
+        return self._facet_dim_cache() is not None
 
     def _search_facetblocks(self, input: Dict[str, Any]) -> Dict[str, Any]:
         import time
         from concurrent.futures import ThreadPoolExecutor
 
-        from .facetblocks import (
-            crossed_bucket_counts,
-            docids_for_values,
-            intersect_all,
-        )
+        from .facetblocks import BlockSetAlgebra, _freeze, crossed_bucket_counts
 
         t0 = time.time()
         per_page, page = _parse_paging(input)
-        fblocks = self.index.facet_posting_blocks
+        compiled = self.compile(input, has_query=False)
+        alg = BlockSetAlgebra(self.index, self.index.facet_posting_blocks)
+        persisted: List[DataFrame] = []
+
+        def persist_if_df(res):
+            if not isinstance(res, bool):
+                res.persist()
+                persisted.append(res)
+            return res
 
         t_s = time.time()
-        sets = [
-            docids_for_values(
-                fblocks, fld, [js_key(v) for v in vals], conjunctive=True
-            )
-            for fld, vals in input["filters"].items()
-        ]
-        fd = intersect_all(sets).persist()
-        total = fd.count()
+        final = persist_if_df(alg.docids(compiled.final_pred))
+        if final is True:
+            total = self.index.docs.count()
+        elif final is False:
+            total = 0
+        else:
+            total = final.count()
         search_time = time.time() - t_s
 
+        # per-field bucket filter sets: fields differ only by disjunctive
+        # self-exclusion, so evaluate each distinct IR shape once
+        field_set: Dict[str, Any] = {}
+        distinct: Dict[tuple, Any] = {}
+        for fld in self.index.facet_fields:
+            key = _freeze(compiled.bucket_pred[fld])
+            if key not in distinct:
+                distinct[key] = persist_if_df(alg.docids(compiled.bucket_pred[fld]))
+            field_set[fld] = distinct[key]
+
         # per-field crossed counts and the page collect all depend only
-        # on the (small, cached) filter set — run them concurrently
+        # on the (small, cached) filter sets — run them concurrently
         t_f = time.time()
+        fblocks = self.index.facet_posting_blocks
 
         def field_counts(fld):
-            rows = crossed_bucket_counts(self.index, fblocks, fld, fd).collect()
+            s = field_set[fld]
+            if s is False:
+                return fld, {}
+            rows = crossed_bucket_counts(
+                self.index, fblocks, fld, None if s is True else s
+            ).collect()
             return fld, {r["key"]: r["doc_count"] for r in rows}
 
-        flt = self.index.docs.join(fd, DOCID, "left_semi")
+        flt = (
+            self.index.docs
+            if final is True
+            else self.index.docs.join(alg.as_df(final), DOCID, "left_semi")
+        )
         ordered = self._order(flt, input, None)
         page_df = ordered.offset((page - 1) * per_page).limit(per_page)
         keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)]
@@ -1144,7 +1160,8 @@ class SearchEngine:
         if input.get("is_all_filtered_items"):
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
-        fd.unpersist()
+        for df in persisted:
+            df.unpersist()
 
         return {
             "pagination": {"per_page": per_page, "page": page, "total": total},

@@ -176,19 +176,23 @@ def test_wand_search_fast_path_matches_full_engine(spark, tmp_path):
 
 
 def test_facetblock_search_path_matches_scan_path(spark, block_engines):
-    """Filters-only search() on a block-backed index routes through the
+    """Filter-only search() on a block-backed index routes through the
     facet-posting-block set algebra — response-identical to the scan
-    path, including zero buckets and selected flags."""
+    path, including zero buckets, selected flags and the missing-value
+    quirks (both paths share the IR compiler)."""
     mem, disk, _report = block_engines
     assert disk.index.facet_posting_blocks is not None
     assert disk._facetblock_search_applies({"filters": {"tool": ["bash"]}})
+    assert disk._facetblock_search_applies(
+        {"filters": {"tool": ["bash"]}, "not_filters": {"role": ["user"]}}
+    )
     assert not mem._facetblock_search_applies({"filters": {"tool": ["bash"]}})
-    # query present / negatives / unknown fields keep the standard path
+    # query present / callback filter keep the standard path
     assert not disk._facetblock_search_applies(
         {"query": "spark", "filters": {"tool": ["bash"]}}
     )
     assert not disk._facetblock_search_applies(
-        {"filters": {"tool": ["bash"]}, "not_filters": {"role": ["user"]}}
+        {"filters": {"tool": ["bash"]}, "filter": lambda it: True}
     )
     for inp in (
         {"filters": {"tool": ["bash"]}},
@@ -196,7 +200,61 @@ def test_facetblock_search_path_matches_scan_path(spark, block_engines):
         {"filters": {"role": ["assistant"], "tool": ["grep"]}},
         {"filters": {"role": ["nope-not-a-role"]}},
         {"filters": {"role": ["user"]}, "sort": None, "per_page": 3},
+        {"not_filters": {"role": ["system"]}, "per_page": 7, "page": 2},
+        {"filters": {"tool": ["bash"]}, "not_filters": {"role": ["user"]}},
+        {"filters_query": "role:assistant OR tool:bash", "per_page": 6},
+        {
+            "filters_query": "(role:assistant AND tool:bash) OR role:system",
+            "filters": {"role": ["assistant"]},
+        },
     ):
+        a = mem.search(dict(inp))
+        b = disk.search(dict(inp))
+        assert b["pagination"] == a["pagination"], inp
+        assert [i["_id"] for i in b["data"]["items"]] == [
+            i["_id"] for i in a["data"]["items"]
+        ], inp
+        for fld, entry in a["data"]["aggregations"].items():
+            assert (
+                b["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
+            ), (inp, fld)
+
+
+@pytest.fixture(scope="module")
+def block_engines_disj(spark, tmp_path_factory):
+    """Block-backed engine with a DISJUNCTIVE facet — exercises the
+    per-field self-exclusion sets in the block algebra."""
+    tdf = transcripts_df(spark, n_turns=1500, n_convs=150, seed=11)
+    cfg = {
+        "aggregations": {
+            "role": {"size": 10, "conjunction": False},
+            "tool": {"size": 10},
+        },
+        "searchableFields": ["text"],
+    }
+    mem = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    path = str(tmp_path_factory.mktemp("blockidxdisj") / "artifacts")
+    mem.index.write_blocks(path, n_buckets=4, range_size=512, block_size=64)
+    disk = SearchEngine(Index.read(spark, path))
+    return mem, disk
+
+
+def test_facetblock_disjunctive_self_exclusion_parity(block_engines_disj):
+    """Disjunctive fields count buckets with their OWN filter excluded
+    (helpers.ts:240-247); the block algebra must reproduce that via
+    per-field filter sets, not one global intersection."""
+    mem, disk = block_engines_disj
+    for inp in (
+        {"filters": {"role": ["assistant", "system"]}},
+        {"filters": {"role": ["assistant"], "tool": ["bash"]}},
+        {
+            "filters": {"role": ["user", "assistant"]},
+            "not_filters": {"tool": ["grep"]},
+            "per_page": 5,
+        },
+        {"filters": {"role": ["assistant"]}, "page": 2, "per_page": 4},
+    ):
+        assert disk._facetblock_search_applies(dict(inp))
         a = mem.search(dict(inp))
         b = disk.search(dict(inp))
         assert b["pagination"] == a["pagination"], inp
