@@ -42,13 +42,17 @@ from .indexer import DOCID, FK_PREFIX, Index
 SEP = "\x1f"  # unit separator: cannot appear in JS-coerced facet keys
 
 
-def facet_postings(index: Index) -> DataFrame:
-    """(term=field␟key, _docid, tf=1.0) rows for every facet assignment —
-    the row-level form the block encoder consumes."""
+def facet_postings_for_docs(
+    docs: DataFrame, facet_fields: Sequence[str]
+) -> DataFrame:
+    """(term=field␟key, _docid, tf=1.0) rows for every facet assignment
+    in ``docs`` (normalized ``__fk_*`` columns present) — the row-level
+    form the block encoder consumes. Works on an epoch delta as well as
+    a full corpus."""
     parts: List[DataFrame] = []
-    for fld in index.facet_fields:
+    for fld in facet_fields:
         parts.append(
-            index.docs.select(
+            docs.select(
                 F.col(DOCID),
                 F.explode(F.array_distinct(FK_PREFIX + fld)).alias("key"),
             ).select(
@@ -58,13 +62,18 @@ def facet_postings(index: Index) -> DataFrame:
             )
         )
     if not parts:
-        return index.spark.createDataFrame(
+        return docs.sparkSession.createDataFrame(
             [], f"term string, {DOCID} long, tf double"
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def facet_postings(index: Index) -> DataFrame:
+    """Facet postings for a built Index (see facet_postings_for_docs)."""
+    return facet_postings_for_docs(index.docs, index.facet_fields)
 
 
 def build_facet_blocks(

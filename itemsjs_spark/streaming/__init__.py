@@ -17,6 +17,10 @@ immutable snapshot:
                               count, so it is a read-time computation);
 * ``facet_counts/epoch=N``  — per-epoch facet-dimension counts + first
                               occurrences (merged + enum-ranked at read);
+* ``facet_blocks/…``        — the delta's facet-value posting blocks
+                              (facetblocks.py), appended per-bucket like
+                              the fulltext blocks so streamed stores
+                              serve index-side facet filter algebra;
 * ``meta.json``             — the commit record: total docs + applied
                               epoch list, written LAST.
 
@@ -130,6 +134,20 @@ class StreamingIndexWriter:
             fv.write.mode("overwrite").parquet(
                 posixpath.join(self.out_path, "facet_counts", edir)
             )
+        if present_facets:
+            # facet-value posting blocks, appended per epoch exactly like
+            # the fulltext blocks — streamed stores get the index-side
+            # filter set algebra too (facetblocks.py)
+            from ..engine.facetblocks import facet_postings_for_docs
+
+            append_blocks_checkpointed(
+                facet_postings_for_docs(delta, present_facets),
+                posixpath.join(self.out_path, "facet_blocks"),
+                snapshot=f"e{int(epoch_id)}",
+                n_buckets=self.n_buckets,
+                range_size=self.range_size,
+                block_size=self.block_size,
+            )
 
         if self.configuration.get("native_search_enabled") is not False:
             postings = tokenize_postings(
@@ -227,6 +245,9 @@ def read_stream_index(
         )
         blocks = read_blocks(spark, posixpath.join(out_path, "posting_blocks"))
 
+    fbdir = posixpath.join(out_path, "facet_blocks")
+    fblocks = read_blocks(spark, fbdir) if fs.exists(fbdir) else None
+
     searchable = configuration.get("searchableFields") or []
     text_fields = [("name", 10.0)] + [(f, 1.0) for f in searchable]
     return Index(
@@ -240,4 +261,5 @@ def read_stream_index(
         text_fields=text_fields,
         configuration=dict(configuration),
         posting_blocks=blocks,
+        facet_posting_blocks=fblocks,
     )

@@ -81,6 +81,34 @@ def test_stream_epoch_replay_is_idempotent(spark, streamed):
     assert after == before
 
 
+def test_stream_facet_blocks_serve_filter_algebra(spark, streamed):
+    """Per-epoch facet blocks merge into one store; filter-only searches
+    over the streamed index route through the block set algebra and
+    match a full batch rebuild (incl. negatives and DNF)."""
+    base, delta, out, _writer = streamed
+    eng = SearchEngine(read_stream_index(spark, out, CFG))
+    assert eng.index.facet_posting_blocks is not None
+    assert eng._facetblock_search_applies({"filters": {"tool": ["bash"]}})
+    full = itemsjs_spark(
+        spark, base.unionByName(delta), CFG, order_by=["conv_id", "turn_idx"]
+    )
+    for inp in (
+        {"filters": {"tool": ["bash"]}, "per_page": 6},
+        {"not_filters": {"role": ["system"]}, "per_page": 5, "page": 3},
+        {"filters_query": "role:assistant AND tool:bash"},
+    ):
+        a = eng.search(dict(inp))
+        b = full.search(dict(inp))
+        assert a["pagination"] == b["pagination"], inp
+        assert [i["_id"] for i in a["data"]["items"]] == [
+            i["_id"] for i in b["data"]["items"]
+        ], inp
+        for fld, entry in b["data"]["aggregations"].items():
+            assert (
+                a["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
+            ), (inp, fld)
+
+
 def test_stream_wand_over_merged_store(spark, streamed):
     base, delta, out, _writer = streamed
     eng = SearchEngine(read_stream_index(spark, out, CFG))
