@@ -376,6 +376,42 @@ def _q_facet_counts_blocks(spark, sf_dir):
     return a.unionByName(b2).select("field", "key", "doc_count")
 
 
+def _q_facet_blocks_algebra(spark, sf_dir):
+    """Generalized facet-block search algebra (BlockSetAlgebra): the
+    compiled predicate IR — here disjunctive self-exclusion PLUS a
+    negative filter — evaluated as docid-set joins over compressed
+    facet posting blocks (AND→left-semi, OR→union, NOT→left-anti).
+    Must reproduce the scan path's crossed counts (core/facetir.py is
+    the shared semantics; reference src/helpers.ts:147-253)."""
+    from itemsjs_spark.engine import facetblocks as fb
+
+    eng = _doc_engine_disj(spark, sf_dir)
+
+    def build():
+        b = fb.build_facet_blocks(eng.index, range_size=256, block_size=64).persist()
+        b.count()
+        return b
+
+    blocks = _cached(("fblocks", sf_dir), spark, build)
+    compiled = eng.compile(
+        {
+            "filters": {"source": ["src1", "src2"]},
+            "not_filters": {"source": ["src0"]},
+        },
+        has_query=False,
+    )
+    alg = fb.BlockSetAlgebra(eng.index, blocks)
+    parts = []
+    for fld in ("source", "lang"):
+        s = alg.docids(compiled.bucket_pred[fld])
+        parts.append(
+            fb.crossed_bucket_counts(
+                eng.index, blocks, fld, None if s is True else alg.as_df(s)
+            ).withColumn("field", F.lit(fld))
+        )
+    return parts[0].unionByName(parts[1]).select("field", "key", "doc_count")
+
+
 def _events_engine(spark, sf_dir):
     def build():
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -740,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "fulltext_wand_filtered": _q_wand_filtered,
         "facet_counts_blocks_path": _q_facet_counts_blocks,
+        "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
         "events_facet_counts": _q_events_facets,
         "orders_crossed_counts": _q_orders_crossed_counts,
         "orders_sort_paginate": _q_orders_sort_page,
@@ -794,6 +831,12 @@ SELECT 'lang' AS field, lk.key, coalesce(lc.c, 0)::BIGINT AS doc_count FROM lk L
     )
     # the facet-block path must reproduce the scan path's crossed counts
     sqls["facet_counts_blocks_path"] = sqls["facet_counts_crossed"]
+    # block algebra with disjunctive source (self-excluded from its own
+    # buckets) and negative source filter (subtracted everywhere)
+    sqls["facet_blocks_filter_algebra"] = stacked(
+        "source <> 'src0'",
+        "source IN ('src1','src2') AND source <> 'src0'",
+    )
     # disjunctive source: self-excluded from source buckets, applied to lang's
     sqls["disjunctive_bucket_counts"] = stacked(
         "lang = 'en'", "source IN ('src1','src2') AND lang = 'en'"
