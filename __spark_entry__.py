@@ -604,6 +604,38 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_langid_multilang(spark, sf_dir):
+    """Multi-language char-gram profile ID (Cavnar-Trenkle style):
+    weighted non-overlapping gram counts per language, argmax — the
+    engine and the oracle evaluate the same generated formula text."""
+    return text_ops.langid_chargram(_documents(spark, sf_dir)).select(
+        "doc_id", "lang_pred", "lang_score"
+    )
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """C4-style repeated-chunk (line) removal: 3-token chunks occurring
+    in ≥3 distinct docs are dropped corpus-wide, texts reassembled."""
+    return text_ops.chunk_dedup(
+        _documents(spark, sf_dir), "doc_id", window=3, min_docs=3
+    )
+
+
+# deterministic PII injection (the synthetic corpus carries none): the
+# same concat expression runs in the Spark query and the DuckDB oracle
+_PII_INJECT = (
+    "concat(text, ' contact u', doc_id, '@example.org or "
+    "https://ex.org/d', doc_id)"
+)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    df = _documents(spark, sf_dir).withColumn("text", F.expr(_PII_INJECT))
+    return text_ops.pii_scrub(df).select(
+        "doc_id", "n_emails", "n_urls", "scrubbed_text"
+    )
+
+
 def _q_facet_stats(spark, sf_dir):
     """O18: numeric facet stats over the filtered set (multiset mean)."""
     def build():
@@ -801,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "unigram_logprob": _q_unigram_logprob,
         "charngram_profile_fit": _q_charngram_fit,
+        "langid_multilang": _q_langid_multilang,
+        "chunk_dedup": _q_chunk_dedup,
+        "pii_scrub": _q_pii_scrub,
         "multimodal_features": _q_multimodal_features,
         # transcript-shape corpus (north rule; full oracle)
         "transcripts_fulltext_topk": _q_transcripts_topk,
@@ -1133,6 +1168,59 @@ GROUP BY doc_id
 SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
 FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i FROM documents)
 GROUP BY doc_id
+"""
+
+    # multi-language char-gram ID: the same generated formula text the
+    # Spark expression evaluates, restated over DuckDB
+    from itemsjs_spark.ops.text import (
+        CHARGRAM_PROFILES,
+        EMAIL_RE,
+        URL_RE,
+        chargram_score_sql,
+    )
+
+    _langs = sorted(CHARGRAM_PROFILES)
+    _scores = ", ".join(
+        f"round(cast({chargram_score_sql('text', CHARGRAM_PROFILES[l])} "
+        f"as double), 6) AS score_{l}"
+        for l in _langs
+    )
+    _best = "greatest(" + ", ".join(f"score_{l}" for l in _langs) + ")"
+    _case = (
+        "CASE "
+        + " ".join(f"WHEN score_{l} = {_best} THEN '{l}'" for l in _langs)
+        + " END"
+    )
+    sqls["langid_multilang"] = (
+        f"WITH s AS (SELECT doc_id, {_scores} FROM documents) "
+        f"SELECT doc_id, {_case} AS lang_pred, {_best} AS lang_score FROM s"
+    )
+
+    sqls["chunk_dedup"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+u AS (SELECT doc_id, l, unnest(range(1, CAST(ceil(len(l)/3.0) AS BIGINT)+1)) AS i FROM t),
+c AS (SELECT doc_id, i, array_to_string(list_slice(l, (i-1)*3+1, i*3), ' ') AS chunk FROM u),
+d AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3),
+k AS (SELECT c.doc_id, c.i, c.chunk FROM c LEFT JOIN d ON c.chunk = d.chunk WHERE d.chunk IS NULL),
+r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS clean_text, count(*) AS kept FROM k GROUP BY doc_id),
+n AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+SELECT d0.doc_id,
+       coalesce(n.n_chunks, 0)::BIGINT AS n_chunks,
+       (coalesce(n.n_chunks, 0) - coalesce(r.kept, 0))::BIGINT AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM documents d0
+LEFT JOIN n ON d0.doc_id = n.doc_id
+LEFT JOIN r ON d0.doc_id = r.doc_id
+"""
+
+    sqls["pii_scrub"] = f"""
+WITH t AS (SELECT doc_id, {_PII_INJECT} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{URL_RE}'))::BIGINT AS n_urls,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{URL_RE}', '<URL>', 'g') AS scrubbed_text
+FROM t
 """
 
     nib = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"

@@ -132,6 +132,157 @@ def charngram_profile_fit(
     )
 
 
+# ---------------------------------------------------------------------------
+# multi-language char-gram language ID
+# ---------------------------------------------------------------------------
+
+# deterministic per-language character-gram profiles (function-word and
+# affix grams; weights hand-set). The mechanism is the standard char-
+# n-gram profile method (Cavnar & Trenkle 1994) — the profile CONTENT is
+# a pluggable dict, these defaults just make the operator usable out of
+# the box. Grams must be quote-free: the same literal is inlined into
+# the Spark expression and the DuckDB oracle SQL.
+CHARGRAM_PROFILES = {
+    "de": {" der ": 1.0, " die ": 1.0, " und ": 1.0, " ein ": 1.0, " nicht ": 1.0, "sch": 0.5},
+    "en": {" the ": 1.0, " and ": 1.0, " of ": 1.0, " to ": 1.0, " is ": 0.5, "ing ": 0.5},
+    "es": {" el ": 1.0, " los ": 1.0, " una ": 1.0, " que ": 1.0, "cion": 1.0, " y ": 0.5},
+    "fr": {" le ": 1.0, " les ": 1.0, " une ": 1.0, " est ": 1.0, " dans ": 1.0, " et ": 0.5},
+}
+
+
+def chargram_score_sql(text_ref: str, profile: dict) -> str:
+    """Weighted non-overlapping gram-count score as a SQL expression
+    valid in BOTH Spark SQL and DuckDB (length/replace arithmetic only)
+    — the engine and the oracle evaluate the exact same formula text."""
+    terms = [
+        f"{float(w)} * ((length({text_ref}) - "
+        f"length(replace({text_ref}, '{g}', ''))) / {float(len(g))})"
+        for g, w in profile.items()
+    ]
+    return " + ".join(terms)
+
+
+def langid_chargram(
+    df: DataFrame, text_col: str = "text", profiles: Optional[dict] = None
+) -> DataFrame:
+    """Multi-language ID: score the text against each language's char-
+    gram profile, predict the argmax (ties break toward the first
+    language in code order). Pure length/replace JVM expressions — no
+    tokenizer, no Python, linear in text size; profiles are literals in
+    the plan, so the whole thing stays inside whole-stage codegen."""
+    profiles = profiles or CHARGRAM_PROFILES
+    langs = sorted(profiles)
+    out = df
+    for lang in langs:
+        out = out.withColumn(
+            f"score_{lang}",
+            F.expr(
+                f"round(cast({chargram_score_sql(text_col, profiles[lang])} "
+                "as double), 6)"
+            ),
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col(f"score_{langs[0]}") == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred).withColumn("lang_score", best)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level repeated-chunk removal (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate removal à la C4/RefinedWeb line-dedup: split each
+    document into fixed ``window``-token chunks, drop every chunk that
+    occurs in ≥ ``min_docs`` DISTINCT documents, and reassemble the
+    remaining chunks in order. Returns (id, n_chunks, n_removed,
+    clean_text).
+
+    Plan shape: one explode, one chunk-frequency aggregate (map-side
+    combined), one anti-join against the (small) repeated-chunk set,
+    one per-doc ordered reassembly — no driver state, no corpus
+    rescans; the repeated-chunk set is the only broadcast-sized side."""
+    chunk_arr = (
+        f"transform(sequence(1, cast(ceil(size(split({text_col}, ' ')) "
+        f"/ {window}.0) as int)), i -> array_join(slice(split({text_col}, ' '), "
+        f"(i-1)*{window}+1, {window}), ' '))"
+    )
+    chunks = df.select(
+        F.col(id_col), F.posexplode(F.expr(chunk_arr)).alias("pos", "chunk")
+    )
+    repeated = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(repeated, "chunk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            (F.coalesce("n_chunks", F.lit(0)) - F.coalesce("__kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# backslash-free patterns: the same literal works unescaped in Spark SQL
+# strings and DuckDB SQL strings (and RE2 vs java.util.regex agree on
+# this character-class-only subset)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+URL_RE = "https?://[^ ]+"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails and URLs (the two deterministic regex classes every
+    training-data pipeline scrubs first) and count what was masked.
+    Pure JVM regexp expressions; emails are masked before URLs so the
+    URL pass never sees mailto-like tails."""
+    n_emails = F.expr(
+        f"size(regexp_extract_all({text_col}, '{EMAIL_RE}', 0))"
+    ).cast("long")
+    n_urls = F.expr(
+        f"size(regexp_extract_all({text_col}, '{URL_RE}', 0))"
+    ).cast("long")
+    scrubbed = F.expr(
+        f"regexp_replace(regexp_replace({text_col}, '{EMAIL_RE}', '<EMAIL>'), "
+        f"'{URL_RE}', '<URL>')"
+    )
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_urls", n_urls)
+        .withColumn("scrubbed_text", scrubbed)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min hash over all
     ``window``-char shingles (rolling-hash family; md5 keeps it portable

@@ -265,3 +265,58 @@ def test_multimodal_resize_plumbing(spark, docs):
     import pytest as _pt
     with _pt.raises(Exception, match="NotImplementedError|plug"):
         multimodal.resize_images(payloads, 4, 3, fake=False).collect()
+
+
+def test_langid_chargram_picks_profile_language(spark):
+    rows = [
+        (1, "we went to the house and the dog ran to the gate of it"),
+        (2, "das ist der hund und die katze in der schule und ein haus"),
+        (3, "le chat est dans les maisons et une porte est dans le mur"),
+        (4, "el gato y los perros en una cancion que habla de el mar"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in text.langid_chargram(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+    # per-lang scores present and the argmax score is their max
+    row = text.langid_chargram(df).filter(F.col("doc_id") == 1).collect()[0]
+    assert row["lang_score"] == max(
+        row["score_de"], row["score_en"], row["score_es"], row["score_fr"]
+    )
+
+
+def test_chunk_dedup_removes_corpus_repeated_chunks(spark):
+    boiler = "subscribe to our newsletter"  # 4-token chunk planted in 3 docs
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta"),
+        (3, f"{boiler} iota kappa lambda mu"),
+        (4, "unique words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.chunk_dedup(df, "doc_id", window=4, min_docs=3).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d]["n_removed"] == 1, out[d]
+        assert boiler not in out[d]["clean_text"]
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == rows[3][1]
+    # chunk order is preserved in the reassembled text
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+
+
+def test_pii_scrub_masks_emails_and_urls(spark):
+    rows = [
+        (1, "mail me at a.b-c_1@sub.example.org thanks"),
+        (2, "docs at https://example.com/a/b?q=1 and http://x.io/z"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "@" not in out[1]["scrubbed_text"]
+    assert out[2]["n_urls"] == 2
+    assert out[2]["scrubbed_text"] == "docs at <URL> and <URL>"
+    assert out[3]["n_emails"] == 0 and out[3]["n_urls"] == 0
+    assert out[3]["scrubbed_text"] == rows[2][1]
