@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..jsutil import js_key
-from .indexer import DOCID, FK_PREFIX, Index, assign_docids, build_index
+from .indexer import DOCID, FK_PREFIX, RAW_PREFIX, Index, assign_docids, build_index
 from .query import EngineError, SearchEngine
 
 __all__ = [
@@ -93,9 +93,12 @@ def _infer_field_type(values: List[Any]):
 def items_to_df(spark: SparkSession, items: List[Dict[str, Any]]) -> DataFrame:
     """Small list-of-dicts -> DataFrame with ``__input_order`` (1-based).
 
-    Mixed-typed fields (JS allows ``price: 1`` and ``price: '7'``) collapse
-    to strings via JS key coercion, which preserves facet/search semantics
-    (keys coincide)."""
+    Mixed-typed fields collapse to strings via JS key coercion for the
+    INDEX (facet/search semantics need the JS string keys anyway); a
+    ``__raw_<field>`` JSON sidecar preserves each original value, so
+    items come back exactly as passed in — no observable deviation."""
+    import json
+
     field_order: List[str] = []
     for it in items:
         for k in it.keys():
@@ -103,15 +106,34 @@ def items_to_df(spark: SparkSession, items: List[Dict[str, Any]]) -> DataFrame:
                 field_order.append(k)
     converters = {}
     struct_fields = [T.StructField("__input_order", T.LongType(), False)]
+    lossy: List[str] = []
     for f in field_order:
-        dtype, conv = _infer_field_type([it.get(f) for it in items])
+        vals = [it.get(f) for it in items]
+        dtype, conv = _infer_field_type(vals)
         converters[f] = conv
         struct_fields.append(T.StructField(f, dtype, True))
+        # the collapse is lossy iff any conversion changed a value OR its
+        # type (number→string, int→float promotion, mixed arrays
+        # through js_key, ...)
+        def _changed(v, conv=conv):
+            if v is None:
+                return False
+            c = conv(v)
+            ref = list(v) if isinstance(v, tuple) else v
+            return c != ref or type(c) is not type(ref)
+
+        if any(_changed(v) for v in vals):
+            lossy.append(f)
+            struct_fields.append(
+                T.StructField(RAW_PREFIX + f, T.StringType(), True)
+            )
     rows = []
     for i, it in enumerate(items):
         row = [i + 1]
         for f in field_order:
             v = it.get(f)
             row.append(converters[f](v) if v is not None else None)
+            if f in lossy:
+                row.append(None if v is None else json.dumps(v, default=str))
         rows.append(tuple(row))
     return spark.createDataFrame(rows, T.StructType(struct_fields))

@@ -48,6 +48,10 @@ from ..core import scoring
 
 FK_PREFIX = "__fk_"
 DOCID = "_docid"
+# sidecar column prefix carrying the ORIGINAL (pre-coercion) value of a
+# lossy-collapsed item field as JSON (items_to_df); _row_to_item restores
+# it so returned items keep the reference's raw scalars
+RAW_PREFIX = "__raw_"
 
 # Spark->JS key normalization for facet values is type-directed; see js_key
 # in jsutil.py for the scalar contract being reproduced.

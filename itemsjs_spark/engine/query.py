@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from ..analysis.lunr_analysis import build_pipeline, tokenize
 from ..core import facetir, scoring
 from ..jsutil import humanize, js_key
-from .indexer import DOCID, FK_PREFIX, Index
+from .indexer import DOCID, FK_PREFIX, RAW_PREFIX, Index
 
 IN_QUERY = "__in_query"
 SCORE = "__score"
@@ -746,6 +746,8 @@ class SearchEngine:
         schema = f"{DOCID} long"
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import json
+
             for pdf in batches:
                 keep = []
                 records = pdf.to_dict("records")
@@ -755,6 +757,13 @@ class SearchEngine:
                         for k, v in rec.items()
                         if k != DOCID and not _is_missing(v)
                     }
+                    # the user callback sees ORIGINAL values of mixed-type
+                    # fields (JSON sidecars), same as returned items
+                    for rk in [k for k in item if k.startswith(RAW_PREFIX)]:
+                        raw = item.pop(rk)
+                        base = rk[len(RAW_PREFIX):]
+                        if base in item and raw is not None:
+                            item[base] = json.loads(raw)
                     item["_id"] = int(rec[DOCID])
                     if flt(item):
                         keep.append(int(rec[DOCID]))
@@ -1618,10 +1627,22 @@ def _is_missing(v) -> bool:
 
 
 def _row_to_item(row) -> Dict[str, Any]:
+    import json
+
     d = row.asDict(recursive=True)
     out = {}
+    raws = {}
     for k, v in d.items():
+        if k.startswith(RAW_PREFIX):
+            if v is not None:
+                raws[k[len(RAW_PREFIX):]] = v
+            continue
         if _is_missing(v):
             continue
         out[k] = v
+    # restore original (pre-schema-coercion) values of mixed-type fields
+    # (items_to_df JSON sidecars) — items come back exactly as passed in
+    for k, raw in raws.items():
+        if k in out:
+            out[k] = json.loads(raw)
     return out

@@ -49,12 +49,8 @@ def _norm_val(v):
         return round(v, 9)
     if isinstance(v, (list, tuple)):
         return [_norm_val(x) for x in v]
-    if isinstance(v, str) and v.isdigit():
-        # mixed-type columns (JS allows price: 1 and price: '7' in one
-        # field) collapse to strings in a DataFrame; the reference keeps
-        # the raw scalars in returned items. Documented engine deviation
-        # (SURVEY.md §1.2) — numeric strings compare equal here.
-        return int(v)
+    # mixed-type fields round-trip exactly (items_to_df __raw_ sidecars
+    # restored by _row_to_item) — no numeric-string coercion needed
     return v
 
 
@@ -448,3 +444,31 @@ def test_empty_ids_arrays_are_truthy(spark):
     check(spark, "items", fx.ITEMS, cfg, {"_ids": []})
     check(spark, "items", fx.ITEMS, cfg, {"ids": []})
     check(spark, "items", fx.ITEMS, cfg, {"_ids": [2]})
+
+
+def test_mixed_type_items_round_trip_exactly(spark):
+    """JS allows `price: 1` and `price: '7'` in one field; the index
+    collapses to JS string keys but returned items (and the callback
+    filter's view) carry the ORIGINAL scalars — the former documented
+    deviation is closed by the __raw_ sidecars."""
+    items = [
+        {"name": "a", "price": 1, "tags": ["x", 2]},
+        {"name": "b", "price": "7", "tags": ["y"]},
+        {"name": "c", "price": 2.5, "tags": []},
+    ]
+    eng = itemsjs_spark(
+        spark, fx.fresh(items), {"aggregations": {"price": {"size": 10}}}
+    )
+    got = eng.search({"per_page": 10})["data"]["items"]
+    by_name = {it["name"]: it for it in got}
+    assert by_name["a"]["price"] == 1 and isinstance(by_name["a"]["price"], int)
+    assert by_name["b"]["price"] == "7" and isinstance(by_name["b"]["price"], str)
+    assert by_name["c"]["price"] == 2.5
+    assert by_name["a"]["tags"] == ["x", 2]
+    assert by_name["b"]["tags"] == ["y"]
+    # facet keys still use the JS string coercion (index semantics)
+    buckets = eng.search({"per_page": 1})["data"]["aggregations"]["price"]["buckets"]
+    assert {b["key"] for b in buckets} == {"1", "7", "2.5"}
+    # the callback filter sees original values too
+    seen = eng.search({"filter": lambda it: isinstance(it["price"], int)})
+    assert [it["name"] for it in seen["data"]["items"]] == ["a"]
