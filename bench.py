@@ -163,6 +163,30 @@ def headline_queries(spark, eng):
     qs["facet_search_page"] = lambda: eng.result_df(
         {"filters": {"role": ["assistant"]}}
     ).limit(12).count()
+    # filter-only search(): corpus-scan path vs facet-posting-block set
+    # algebra (same response — test_disk_index proves parity). The
+    # cost-based router picks per input: a selective filter (one conv)
+    # goes to blocks, an unselective one (role ≈ ⅓ of corpus) to the
+    # scan — `facet_search_routed_unselective` shows the router refusing
+    # the block path on the same block-backed engine
+    import dataclasses
+
+    from itemsjs_spark.engine import SearchEngine
+    from itemsjs_spark.engine.facetblocks import build_facet_blocks
+
+    fblocks = build_facet_blocks(eng.index).persist()
+    fblocks.count()
+    eng_blocks = SearchEngine(
+        dataclasses.replace(eng.index, facet_posting_blocks=fblocks)
+    )
+    _uns = {"filters": {"role": ["assistant"], "tool": ["bash"]}, "per_page": 12}
+    _sel = {"filters": {"conv_id": ["c000042"]}, "per_page": 12}
+    assert eng_blocks._facetblock_search_applies(dict(_sel))
+    assert not eng_blocks._facetblock_search_applies(dict(_uns))
+    qs["facet_search_scan"] = lambda: eng.search(dict(_uns))
+    qs["facet_search_blocks_selective"] = lambda: eng_blocks.search(dict(_sel))
+    qs["facet_search_scan_selective"] = lambda: eng.search(dict(_sel))
+    qs["facet_search_routed_unselective"] = lambda: eng_blocks.search(dict(_uns))
     qs["query_plus_facet"] = lambda: eng.result_df(
         {"query": "broadcast join", "filters": {"role": ["assistant"]}}
     ).count()

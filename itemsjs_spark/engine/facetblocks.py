@@ -92,11 +92,30 @@ def _subset(fblocks: DataFrame, terms: Sequence[str]) -> DataFrame:
     return postings_from_blocks(fblocks.filter(F.col("term").isin(list(terms))))
 
 
+def _dedup(preds):
+    """Unique IR nodes, first occurrence wins (order-preserving)."""
+    seen = set()
+    out = []
+    for p in preds:
+        k = _freeze(p)
+        if k not in seen:
+            seen.add(k)
+            out.append(p)
+    return out
+
+
 def _freeze(pred: tuple):
-    """Hashable canonical form of a facetir IR node (AND/OR carry lists)."""
+    """Hashable CANONICAL form of a facetir IR node: AND/OR children are
+    deduped and order-normalized (∧/∨ are idempotent and commutative over
+    sets), so semantically-equal predicates — e.g. the compiler's
+    result_pred branches AND(v, common) that reduce to common itself —
+    share one memo entry and therefore ONE evaluated DataFrame."""
     op = pred[0]
     if op in ("and", "or"):
-        return (op, tuple(_freeze(p) for p in pred[1]))
+        ch = sorted({_freeze(p) for p in pred[1]}, key=repr)
+        if len(ch) == 1:
+            return ch[0]
+        return (op, tuple(ch))
     if op == "not":
         return ("not", _freeze(pred[1]))
     return pred
@@ -162,8 +181,16 @@ class BlockSetAlgebra:
                 return not inner
             return self.universe().join(inner, DOCID, "left_anti")
         if op == "and":
+            # dedup repeated conjuncts (the compiler's result_pred repeats
+            # the filter atoms inside each OR branch — idempotent ∧, and
+            # deduping makes the memo collapse equal sets to ONE plan);
+            # order contains-leaves first, hasvalue (field-sized) last,
+            # so the semi-join chain starts from the smallest sets
+            def _and_rank(p):
+                return {"contains": 0, "hasvalue": 2}.get(p[0], 1)
+
             pos, neg = [], []
-            for p in pred[1]:
+            for p in _dedup(sorted(pred[1], key=_and_rank)):
                 if p[0] == "not":
                     neg.append(self.docids(p[1]))
                 else:
@@ -181,7 +208,7 @@ class BlockSetAlgebra:
                 out = out.join(s, DOCID, "left_anti")
             return out
         if op == "or":
-            parts = [self.docids(p) for p in pred[1]]
+            parts = [self.docids(p) for p in _dedup(pred[1])]
             if any(s is True for s in parts):
                 return True
             parts = [s for s in parts if s is not False]

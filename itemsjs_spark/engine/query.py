@@ -105,6 +105,11 @@ class SearchEngine:
     # switches to the fully distributed expansion (a 1-char query against
     # a 10^12-turn vocabulary would otherwise collect millions of rows)
     MAX_DRIVER_EXPANSION = 100_000
+    # cost-based routing for filter-only searches: the facet-block path's
+    # work scales with the FILTER VALUES' posting lists (estimated from
+    # the cached global dimension counts), the scan path's with the
+    # corpus — route to blocks only below this estimated selectivity
+    BLOCK_ROUTE_MAX_SELECTIVITY = 0.05
 
     def __init__(self, index: Index):
         self.index = index
@@ -118,6 +123,10 @@ class SearchEngine:
             remove_stop_word_filter=bool(self.configuration.get("removeStopWordFilter")),
         )
         self._facet_dim: Optional[Dict[str, List[Tuple[str, int]]]] = None
+        # field -> {key: global doc_count} (same collect as _facet_dim):
+        # an UNCROSSED facet's bucket counts are exactly the dimension's
+        # global counts — no job needed
+        self._facet_global: Optional[Dict[str, Dict[str, int]]] = None
         self._facet_dim_checked = False
         self._ft_materialized = False
 
@@ -226,11 +235,14 @@ class SearchEngine:
         dim: Dict[str, List[Tuple[str, int]]] = {
             f: [] for f in self.index.facet_fields
         }
+        glob: Dict[str, Dict[str, int]] = {f: {} for f in self.index.facet_fields}
         for r in rows:
             dim[r["field"]].append((r["key"], r["enum_rank"]))
+            glob[r["field"]][r["key"]] = int(r["doc_count"])
         for f in dim:
             dim[f].sort(key=lambda kr: kr[1])
         self._facet_dim = dim
+        self._facet_global = glob
         return dim
 
     # ------------------------------------------------------------------
@@ -1076,13 +1088,31 @@ class SearchEngine:
             return False
         # the driver-side dim cache backs exists-probes and bucket
         # assembly; huge dims use their dedicated distributed path
-        return self._facet_dim_cache() is not None
+        if self._facet_dim_cache() is None:
+            return False
+        # cost model from the cached global counts: the block path decodes
+        # EVERY filter value's posting list and joins them, so its work is
+        # the SUM of the values' doc counts; the scan path's is the
+        # corpus. Negative/DNF-only inputs have corpus-sized candidates —
+        # scan wins there outright.
+        glob = self._facet_global or {}
+        est = None
+        for fld, vals in (input.get("filters") or {}).items():
+            if not vals:
+                continue
+            tot = sum(
+                glob.get(fld, {}).get(js_key(v) or "", 0) for v in vals
+            )
+            est = tot if est is None else est + tot
+        if est is None:
+            return False
+        return est <= max(self.index.n_docs, 1) * self.BLOCK_ROUTE_MAX_SELECTIVITY
 
     def _search_facetblocks(self, input: Dict[str, Any]) -> Dict[str, Any]:
         import time
         from concurrent.futures import ThreadPoolExecutor
 
-        from .facetblocks import BlockSetAlgebra, _freeze, crossed_bucket_counts
+        from .facetblocks import BlockSetAlgebra, _freeze
 
         t0 = time.time()
         per_page, page = _parse_paging(input)
@@ -1096,6 +1126,29 @@ class SearchEngine:
                 persisted.append(res)
             return res
 
+        # group fields by bucket-predicate shape (they differ only by
+        # disjunctive self-exclusion) and evaluate each shape ONCE:
+        #   TRUE  → the dimension's cached global counts, zero jobs;
+        #   FALSE → all-zero counts, zero jobs;
+        #   a set → one forward-index pass over docs semi-joined with the
+        #           (small) docid set, stacked for all fields of the
+        #           shape — work scales with the FILTER SET, never the
+        #           per-field posting lists (at 10^12 docs a selective
+        #           filter search touches its own posting blocks plus
+        #           |result| rows of the forward index, period).
+        groups: Dict[tuple, List[str]] = {}
+        gset: Dict[tuple, Any] = {}
+        for fld in self.index.facet_fields:
+            key = _freeze(compiled.bucket_pred[fld])
+            if key not in groups:
+                groups[key] = []
+                gset[key] = persist_if_df(alg.docids(compiled.bucket_pred[fld]))
+            groups[key].append(fld)
+
+        # the bucket sets are marked persisted BEFORE the first action, so
+        # the final-set job below materializes their caches as it reads
+        # through them (result_pred is built from the same conjuncts) and
+        # the count jobs reuse instead of re-deriving
         t_s = time.time()
         final = persist_if_df(alg.docids(compiled.final_pred))
         if final is True:
@@ -1106,29 +1159,27 @@ class SearchEngine:
             total = final.count()
         search_time = time.time() - t_s
 
-        # per-field bucket filter sets: fields differ only by disjunctive
-        # self-exclusion, so evaluate each distinct IR shape once
-        field_set: Dict[str, Any] = {}
-        distinct: Dict[tuple, Any] = {}
-        for fld in self.index.facet_fields:
-            key = _freeze(compiled.bucket_pred[fld])
-            if key not in distinct:
-                distinct[key] = persist_if_df(alg.docids(compiled.bucket_pred[fld]))
-            field_set[fld] = distinct[key]
-
-        # per-field crossed counts and the page collect all depend only
-        # on the (small, cached) filter sets — run them concurrently
         t_f = time.time()
-        fblocks = self.index.facet_posting_blocks
-
-        def field_counts(fld):
-            s = field_set[fld]
+        counts: Dict[str, Dict[str, int]] = {}
+        count_jobs: List[Tuple[List[str], DataFrame]] = []
+        for key, flds in groups.items():
+            s = gset[key]
             if s is False:
-                return fld, {}
-            rows = crossed_bucket_counts(
-                self.index, fblocks, fld, None if s is True else s
-            ).collect()
-            return fld, {r["key"]: r["doc_count"] for r in rows}
+                for f in flds:
+                    counts[f] = {}
+            elif s is True:
+                for f in flds:
+                    counts[f] = dict((self._facet_global or {}).get(f, {}))
+            else:
+                count_jobs.append((flds, s))
+
+        def group_counts(flds, s):
+            base = self.index.docs.join(s, DOCID, "left_semi")
+            rows = self._stacked_field_counts(base, flds).collect()
+            out: Dict[str, Dict[str, int]] = {f: {} for f in flds}
+            for r in rows:
+                out[r["field"]][r["key"]] = r["doc_count"]
+            return out
 
         flt = (
             self.index.docs
@@ -1151,14 +1202,11 @@ class SearchEngine:
             page_secs[0] = time.time() - t_p
             return out
 
-        with ThreadPoolExecutor(
-            max_workers=len(self.index.facet_fields) + 1
-        ) as ex:
+        with ThreadPoolExecutor(max_workers=len(count_jobs) + 1) as ex:
             f_page = ex.submit(run_page)
-            futures = [
-                ex.submit(field_counts, fld) for fld in self.index.facet_fields
-            ]
-            counts = dict(f.result() for f in futures)
+            futures = [ex.submit(group_counts, flds, s) for flds, s in count_jobs]
+            for f in futures:
+                counts.update(f.result())
             items = f_page.result()
         aggregations = self._assemble_buckets(
             input, counts, self._facet_dim_cache()
@@ -1304,6 +1352,30 @@ class SearchEngine:
             )
         stacked = base.select(
             F.explode(F.flatten(F.filter(F.array(*arrays), lambda a: a.isNotNull()))).alias("fk")
+        ).select("fk.field", "fk.key")
+        return stacked.groupBy("field", "key").agg(
+            F.count("*").alias("doc_count")
+        )
+
+    def _stacked_field_counts(
+        self, base: DataFrame, fields: Sequence[str]
+    ) -> DataFrame:
+        """(field, key, doc_count) over ``base`` for ``fields`` with no
+        predicate gating — the forward-index count pass used when the
+        crossing is already applied as a docid semi-join (facet-block
+        search). One explode + one shuffle for the whole field group."""
+        def tag_with(fieldname):
+            # NB: a 2-arg lambda would make F.transform pass (elem, index)
+            return lambda k: F.struct(
+                F.lit(fieldname).alias("field"), k.alias("key")
+            )
+
+        arrays = [
+            F.transform(F.array_distinct(F.col(FK_PREFIX + f)), tag_with(f))
+            for f in fields
+        ]
+        stacked = base.select(
+            F.explode(F.flatten(F.array(*arrays))).alias("fk")
         ).select("fk.field", "fk.key")
         return stacked.groupBy("field", "key").agg(
             F.count("*").alias("doc_count")

@@ -182,9 +182,20 @@ def test_facetblock_search_path_matches_scan_path(spark, block_engines):
     quirks (both paths share the IR compiler)."""
     mem, disk, _report = block_engines
     assert disk.index.facet_posting_blocks is not None
+    # cost-based router: at this tiny corpus the fixture filters are
+    # UNSELECTIVE (role=assistant ≈ 40%), so the default threshold sends
+    # them to the scan path; force-route to blocks to test the path
+    assert not disk._facetblock_search_applies(
+        {"filters": {"role": ["assistant"]}}
+    )
+    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
     assert disk._facetblock_search_applies({"filters": {"tool": ["bash"]}})
     assert disk._facetblock_search_applies(
         {"filters": {"tool": ["bash"]}, "not_filters": {"role": ["user"]}}
+    )
+    # negative-only / DNF-only inputs have corpus-sized candidates: scan
+    assert not disk._facetblock_search_applies(
+        {"not_filters": {"role": ["user"]}}
     )
     assert not mem._facetblock_search_applies({"filters": {"tool": ["bash"]}})
     # query present / callback filter keep the standard path
@@ -236,6 +247,7 @@ def block_engines_disj(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("blockidxdisj") / "artifacts")
     mem.index.write_blocks(path, n_buckets=4, range_size=512, block_size=64)
     disk = SearchEngine(Index.read(spark, path))
+    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0  # force-route (tiny corpus)
     return mem, disk
 
 

@@ -88,6 +88,7 @@ def test_stream_facet_blocks_serve_filter_algebra(spark, streamed):
     base, delta, out, _writer = streamed
     eng = SearchEngine(read_stream_index(spark, out, CFG))
     assert eng.index.facet_posting_blocks is not None
+    eng.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0  # force-route (tiny corpus)
     assert eng._facetblock_search_applies({"filters": {"tool": ["bash"]}})
     full = itemsjs_spark(
         spark, base.unionByName(delta), CFG, order_by=["conv_id", "turn_idx"]
