@@ -699,6 +699,14 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return emb_ops.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-cell candidates (equi-join,
+    no cross join) verified by exact cosine — the cell assignment and
+    verification are restated verbatim in the DuckDB oracle."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb_ops.cosine_neardup_pairs(e, threshold=0.3)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column → Arrow-batched
     feature extraction via mapInPandas. The 'decode' is a deterministic
@@ -827,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "langid_heuristic": _q_langid,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
@@ -1029,6 +1038,16 @@ s AS (
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s
 ) WHERE rn <= 10
+"""
+
+    sqls["embedding_neardup_pairs"] = f"""
+WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ({bucket_sql}) AS cell FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM eb a JOIN eb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
 """
 
     sqls["dedup_exact"] = (

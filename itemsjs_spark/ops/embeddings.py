@@ -122,6 +122,53 @@ def ivf_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    max_cell_size: int = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: candidates are rows sharing
+    an LSH cell (equi-join on the sign-pattern key — never a cross
+    join), verified by exact cosine at ``threshold``. The task-brief
+    dedup family's embedding member, shaped like ``dedup.jaccard_pairs``.
+
+    ``max_cell_size`` is the skew spill rule (mirrors
+    ``lsh_candidate_pairs``): a cluster of near-identical vectors puts
+    its whole mass in one cell and makes the self-join quadratic there —
+    cells above the cap are dropped from PAIR GENERATION (their members
+    are better handled by exact dedup first; documented recall
+    trade-off, bounded cost)."""
+    planes = lsh_planes(n_planes, dim)
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    ).withColumn("cell", lsh_bucket(F.col("emb"), planes))
+    if max_cell_size is not None:
+        ok = (
+            e.groupBy("cell")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_cell_size)
+            .select("cell")
+        )
+        e = e.join(ok, "cell")
+    a = e.select("cell", F.col("id").alias("id_a"), F.col("emb").alias("ea"))
+    b = e.select("cell", F.col("id").alias("id_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -320,3 +320,26 @@ def test_pii_scrub_masks_emails_and_urls(spark):
     assert out[2]["scrubbed_text"] == "docs at <URL> and <URL>"
     assert out[3]["n_emails"] == 0 and out[3]["n_urls"] == 0
     assert out[3]["scrubbed_text"] == rows[2][1]
+
+
+def test_cosine_neardup_pairs_and_cell_cap(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [v + rng.uniform(-0.01, 0.01) for v in base]
+    far = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(6)]
+    rows = [(0, base), (1, near)] + [(i + 2, v) for i, v in enumerate(far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embeddings.cosine_neardup_pairs(df, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["cosine"] >= 0.99
+    # skew spill rule: a degenerate cluster (30 near-identical vectors →
+    # one cell) is dropped from pair generation when over the cap
+    clones = [(100 + i, [v + rng.uniform(-0.001, 0.001) for v in base]) for i in range(30)]
+    big = spark.createDataFrame(rows + clones, "vec_id long, embedding array<double>")
+    capped = embeddings.cosine_neardup_pairs(big, threshold=0.95, max_cell_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(a < 100 and b < 100 for a, b in got)
+    uncapped = embeddings.cosine_neardup_pairs(big, threshold=0.95)
+    assert uncapped.count() > 30 * 29 / 4  # the quadratic mass the cap removes
