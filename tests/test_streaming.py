@@ -121,3 +121,40 @@ def test_stream_wand_over_merged_store(spark, streamed):
     )
     wand = sorted(map(tuple, eng.fulltext_topk("spark", 10).collect()))
     assert wand == top
+
+
+def test_stream_facet_block_compaction_preserves_filters(spark, streamed, tmp_path):
+    """The facet-block store shares the posting-block layout, so offline
+    compaction folds its per-epoch snap deltas too — filter searches
+    over the compacted store stay response-identical."""
+    import posixpath
+    import shutil
+
+    from itemsjs_spark.engine.checkpoint import compact_blocks
+
+    base, delta, out, _writer = streamed
+    # compact a COPY so the shared `streamed` fixture stays untouched
+    out2 = str(tmp_path / "idx2")
+    shutil.copytree(out, out2)
+    before = SearchEngine(read_stream_index(spark, out2, CFG))
+    before.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    inp = {"filters": {"tool": ["bash"]}, "per_page": 6}
+    want = before.search(dict(inp))
+
+    report = compact_blocks(
+        spark, posixpath.join(out2, "facet_blocks"), n_buckets=4,
+        range_size=512, block_size=64,
+    )
+    assert len(report["compacted"]) > 0
+    assert all(m["compacted"] for m in report["manifests"])
+    spark.catalog.clearCache()
+    eng = SearchEngine(read_stream_index(spark, out2, CFG))
+    eng.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    assert eng._facetblock_search_applies(dict(inp))
+    got = eng.search(dict(inp))
+    assert got["pagination"] == want["pagination"]
+    assert [i["_id"] for i in got["data"]["items"]] == [
+        i["_id"] for i in want["data"]["items"]
+    ]
+    for fld, entry in want["data"]["aggregations"].items():
+        assert got["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
