@@ -707,6 +707,34 @@ def _q_embedding_neardup(spark, sf_dir):
     return emb_ops.cosine_neardup_pairs(e, threshold=0.3)
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_deterministic_split(spark, sf_dir):
+    """Seeded hash-based split assignment (train/val/test): membership
+    depends only on (seed, doc_id) — stable under retries, appends and
+    repartitioning, reproduced bit-for-bit by the SQL oracle."""
+    from itemsjs_spark.ops import sampling
+
+    return sampling.deterministic_split(
+        _documents(spark, sf_dir), "doc_id", _SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Shard-local greedy sequence packing: hash-sharded docs, ordered
+    scan per shard, bins capped at the token budget. The greedy fold is
+    restated as a recursive CTE in the oracle."""
+    from itemsjs_spark.ops import sampling
+
+    d = _documents(spark, sf_dir).withColumn(
+        "n_toks", F.size(F.split("text", " ")).cast("long")
+    )
+    return sampling.pack_sequences(
+        d, "doc_id", "n_toks", budget=256, n_shards=8
+    ).select("doc_id", "shard", "bin")
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column → Arrow-batched
     feature extraction via mapInPandas. The 'decode' is a deterministic
@@ -836,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "deterministic_split": _q_deterministic_split,
+        "pack_sequences": _q_pack_sequences,
         "langid_heuristic": _q_langid,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
@@ -1038,6 +1068,50 @@ s AS (
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s
 ) WHERE rn <= 10
+"""
+
+    # deterministic sampling family: md5-prefix uniform fraction, nibble-
+    # decoded in DuckDB (no conv()); thresholds generated from the SAME
+    # split_bounds() the engine uses, so float boundaries match exactly
+    from itemsjs_spark.ops.sampling import split_bounds
+
+    def _hex8_int(hx: str) -> str:
+        nib = lambda p: f"(strpos('0123456789abcdef', substr({hx}, {p}, 1)) - 1)"
+        expr = nib(1)
+        for p in range(2, 9):
+            expr = f"({expr} * 16 + {nib(p)})"
+        return expr
+
+    _md5_split = "md5('0:' || doc_id::VARCHAR)"
+    _frac = f"({_hex8_int(_md5_split)} / 4294967296.0)"
+    _bounds = split_bounds(_SPLIT_WEIGHTS)
+    _case = (
+        "CASE "
+        + " ".join(f"WHEN {_frac} < {b!r} THEN '{n}'" for n, b in _bounds[:-1])
+        + f" ELSE '{_bounds[-1][0]}' END"
+    )
+    sqls["deterministic_split"] = (
+        f"SELECT doc_id, {_case} AS split FROM documents"
+    )
+
+    _md5_shard = "md5('0#' || doc_id::VARCHAR)"
+    _shard = f"({_hex8_int(_md5_shard)} % 8)"
+    sqls["pack_sequences"] = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, {_shard}::BIGINT AS shard,
+         len(string_split(text, ' '))::BIGINT AS tok,
+         row_number() OVER (PARTITION BY {_shard} ORDER BY doc_id) AS rn
+  FROM documents
+), r AS (
+  SELECT shard, rn, doc_id, tok, tok AS fill, 0::BIGINT AS bin
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.tok,
+         CASE WHEN r.fill + s.tok > 256 THEN s.tok ELSE r.fill + s.tok END,
+         CASE WHEN r.fill + s.tok > 256 THEN r.bin + 1 ELSE r.bin END
+  FROM s JOIN r ON s.shard = r.shard AND s.rn = r.rn + 1
+)
+SELECT doc_id, shard, bin FROM r
 """
 
     sqls["embedding_neardup_pairs"] = f"""

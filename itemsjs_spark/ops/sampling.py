@@ -1,0 +1,149 @@
+"""Deterministic corpus sampling, split assignment, and sequence
+packing — the bookkeeping operators every training-data pipeline needs
+before anything reaches a trainer.
+
+All engine-portable by construction: the randomness source is an md5
+hex prefix of the (seeded) document key, so ANY engine — including the
+DuckDB oracle — reproduces membership bit-for-bit. No RNG state, no
+driver coordination, stable under retries, appends and re-partitioning
+(the classic salted-hash sampling design used in place of ``rand()``,
+which is neither stable nor engine-portable).
+
+* ``hash_fraction``   — uniform [0,1) per row: first 8 md5 hex chars of
+  ``seed:key`` as an integer / 2^32.
+* ``sample_fraction`` — keep ~``rate`` of rows, deterministically.
+* ``deterministic_split`` — named-split assignment (train/val/test) by
+  cumulative weight over the same hash fraction.
+* ``pack_sequences``  — shard-local greedy packing: documents are
+  hash-sharded, ordered within the shard, and cut into bins whose token
+  budget is ``budget`` (cumulative-sum bin assignment). Work is one
+  window per shard partition — shards bound the window state, so the
+  plan has no single-partition stage at any corpus size; packing is
+  shard-local exactly like production sequence packers, which never
+  pack across workers either.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_fraction(key: Column, seed: str = "0") -> Column:
+    """Deterministic uniform [0,1) from the row key: int(md5 prefix)/2^32."""
+    hx = F.md5(F.concat(F.lit(seed + ":"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, rate: float, seed: str = "0"
+) -> DataFrame:
+    """Keep ~``rate`` of rows — membership depends only on (seed, id)."""
+    return df.filter(hash_fraction(F.col(id_col), seed) < rate)
+
+
+def split_bounds(weights: Dict[str, float]):
+    """[(name, upper_bound)] cumulative intervals over [0,1) — the LAST
+    split has no bound (the otherwise-branch). Shared by the engine and
+    the oracle-SQL generator so float thresholds match bit-for-bit."""
+    total = float(sum(weights.values()))
+    names = list(weights)
+    out = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, cum))
+    out.append((names[-1], None))
+    return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Dict[str, float],
+    seed: str = "0",
+) -> DataFrame:
+    """Assign each row a named split with probability ∝ ``weights``
+    (insertion order defines the cumulative intervals). Adds ``split``."""
+    frac = hash_fraction(F.col(id_col), seed)
+    expr = None
+    bounds = split_bounds(weights)
+    for name, upper in bounds[:-1]:
+        branch = F.when(frac < upper, F.lit(name))
+        expr = branch if expr is None else expr.when(frac < upper, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    return df.withColumn(
+        "split", last if expr is None else expr.otherwise(last)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 1024,
+    seed: str = "0",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: documents are hash-assigned
+    to ``n_shards`` shards, ordered by id within the shard, and cut
+    into bins so each bin's token sum stays ≤ ``budget`` (documents
+    longer than the budget get a bin of their own). Adds ``shard`` and
+    ``bin`` (bin ids are per-shard).
+
+    Bin id = number of CUTS strictly before the document, where a cut
+    falls whenever the running token total since the last cut would
+    exceed the budget. Computed as a per-shard window scan — the shard
+    count bounds every window partition, so no stage sees more than
+    corpus/n_shards rows regardless of scale."""
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "#"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    # running greedy scan via aggregate over the collected prefix is
+    # quadratic; instead compute cut points with the classic trick:
+    # a document starts a new bin iff its running sum from the current
+    # bin's start would exceed the budget. Equivalent closed form:
+    # process the prefix token list with a fold that carries
+    # (fill, bins); expressed as aggregate() over collect_list prefix
+    # would be quadratic — so use a per-shard Arrow scan instead.
+    import pandas as pd
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields
+    ) + ", bin long"
+
+    cap = int(budget)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins = []
+        fill = 0
+        b = 0
+        first = True
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            if not first and fill + t > cap:
+                b += 1
+                fill = 0
+            first = False
+            fill += t
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return out.groupBy("shard").applyInPandas(assign, schema=schema)

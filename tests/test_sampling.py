@@ -1,0 +1,96 @@
+"""Deterministic sampling / split / packing: portable-hash membership,
+nested-sample property, split proportions, packing budget invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from itemsjs_spark.ops import sampling
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_hash_fraction_uniform_and_stable(spark):
+    df = _ids(spark).withColumn(
+        "f", sampling.hash_fraction(F.col("doc_id"))
+    )
+    rows = df.collect()
+    assert all(0.0 <= r["f"] < 1.0 for r in rows)
+    again = {r["doc_id"]: r["f"] for r in df.collect()}
+    assert {r["doc_id"]: r["f"] for r in rows} == again
+    mean = sum(r["f"] for r in rows) / len(rows)
+    assert 0.45 < mean < 0.55
+
+
+def test_sample_fraction_is_nested(spark):
+    """Threshold sampling: the 30% sample is a SUBSET of the 60% sample
+    (same seed) — the property rand()-based sampling cannot give you."""
+    df = _ids(spark)
+    small = {r["doc_id"] for r in sampling.sample_fraction(df, "doc_id", 0.3).collect()}
+    big = {r["doc_id"] for r in sampling.sample_fraction(df, "doc_id", 0.6).collect()}
+    assert small <= big
+    assert 0.2 < len(small) / 2000 < 0.4
+    assert 0.5 < len(big) / 2000 < 0.7
+    # a different seed draws a different sample
+    other = {
+        r["doc_id"]
+        for r in sampling.sample_fraction(df, "doc_id", 0.3, seed="s2").collect()
+    }
+    assert other != small
+
+
+def test_deterministic_split_partitions_and_proportions(spark):
+    df = _ids(spark)
+    out = sampling.deterministic_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 2000
+    assert 0.74 < len(by["train"]) / 2000 < 0.86
+    # membership is a pure function of the id: a disjoint recomputation
+    # over half the table agrees row-for-row
+    half = sampling.deterministic_split(
+        df.filter(F.col("doc_id") < 1000), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    for r in half.collect():
+        assert r["doc_id"] in by[r["split"]]
+
+
+def test_pack_sequences_budget_and_order(spark):
+    df = _ids(spark, 500).withColumn(
+        "toks", (F.col("doc_id") % 90 + 10).cast("long")
+    )
+    packed = sampling.pack_sequences(
+        df, "doc_id", "toks", budget=200, n_shards=4
+    ).collect()
+    assert len(packed) == 500
+    per_bin = {}
+    order = {}
+    for r in packed:
+        per_bin.setdefault((r["shard"], r["bin"]), 0)
+        per_bin[(r["shard"], r["bin"])] += r["toks"]
+        order.setdefault(r["shard"], []).append((r["doc_id"], r["bin"]))
+    assert all(v <= 200 for v in per_bin.values())
+    for seq in order.values():  # bin ids nondecreasing in id order
+        seq.sort()
+        bins = [b for _, b in seq]
+        assert bins == sorted(bins)
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    rows = [(1, 50), (2, 500), (3, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    packed = sorted(
+        (r["doc_id"], r["bin"])
+        for r in sampling.pack_sequences(
+            df, "doc_id", "toks", budget=100, n_shards=1
+        ).collect()
+    )
+    assert packed == [(1, 0), (2, 1), (3, 2)]
