@@ -52,6 +52,12 @@ _DOC_VOCAB = [
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS) if w)
 
 
+def _sql_nib(hx: str, p: int) -> str:
+    """One hex nibble of SQL expr ``hx`` as 0-15 (DuckDB has no conv();
+    shared by every oracle that decodes md5 hex prefixes)."""
+    return f"(strpos('0123456789abcdef', substr({hx}, {p}, 1)) - 1)"
+
+
 def _stem_case(expr: str) -> str:
     whens = " ".join(
         f"WHEN '{w}' THEN '{stem(w)}'" for w in _DOC_VOCAB if stem(w) != w
@@ -1076,10 +1082,9 @@ SELECT query_id, neighbor_id, cosine FROM (
     from itemsjs_spark.ops.sampling import split_bounds
 
     def _hex8_int(hx: str) -> str:
-        nib = lambda p: f"(strpos('0123456789abcdef', substr({hx}, {p}, 1)) - 1)"
-        expr = nib(1)
+        expr = _sql_nib(hx, 1)
         for p in range(2, 9):
-            expr = f"({expr} * 16 + {nib(p)})"
+            expr = f"({expr} * 16 + {_sql_nib(hx, p)})"
         return expr
 
     _md5_split = "md5('0:' || doc_id::VARCHAR)"
@@ -1316,9 +1321,8 @@ SELECT doc_id,
 FROM t
 """
 
-    nib = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
     fcols = ", ".join(
-        f"round(({nib.format(p=2 * k + 1)} * 16 + {nib.format(p=2 * k + 2)}) / 255.0, 6) AS f{k}"
+        f"round(({_sql_nib('hx', 2 * k + 1)} * 16 + {_sql_nib('hx', 2 * k + 2)}) / 255.0, 6) AS f{k}"
         for k in range(4)
     )
     sqls["multimodal_features"] = (

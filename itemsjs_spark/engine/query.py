@@ -814,9 +814,11 @@ class SearchEngine:
         base = self._docs_with_query_flag(hits)
         flt = base.filter(ir_to_column(compiled.final_pred, hits is not None))
         ordered = self._order(flt, input, hits)
-        drop = [c for c in ordered.columns if c.startswith(FK_PREFIX)] + [
-            c for c in (IN_QUERY,) if c in ordered.columns
-        ]
+        drop = [
+            c
+            for c in ordered.columns
+            if c.startswith(FK_PREFIX) or c.startswith(RAW_PREFIX)
+        ] + [c for c in (IN_QUERY,) if c in ordered.columns]
         return ordered.drop(*drop).withColumnRenamed(DOCID, "_id")
 
     def _order(
@@ -1109,6 +1111,18 @@ class SearchEngine:
         return est <= max(self.index.n_docs, 1) * self.BLOCK_ROUTE_MAX_SELECTIVITY
 
     def _search_facetblocks(self, input: Dict[str, Any]) -> Dict[str, Any]:
+        # the docid-set caches must not outlive the request, even when a
+        # bad sort spec / collect error escapes mid-flight
+        persisted: List[DataFrame] = []
+        try:
+            return self._search_facetblocks_impl(input, persisted)
+        finally:
+            for df in persisted:
+                df.unpersist()
+
+    def _search_facetblocks_impl(
+        self, input: Dict[str, Any], persisted: List[DataFrame]
+    ) -> Dict[str, Any]:
         import time
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1118,7 +1132,6 @@ class SearchEngine:
         per_page, page = _parse_paging(input)
         compiled = self.compile(input, has_query=False)
         alg = BlockSetAlgebra(self.index, self.index.facet_posting_blocks)
-        persisted: List[DataFrame] = []
 
         def persist_if_df(res):
             if not isinstance(res, bool):
@@ -1217,8 +1230,6 @@ class SearchEngine:
         if input.get("is_all_filtered_items"):
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
-        for df in persisted:
-            df.unpersist()
 
         return {
             "pagination": {"per_page": per_page, "page": page, "total": total},
@@ -1406,9 +1417,6 @@ class SearchEngine:
         search() then needs no separate count job), then driver-side
         assembly against the cached facet dimension (zero-count fill,
         selected flags, lodash ordering, facet_stats)."""
-        from ..core.ordering import bucket_sort_spec, order_by
-        from ..jsutil import js_is_nan_str, js_parse_int
-
         if compiled is None:
             hits, _ = self._candidates(input)
             has_query = hits is not None

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -113,14 +113,9 @@ def pack_sequences(
         % n_shards
     )
     out = df.withColumn("shard", shard)
-    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
-    # running greedy scan via aggregate over the collected prefix is
-    # quadratic; instead compute cut points with the classic trick:
-    # a document starts a new bin iff its running sum from the current
-    # bin's start would exceed the budget. Equivalent closed form:
-    # process the prefix token list with a fold that carries
-    # (fill, bins); expressed as aggregate() over collect_list prefix
-    # would be quadratic — so use a per-shard Arrow scan instead.
+    # the greedy fold carries (fill, bin) state across the shard's rows —
+    # expressed over collect_list prefixes it would be quadratic, so it
+    # runs as ONE per-shard Arrow scan (shard size bounds the state)
     import pandas as pd
 
     schema = ", ".join(

@@ -134,6 +134,7 @@ class StreamingIndexWriter:
             fv.write.mode("overwrite").parquet(
                 posixpath.join(self.out_path, "facet_counts", edir)
             )
+        fb_written = False
         if present_facets:
             # facet-value posting blocks, appended per epoch exactly like
             # the fulltext blocks — streamed stores get the index-side
@@ -148,6 +149,7 @@ class StreamingIndexWriter:
                 range_size=self.range_size,
                 block_size=self.block_size,
             )
+            fb_written = True
 
         if self.configuration.get("native_search_enabled") is not False:
             postings = tokenize_postings(
@@ -169,9 +171,17 @@ class StreamingIndexWriter:
             postings.unpersist()
 
         delta.unpersist()
-        # commit point: the epoch becomes visible atomically via meta
+        # commit point: the epoch becomes visible atomically via meta.
+        # doc_epochs/fb_epochs track facet-block COVERAGE: the read path
+        # serves the block store only when every doc-contributing epoch
+        # also appended facet blocks (a store whose early epochs predate
+        # the feature must fall back to the scan path, not silently
+        # serve filters from a partial block store)
         meta["n_docs"] = int(meta["n_docs"]) + n_new
         meta["epochs"].append(int(epoch_id))
+        meta.setdefault("doc_epochs", []).append(int(epoch_id))
+        if fb_written:
+            meta.setdefault("fb_epochs", []).append(int(epoch_id))
         self._write_meta(fs, meta)
 
     def attach(
@@ -245,8 +255,18 @@ def read_stream_index(
         )
         blocks = read_blocks(spark, posixpath.join(out_path, "posting_blocks"))
 
+    # serve facet blocks only when they cover EVERY doc-contributing
+    # epoch; a store written partly by a pre-facet-block writer (or with
+    # unknown coverage — no doc_epochs record) falls back to the scan
+    # path rather than returning filter results from a partial store
     fbdir = posixpath.join(out_path, "facet_blocks")
-    fblocks = read_blocks(spark, fbdir) if fs.exists(fbdir) else None
+    doc_epochs = meta.get("doc_epochs")
+    fb_covers = doc_epochs is not None and set(doc_epochs) <= set(
+        meta.get("fb_epochs", [])
+    )
+    fblocks = (
+        read_blocks(spark, fbdir) if fb_covers and fs.exists(fbdir) else None
+    )
 
     searchable = configuration.get("searchableFields") or []
     text_fields = [("name", 10.0)] + [(f, 1.0) for f in searchable]

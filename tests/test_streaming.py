@@ -158,3 +158,33 @@ def test_stream_facet_block_compaction_preserves_filters(spark, streamed, tmp_pa
     ]
     for fld, entry in want["data"]["aggregations"].items():
         assert got["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
+
+
+def test_partial_facet_block_store_falls_back_to_scan(spark, streamed, tmp_path):
+    """A store whose meta lacks facet-block coverage for every doc epoch
+    (e.g. early epochs written by a pre-facet-block writer) must NOT
+    serve the block store — filters fall back to the scan path."""
+    import json
+    import shutil
+
+    base, delta, out, _writer = streamed
+    out2 = str(tmp_path / "idxpartial")
+    shutil.copytree(out, out2)
+    meta_path = f"{out2}/meta.json"
+    meta = json.loads(open(meta_path).read())
+    assert set(meta["doc_epochs"]) <= set(meta["fb_epochs"])  # full store serves
+    # simulate a first epoch that predates the facet-block feature
+    meta["fb_epochs"] = meta["fb_epochs"][1:]
+    open(meta_path, "w").write(json.dumps(meta))
+    import os
+
+    crc = f"{out2}/.meta.json.crc"  # stale Hadoop checksum of the edit
+    if os.path.exists(crc):
+        os.remove(crc)
+    eng = SearchEngine(read_stream_index(spark, out2, CFG))
+    assert eng.index.facet_posting_blocks is None
+    eng.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    assert not eng._facetblock_search_applies({"filters": {"tool": ["bash"]}})
+    # and the scan path still answers correctly
+    r = eng.search({"filters": {"tool": ["bash"]}, "per_page": 3})
+    assert r["pagination"]["total"] > 0
