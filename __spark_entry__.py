@@ -491,6 +491,53 @@ def _q_orders_sort_page(spark, sf_dir):
     )
 
 
+def _lineitem_engine(spark, sf_dir):
+    def build():
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        cfg = {
+            "aggregations": {
+                "l_returnflag": {"size": 10},
+                "l_linestatus": {"size": 10},
+                "l_quantity": {"show_facet_stats": True, "size": 60},
+            },
+            "native_search_enabled": False,
+        }
+        return itemsjs_spark(
+            spark, df, cfg, order_by=["l_orderkey", "l_linenumber"]
+        )
+
+    return _cached(("eng_lineitem", sf_dir), spark, build)
+
+
+def _q_lineitem_stats(spark, sf_dir):
+    """Generality at the largest table: faceted quantity stats over the
+    filtered lineitem set (TPC-H Q1's flavor through the reference's
+    facet_stats machinery — 60k rows at sf0.01, one corpus pass)."""
+    eng = _lineitem_engine(spark, sf_dir)
+    res = eng.get_buckets(
+        {"filters": {"l_returnflag": ["R"], "l_linestatus": ["F"]}}
+    )
+    st = res["l_quantity"]["facet_stats"]
+    row = [(
+        float(st["min"]), float(st["max"]),
+        round(float(st["avg"]), 6), float(st["sum"]),
+    )]
+    return spark.createDataFrame(
+        row, "min double, max double, avg double, sum double"
+    )
+
+
+def _q_lineitem_crossed_counts(spark, sf_dir):
+    eng = _lineitem_engine(spark, sf_dir)
+    a = eng.bucket_counts_df(
+        "l_returnflag", {"filters": {"l_linestatus": ["F"]}}
+    ).withColumn("field", F.lit("l_returnflag"))
+    b = eng.bucket_counts_df(
+        "l_linestatus", {"filters": {"l_linestatus": ["F"]}}
+    ).withColumn("field", F.lit("l_linestatus"))
+    return a.unionByName(b).select("field", "key", "doc_count")
+
+
 def _q_query_plus_filter(spark, sf_dir):
     # fulltext hits crossed with a conjunctive facet filter (O15/O21)
     eng = _doc_engine(spark, sf_dir)
@@ -854,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_facet_counts": _q_events_facets,
         "orders_crossed_counts": _q_orders_crossed_counts,
         "orders_sort_paginate": _q_orders_sort_page,
+        "lineitem_facet_stats": _q_lineitem_stats,
+        "lineitem_crossed_counts": _q_lineitem_crossed_counts,
         "events_sort_paginate": _q_events_sort_page,
         "similar_items": _q_similar,
         "aggregation_endpoint": _q_aggregation,
@@ -1017,6 +1066,24 @@ ORDER BY intersection_length DESC, doc_id ASC LIMIT 10
 SELECT min(n_chars)::DOUBLE AS min, max(n_chars)::DOUBLE AS max,
        round(avg(n_chars), 6) AS avg, sum(n_chars)::DOUBLE AS sum
 FROM documents WHERE lang = 'en'
+"""
+    # lineitem engine queries: quantity keys are JS-coerced ("17.0"→"17"),
+    # so stats run over the integer multiset
+    sqls["lineitem_facet_stats"] = """
+SELECT min(CAST(l_quantity AS BIGINT))::DOUBLE AS min,
+       max(CAST(l_quantity AS BIGINT))::DOUBLE AS max,
+       round(avg(CAST(l_quantity AS BIGINT)), 6) AS avg,
+       sum(CAST(l_quantity AS BIGINT))::DOUBLE AS sum
+FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+"""
+    sqls["lineitem_crossed_counts"] = """
+WITH rk AS (SELECT DISTINCT l_returnflag AS key FROM lineitem),
+lk AS (SELECT DISTINCT l_linestatus AS key FROM lineitem),
+rc AS (SELECT l_returnflag AS key, count(*) AS c FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1),
+lc AS (SELECT l_linestatus AS key, count(*) AS c FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1)
+SELECT 'l_returnflag' AS field, rk.key, coalesce(rc.c, 0)::BIGINT AS doc_count FROM rk LEFT JOIN rc USING (key)
+UNION ALL
+SELECT 'l_linestatus' AS field, lk.key, coalesce(lc.c, 0)::BIGINT AS doc_count FROM lk LEFT JOIN lc USING (key)
 """
     sqls["ids_lookup"] = (
         "SELECT doc_id AS _id, source FROM documents "
