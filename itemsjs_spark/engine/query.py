@@ -1368,6 +1368,61 @@ class SearchEngine:
             F.count("*").alias("doc_count")
         )
 
+    def _facetblock_buckets(self, input: Dict[str, Any], with_total: bool):
+        """Bucket counts (+ optional result total) from the facet-block
+        set algebra — the counting core of ``_search_facetblocks`` for
+        callers that need no item page (get_buckets / aggregation)."""
+        from .facetblocks import BlockSetAlgebra, _freeze
+
+        compiled = self.compile(input, has_query=False)
+        alg = BlockSetAlgebra(self.index, self.index.facet_posting_blocks)
+        persisted: List[DataFrame] = []
+        try:
+            groups: Dict[tuple, List[str]] = {}
+            gset: Dict[tuple, Any] = {}
+            for fld in self.index.facet_fields:
+                key = _freeze(compiled.bucket_pred[fld])
+                if key not in groups:
+                    groups[key] = []
+                    s = alg.docids(compiled.bucket_pred[fld])
+                    if not isinstance(s, bool):
+                        s.persist()
+                        persisted.append(s)
+                    gset[key] = s
+                groups[key].append(fld)
+            counts: Dict[str, Dict[str, int]] = {}
+            for key, flds in groups.items():
+                s = gset[key]
+                if s is False:
+                    for f in flds:
+                        counts[f] = {}
+                elif s is True:
+                    for f in flds:
+                        counts[f] = dict((self._facet_global or {}).get(f, {}))
+                else:
+                    base = self.index.docs.join(s, DOCID, "left_semi")
+                    rows = self._stacked_field_counts(base, flds).collect()
+                    for f in flds:
+                        counts[f] = {}
+                    for r in rows:
+                        counts[r["field"]][r["key"]] = r["doc_count"]
+            total = None
+            if with_total:
+                final = alg.docids(compiled.final_pred)
+                if final is True:
+                    total = self.index.docs.count()
+                elif final is False:
+                    total = 0
+                else:
+                    total = final.count()
+            return (
+                self._assemble_buckets(input, counts, self._facet_dim_cache()),
+                total,
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
+
     def _stacked_field_counts(
         self, base: DataFrame, fields: Sequence[str]
     ) -> DataFrame:
@@ -1417,6 +1472,12 @@ class SearchEngine:
         search() then needs no separate count job), then driver-side
         assembly against the cached facet dimension (zero-count fill,
         selected flags, lodash ordering, facet_stats)."""
+        # standalone bucket requests (get_buckets / aggregation endpoint)
+        # take the facet-block counting path under the same cost-based
+        # routing as search(); callers that already computed candidates
+        # (compiled is not None) stay on their scan plan
+        if compiled is None and self._facetblock_search_applies(input or {}):
+            return self._facetblock_buckets(input or {}, with_total)
         if compiled is None:
             hits, _ = self._candidates(input)
             has_query = hits is not None

@@ -277,3 +277,50 @@ def test_facetblock_disjunctive_self_exclusion_parity(block_engines_disj):
             assert (
                 b["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
             ), (inp, fld)
+
+
+def test_facet_term_predicate_reaches_facet_block_scan(spark, tmp_path):
+    """The block algebra's `contains` leaf must push its field␟key term
+    predicate into the compressed facet-block parquet scan — only the
+    filter value's own blocks are read, never the whole facet store."""
+    tdf = transcripts_df(spark, n_turns=2000, n_convs=200, seed=9)
+    cfg = {
+        "aggregations": {"role": {"size": 10}, "tool": {"size": 10}},
+        "searchableFields": ["text"],
+    }
+    mem = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    path = str(tmp_path / "fbpush")
+    mem.index.write_blocks(path, n_buckets=4, range_size=512, block_size=64)
+    disk = SearchEngine(Index.read(spark, path))
+    from itemsjs_spark.engine.facetblocks import SEP, BlockSetAlgebra
+
+    alg = BlockSetAlgebra(disk.index, disk.index.facet_posting_blocks)
+    docids = alg.docids(("contains", "tool", "bash"))
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        docids.explain(mode="formatted")
+    text = plan.getvalue()
+    pushed = [
+        ln for ln in text.splitlines() if "PushedFilters" in ln and "term" in ln
+    ]
+    assert any("tool" + SEP + "bash" in ln for ln in pushed), text
+
+
+def test_facetblock_get_buckets_and_aggregation_match_scan(spark, block_engines):
+    """get_buckets / the aggregation endpoint take the block counting
+    path under the same router — identical buckets to the scan path."""
+    mem, disk, _report = block_engines
+    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    for inp in (
+        {"filters": {"tool": ["bash"]}},
+        {"filters": {"role": ["assistant"]}, "not_filters": {"tool": ["grep"]}},
+    ):
+        a = mem.get_buckets(dict(inp))
+        b = disk.get_buckets(dict(inp))
+        for fld, entry in a.items():
+            assert b[fld]["buckets"] == entry["buckets"], (inp, fld)
+    agg_inp = {"name": "role", "filters": {"tool": ["bash"]}, "per_page": 10}
+    a = mem.aggregation(dict(agg_inp))
+    b = disk.aggregation(dict(agg_inp))
+    assert a["data"]["buckets"] == b["data"]["buckets"]
+    assert a["pagination"] == b["pagination"]
