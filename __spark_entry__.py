@@ -752,12 +752,19 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return emb_ops.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+_NEARDUP_MAX_CELL = 10_000
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-cell candidates (equi-join,
-    no cross join) verified by exact cosine — the cell assignment and
-    verification are restated verbatim in the DuckDB oracle."""
+    no cross join) verified by exact cosine — the cell assignment, the
+    cell-size spill cap, and the verification are restated verbatim in
+    the DuckDB oracle (the capped candidate universe IS the semantics,
+    like the jaccard df-cut)."""
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return emb_ops.cosine_neardup_pairs(e, threshold=0.3)
+    return emb_ops.cosine_neardup_pairs(
+        e, threshold=0.3, max_cell_size=_NEARDUP_MAX_CELL
+    )
 
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1186,8 +1193,13 @@ WITH RECURSIVE s AS (
 SELECT doc_id, shard, bin FROM r
 """
 
+    # the cell-size cap (HAVING count(*) <= cap) mirrors
+    # cosine_neardup_pairs' max_cell_size — the capped candidate
+    # universe IS the semantics, like the jaccard df-cut
     sqls["embedding_neardup_pairs"] = f"""
-WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ({bucket_sql}) AS cell FROM embeddings)
+WITH eb0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ({bucket_sql}) AS cell FROM embeddings),
+okc AS (SELECT cell FROM eb0 GROUP BY cell HAVING count(*) <= {_NEARDUP_MAX_CELL}),
+eb AS (SELECT eb0.* FROM eb0 JOIN okc USING (cell))
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.emb, b.emb) /
              (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine

@@ -114,6 +114,17 @@ class _HadoopFS:
             names.append(it.next().getPath().getName())
         return sorted(names)
 
+    def list_dirs(self, p: str):
+        """Immediate child DIRECTORY names of ``p`` (listFiles only
+        yields files)."""
+        if not self.exists(p):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._path(p))
+            if st.isDirectory()
+        )
+
     def parquet_sizes(self, p: str):
         """(n_files, total_bytes) over *.parquet under ``p`` (recursive)."""
         n_files = 0
@@ -322,9 +333,12 @@ def compact_blocks(
     appended blocks per (term, range) → one, restoring WAND's per-range
     upper-bound tightness and minimal file counts).
 
-    Per bucket: decode → re-encode → write to a hidden staging dir →
-    delete old dir → atomic dir rename. A crash between delete and
-    rename is recovered on the next call (staging dir adopted), so the
+    Per bucket: decode → re-encode → write to a hidden staging dir
+    (its manifest is the completion marker) → rename the live bucket
+    dir ASIDE (never delete-first: a reader arriving mid-swap must be
+    able to recover a complete store) → atomic rename staging → live →
+    drop the set-aside dir. Any crash window is recovered both here and
+    at READ time (``read_blocks`` → ``recover_compaction``), so the
     store is never silently partial. Snapshot sidecar manifests are
     superseded by a fresh base manifest whose fingerprint matches the
     merged contents."""
@@ -332,24 +346,18 @@ def compact_blocks(
 
     fs = _HadoopFS(spark, out_path)
     staging_root = posixpath.join(out_path, "_compacting")
+    # finish/roll back any prior in-progress swap before starting
+    recovered = _recover_compaction_fs(fs, out_path)
 
     report: List[dict] = []
     for b in range(n_buckets):
         bdir = _bucket_dir(out_path, b)
         tmp = posixpath.join(staging_root, f"bucket={b}")
-        # crash recovery: the staging MANIFEST is the completion marker.
-        # If it exists, the encode finished and the swap may have died
-        # anywhere (including mid-delete of bdir, which is not atomic) —
-        # adopt staging. Without it, staging is a partial encode: drop
-        # it and recompact from the (still intact) bucket dir.
-        if fs.exists(posixpath.join(tmp, MANIFEST)):
-            fs.delete(bdir)
-            fs.rename(tmp, bdir)
+        if b in recovered:  # adopted a completed swap from a prior crash
             m = _read_manifest(fs, out_path, b)
             if m:
                 report.append(m)
             continue
-        fs.delete(tmp)
         if not fs.exists(bdir):
             continue
         t0 = time.time()
@@ -388,14 +396,78 @@ def compact_blocks(
             "finished_at_epoch": int(time.time()),
         }
         fs.write_text(posixpath.join(tmp, MANIFEST), json.dumps(manifest))
-        fs.delete(bdir)
-        fs.rename(tmp, bdir)
+        # swap: set the live dir aside (atomic rename, NOT delete — a
+        # reader landing in this window still finds a complete store via
+        # recover_compaction), promote staging, then drop the old copy
+        old = tmp + ".old"
+        fs.delete(old)
+        fs._fs.rename(fs._path(bdir), fs._path(old))
+        fs._fs.rename(fs._path(tmp), fs._path(bdir))
+        fs.delete(old)
         report.append(manifest)
     fs.delete(staging_root)
     return {"compacted": [m["bucket"] for m in report], "manifests": report}
 
 
+def recover_compaction(spark: SparkSession, out_path: str) -> List[int]:
+    """Finish (or roll back) a compaction swap that died mid-flight, so
+    a block store is NEVER read minus a bucket's postings. Returns the
+    bucket ids whose completed swaps were adopted.
+
+    State machine per staged bucket (``_compacting/bucket=N[.old]``):
+
+    * staging manifest present → the re-encode COMPLETED; the swap may
+      have died anywhere after — adopt staging (drop whichever of the
+      live dir / set-aside dir still exists, promote staging).
+    * staging without manifest → partial encode; the live dir is intact
+      (it is only renamed aside AFTER the manifest lands) — drop staging.
+    * only a set-aside ``.old`` dir → the promote completed; drop it —
+      unless the live dir is somehow missing, then restore from it.
+    """
+    return _recover_compaction_fs(_HadoopFS(spark, out_path), out_path)
+
+
+def _recover_compaction_fs(fs: _HadoopFS, out_path: str) -> List[int]:
+    staging_root = posixpath.join(out_path, "_compacting")
+    if not fs.exists(staging_root):
+        return []
+    adopted: List[int] = []
+    for name in fs.list_dirs(staging_root):
+        base = name.removesuffix(".old")
+        if not base.startswith("bucket="):
+            continue
+        try:
+            b = int(base[len("bucket="):])
+        except ValueError:
+            continue
+        bdir = _bucket_dir(out_path, b)
+        tmp = posixpath.join(staging_root, f"bucket={b}")
+        old = tmp + ".old"
+        if fs.exists(posixpath.join(tmp, MANIFEST)):
+            fs.delete(bdir)
+            fs._fs.rename(fs._path(tmp), fs._path(bdir))
+            fs.delete(old)
+            adopted.append(b)
+        elif name.endswith(".old"):
+            if fs.exists(bdir):
+                fs.delete(old)
+            else:  # defensive: promote never ran — roll back
+                fs._fs.rename(fs._path(old), fs._path(bdir))
+        else:
+            fs.delete(tmp)  # partial encode; live dir is intact
+    if not fs.list_dirs(staging_root):
+        fs.delete(staging_root)
+    return adopted
+
+
 def read_blocks(spark: SparkSession, out_path: str) -> DataFrame:
+    # a store with an in-progress compaction swap is completed/rolled
+    # back BEFORE the glob below binds, so a crash mid-swap can never
+    # serve the store minus a bucket's postings (one exists() probe on
+    # the common path)
+    fs = _HadoopFS(spark, out_path)
+    if fs.exists(posixpath.join(out_path, "_compacting")):
+        _recover_compaction_fs(fs, out_path)
     return spark.read.option("basePath", out_path).parquet(
         posixpath.join(out_path, "bucket=*")
     )

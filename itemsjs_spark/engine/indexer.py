@@ -630,6 +630,16 @@ def append_index(
         new_docs = ranked.withColumn(DOCID, F.col(DOCID) + F.lit(index.n_docs))
     else:
         raise ValueError("need docid_col or order_by for stable _docid")
+    # validate the delta's columns BEFORE deriving facet-key columns —
+    # a delta lacking a facet column must fail with the contract error,
+    # not an AnalysisException out of facet_keys_col
+    missing = [
+        c
+        for c in index.docs.columns
+        if not c.startswith(FK_PREFIX) and c not in new_docs.columns
+    ]
+    if missing:
+        raise ValueError(f"append delta lacks columns {missing}")
     for fld in index.facet_fields:
         new_docs = new_docs.withColumn(
             FK_PREFIX + fld, facet_keys_col(new_docs, fld)

@@ -129,6 +129,20 @@ class SearchEngine:
         self._facet_global: Optional[Dict[str, Dict[str, int]]] = None
         self._facet_dim_checked = False
         self._ft_materialized = False
+        # term-vector caches pinned by the distributed-expansion path
+        # (one per oversized prefix query); released once the consumer
+        # materialized — see release_expansion_caches
+        self._expansion_caches: List[DataFrame] = []
+
+    def release_expansion_caches(self) -> None:
+        """Unpersist the distributed-expansion term-vector caches created
+        by oversized prefix queries (each would otherwise pin a
+        vocabulary-sized cache for the session). Safe once the consumer
+        has materialized its result (search() calls this in its finally;
+        direct fulltext_hits callers may call it between queries —
+        unpersisting only makes later reuse recompute lazily)."""
+        while self._expansion_caches:
+            self._expansion_caches.pop().unpersist()
 
     def materialize(self) -> "SearchEngine":
         """Materialize every index artifact, submitting the independent
@@ -652,31 +666,36 @@ class SearchEngine:
             (F.lit(qtf) * F.col("idf") * sim).alias("val"),
         ).persist()
 
-        stats = exp.agg(
-            F.sum(F.col("val") * F.col("val")).alias("ss"),
-            F.count_distinct("tok_idx").alias("nt"),
-        ).collect()[0]
-        n_distinct = len(set(tokens))
-        if not stats["nt"] or stats["nt"] < n_distinct or not stats["ss"]:
-            # some token has no expansion → conjunctive AND is empty
-            exp.unpersist()
-            return empty
-        magnitude = math.sqrt(float(stats["ss"]))
+        # the expansion cache never outlives this call, whatever fails
+        try:
+            stats = exp.agg(
+                F.sum(F.col("val") * F.col("val")).alias("ss"),
+                F.count_distinct("tok_idx").alias("nt"),
+            ).collect()[0]
+            n_distinct = len(set(tokens))
+            if not stats["nt"] or stats["nt"] < n_distinct or not stats["ss"]:
+                # some token has no expansion → conjunctive AND is empty
+                return empty
+            magnitude = math.sqrt(float(stats["ss"]))
 
-        termvec = exp.groupBy("term").agg(
-            # lunr.Vector insert: the FIRST query token (by position)
-            # expanding to a term owns its dot-product weight
-            F.min(F.struct("tok_idx", "val")).alias("__fw"),
-            F.max("idf").alias("__idf"),  # constant within a term
-            F.bit_or(F.expr("shiftleft(1L, tok_idx)")).alias("mask"),
-        ).select(
-            # contribution per posting = qweight × doc-side idf × tf
-            "term",
-            (F.col("__fw.val") * F.col("__idf")).alias("w"),
-            "mask",
-        ).persist()
-        termvec.count()
-        exp.unpersist()  # the (larger) expansion table is folded in now
+            termvec = exp.groupBy("term").agg(
+                # lunr.Vector insert: the FIRST query token (by position)
+                # expanding to a term owns its dot-product weight
+                F.min(F.struct("tok_idx", "val")).alias("__fw"),
+                F.max("idf").alias("__idf"),  # constant within a term
+                F.bit_or(F.expr("shiftleft(1L, tok_idx)")).alias("mask"),
+            ).select(
+                # contribution per posting = qweight × doc-side idf × tf
+                "term",
+                (F.col("__fw.val") * F.col("__idf")).alias("w"),
+                "mask",
+            ).persist()
+            # tracked on the engine: released by release_expansion_caches
+            # after the consumer materializes (search()'s finally)
+            self._expansion_caches.append(termvec)
+            termvec.count()
+        finally:
+            exp.unpersist()  # the expansion table is folded into termvec
 
         if idx.postings is not None:
             postings = idx.postings
@@ -881,17 +900,42 @@ class SearchEngine:
         if self._facetblock_search_applies(input):
             return self._search_facetblocks(input)
 
+        # request-scoped caches must not outlive the request, even when a
+        # bad sort spec, a callback-filter failure, or a collect error
+        # escapes mid-flight (same contract as _search_facetblocks)
+        persisted: List[DataFrame] = []
+        try:
+            return self._search_standard_impl(
+                input, per_page, page, t0, persisted
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
+            self.release_expansion_caches()
+
+    def _search_standard_impl(
+        self,
+        input: Dict[str, Any],
+        per_page: int,
+        page: int,
+        t0: float,
+        persisted: List[DataFrame],
+    ) -> Dict[str, Any]:
+        import time
+
         t_search = time.time()
         hits, _ = self._candidates(input)
         if hits is not None:
             # materialize the scored candidates ONCE; the facets and
             # page jobs below both read this cache
             hits = hits.persist()
+            persisted.append(hits)
             hits.count()
         compiled = self.compile(input, has_query=hits is not None)
         base = self._docs_with_query_flag(hits)
         if hits is not None:
             base = base.persist()
+            persisted.append(base)
         flt = base.filter(ir_to_column(compiled.final_pred, hits is not None))
         search_time = time.time() - t_search
 
@@ -943,10 +987,6 @@ class SearchEngine:
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
         sorting_time = page_secs[0] + (time.time() - t_s)
-
-        if hits is not None:
-            base.unpersist()
-            hits.unpersist()
 
         return {
             "pagination": {"per_page": per_page, "page": page, "total": total},

@@ -129,7 +129,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int = 8,
     dim: int = 64,
-    max_cell_size: int = None,
+    max_cell_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: candidates are rows sharing
     an LSH cell (equi-join on the sign-pattern key — never a cross
@@ -137,11 +137,12 @@ def cosine_neardup_pairs(
     dedup family's embedding member, shaped like ``dedup.jaccard_pairs``.
 
     ``max_cell_size`` is the skew spill rule (mirrors
-    ``lsh_candidate_pairs``): a cluster of near-identical vectors puts
-    its whole mass in one cell and makes the self-join quadratic there —
-    cells above the cap are dropped from PAIR GENERATION (their members
-    are better handled by exact dedup first; documented recall
-    trade-off, bounded cost)."""
+    ``lsh_candidate_pairs``, same default — ON): a cluster of
+    near-identical vectors puts its whole mass in one cell and makes the
+    self-join quadratic there — cells above the cap are dropped from
+    PAIR GENERATION (their members are better handled by exact dedup
+    first; documented recall trade-off, bounded cost). Pass ``None`` to
+    disable (small corpora only)."""
     planes = lsh_planes(n_planes, dim)
     e = df.select(
         F.col(id_col).alias("id"),

@@ -113,8 +113,11 @@ def charngram_profile_fit(
     g = df.select(F.col(id_col), F.explode(grams).alias("g"))
     dvec = g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
     profile = dvec.groupBy("g").agg(F.sum("c").alias("cf"))
-    cnorm = float(
-        profile.agg(F.sqrt(F.sum(F.col("cf") * F.col("cf")))).collect()[0][0]
+    # corpus norm derived INSIDE the plan (one-row aggregate over the
+    # small profile table, broadcast) — no separate driver collect()
+    # job per call, exactly the unigram_logprob pattern
+    cnorm = profile.agg(
+        F.sqrt(F.sum(F.col("cf") * F.col("cf"))).alias("__cn")
     )
     return (
         dvec.join(profile, "g")
@@ -123,10 +126,11 @@ def charngram_profile_fit(
             F.sum(F.col("c") * F.col("cf")).alias("__dot"),
             F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__dn"),
         )
+        .crossJoin(F.broadcast(cnorm))
         .select(
             id_col,
             F.round(
-                F.col("__dot") / (F.col("__dn") * F.lit(cnorm)), 6
+                F.col("__dot") / (F.col("__dn") * F.col("__cn")), 6
             ).alias("profile_fit"),
         )
     )

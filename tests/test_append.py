@@ -225,3 +225,70 @@ def test_append_replay_after_compaction_is_folded(spark, corpora, tmp_path):
     merged = sorted(map(tuple, postings_from_blocks(read_blocks(spark, out)).collect()))
     expect = sorted(map(tuple, appended.index.postings.collect()))
     assert merged == expect
+
+
+def test_compaction_crash_windows_recovered_at_read(spark, corpora, tmp_path):
+    """A compaction swap that dies mid-flight must never make read_blocks
+    serve the store minus a bucket (r2 ADVICE): every crash window —
+    staged-but-not-promoted, partial encode, set-aside dir left behind —
+    is completed or rolled back at READ time, before the glob binds."""
+    import posixpath
+
+    from itemsjs_spark.engine.blocks import postings_from_blocks
+    from itemsjs_spark.engine.checkpoint import _HadoopFS, read_blocks
+
+    base, _ = corpora
+    out = str(tmp_path / "blocks")
+    eng = itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"])
+    eng._ensure_fulltext_materialized()
+    build_blocks_checkpointed(
+        eng.index.postings, out, n_buckets=2, range_size=512, block_size=64
+    )
+    expect = sorted(
+        map(tuple, postings_from_blocks(read_blocks(spark, out)).collect())
+    )
+    fs = _HadoopFS(spark, out)
+    staging = posixpath.join(out, "_compacting")
+
+    def assert_recovered():
+        got = sorted(
+            map(tuple, postings_from_blocks(read_blocks(spark, out)).collect())
+        )
+        assert got == expect
+        assert not fs.exists(staging)
+
+    # window 1 — the old code's fatal window: live dir gone, completed
+    # staging (with manifest) not yet promoted. Old readers would have
+    # silently served the store minus bucket 0's postings.
+    fs.mkdirs(staging)
+    fs._fs.rename(
+        fs._path(f"{out}/bucket=0"), fs._path(f"{staging}/bucket=0")
+    )
+    assert_recovered()
+
+    # window 2 — crash mid-encode: staging exists WITHOUT a manifest;
+    # the live dir is intact (it is only set aside after the manifest
+    # lands). Recovery drops the partial encode.
+    fs.write_text(posixpath.join(staging, "bucket=1", "part-junk.txt"), "x")
+    assert_recovered()
+
+    # window 3 — crash between promote and cleanup: a set-aside .old
+    # dir remains next to a healthy live dir. And the defensive inverse:
+    # live dir missing with only .old present rolls back from it.
+    fs.write_text(posixpath.join(staging, "bucket=1.old", "stale.txt"), "x")
+    assert_recovered()
+    fs._fs.rename(
+        fs._path(f"{out}/bucket=1"), fs._path(f"{staging}/bucket=1.old")
+    )
+    assert_recovered()
+
+
+def test_append_delta_missing_column_raises_contract_error(spark, corpora):
+    """A delta lacking a facet column fails with the contract ValueError
+    BEFORE facet-key derivation (r2 ADVICE: it used to surface as a raw
+    AnalysisException out of facet_keys_col)."""
+    base, delta = corpora
+    eng = itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"])
+    bad = delta.drop("role")
+    with pytest.raises(ValueError, match=r"append delta lacks columns.*role"):
+        eng.append(bad, order_by=["conv_id", "turn_idx"])
