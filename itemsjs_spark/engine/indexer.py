@@ -119,7 +119,13 @@ def assign_docids(
     spark = df.sparkSession
     n_part = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
 
-    counts = df.groupBy(*gkeys).agg(F.count("*").alias("__cnt"))
+    # pin the (group-count-sized) table BEFORE the range exchange:
+    # repartitionByRange runs a boundary-SAMPLING job that would
+    # otherwise re-execute the corpus aggregate a second time (measured
+    # ~2x the factory cost at 60k turns) — with the persist, sampling
+    # and the exchange both read the cache, so the corpus is scanned
+    # exactly once here
+    counts = df.groupBy(*gkeys).agg(F.count("*").alias("__cnt")).persist()
     ranged = (
         counts.repartitionByRange(n_part, *[F.col(c) for c in gkeys])
         .sortWithinPartitions(*gkeys)
@@ -128,6 +134,7 @@ def assign_docids(
     )
     # one tiny job: per-range totals (≤ n_part rows), pinning the cache
     totals = ranged.groupBy("__rid").agg(F.sum("__cnt").alias("__t")).collect()
+    counts.unpersist()  # folded into the pinned ranged cache now
     base = 0
     bases = []
     for r in sorted(totals, key=lambda r: r["__rid"]):
@@ -406,6 +413,10 @@ def _rank_facet_dim(fv: DataFrame, old_rank_col: Optional[str] = None) -> DataFr
 
     spark = fv.sparkSession
     n_part = max(spark.sparkContext.defaultParallelism, 1)
+    # pin the dimension before the range exchange: the boundary-sampling
+    # job would otherwise re-run the per-field dimension aggregates
+    # (one docs-cache pass per facet field) a second time
+    fv = fv.persist()
     rep = (
         fv.repartitionByRange(n_part, F.col("field"), *order)
         .sortWithinPartitions(F.col("field"), *order)
@@ -413,6 +424,7 @@ def _rank_facet_dim(fv: DataFrame, old_rank_col: Optional[str] = None) -> DataFr
         .persist()
     )
     cnts = rep.groupBy("__rid", "field").agg(F.count("*").alias("__c")).collect()
+    fv.unpersist()  # folded into the pinned ranged cache now
     if not cnts:
         return rep.withColumn("enum_rank", F.lit(0)).select(
             "field", "key", "doc_count", "enum_rank"

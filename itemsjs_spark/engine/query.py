@@ -407,30 +407,39 @@ class SearchEngine:
         self,
         query: str,
         k: int,
-        filters: Dict[str, Sequence[Any]],
+        filters: Optional[Dict[str, Sequence[Any]]] = None,
         blocks: Optional[DataFrame] = None,
         facet_blocks: Optional[DataFrame] = None,
         batch_ranges: int = 64,
+        filter_groups: Optional[List[List[str]]] = None,
+        _analyzed=None,
     ) -> DataFrame:
         """Filtered block-max WAND: top-k among docs matching the query
-        AND a conjunctive facet selection (OR within a field's values,
-        AND across fields) — the filter intersection happens INSIDE each
-        range's scoring group (facet-posting blocks co-locate with the
-        query's posting blocks by docid range), so selective filters
+        AND a facet selection — the filter intersection happens INSIDE
+        each range's scoring group (facet-posting blocks co-locate with
+        the query's posting blocks by docid range), so selective filters
         never materialize an unfiltered candidate set.
 
+        The filter is either ``filters`` (field → values; OR within a
+        field, AND across fields) or ``filter_groups`` (CNF over
+        ``field␟key`` facet terms — OR within a group, AND across; the
+        shape search() compiles conjunctive/disjunctive filters to).
+
         ``facet_blocks`` must be built with the same range_size as
-        ``blocks`` (facetblocks.build_facet_blocks)."""
+        ``blocks`` (facetblocks.build_facet_blocks; defaults to the
+        index's own store)."""
         from .wand import wand_topk
 
         if blocks is None:
             blocks = self.index.posting_blocks
+        if facet_blocks is None:
+            facet_blocks = self.index.facet_posting_blocks
         if blocks is None or facet_blocks is None:
             raise ValueError(
                 "fulltext_topk_filtered needs posting AND facet block tables"
             )
         try:
-            analyzed = self._query_vector(query)
+            analyzed = _analyzed if _analyzed is not None else self._query_vector(query)
         except _ExpansionTooLarge:
             raise EngineError(
                 "prefix expansion exceeds driver capacity; use fulltext_hits"
@@ -443,10 +452,12 @@ class SearchEngine:
         term_masks = {
             t: sum(1 << i for i in qv.term_tokens[t]) for t in qv.weights
         }
-        filter_fields = {
-            fld: [x for x in (js_key(v) for v in vals or []) if x is not None]
-            for fld, vals in filters.items()
-        }
+        filter_fields = None
+        if filter_groups is None:
+            filter_fields = {
+                fld: [x for x in (js_key(v) for v in vals or []) if x is not None]
+                for fld, vals in (filters or {}).items()
+            }
         return wand_topk(
             self.spark,
             blocks,
@@ -458,6 +469,7 @@ class SearchEngine:
             batch_ranges=batch_ranges,
             filter_blocks=facet_blocks,
             filter_fields=filter_fields,
+            filter_groups=filter_groups,
         ).withColumnRenamed("_docid", DOCID).withColumnRenamed("__score", SCORE)
 
     def fulltext_hits_batch(self, queries: Sequence[str]) -> DataFrame:
@@ -897,6 +909,13 @@ class SearchEngine:
                 return self._search_wand(input)
             except _ExpansionTooLarge:
                 pass  # oversized prefix: the standard path spills distributed
+        if self._wand_filtered_search_applies(input):
+            try:
+                resp = self._search_wand_filtered(input)
+                if resp is not None:
+                    return resp
+            except _ExpansionTooLarge:
+                pass  # oversized prefix: the standard path spills distributed
         if self._facetblock_search_applies(input):
             return self._search_facetblocks(input)
 
@@ -1048,26 +1067,7 @@ class SearchEngine:
 
         # total = conjunctive membership count: mask-only aggregate over
         # the query terms' decoded blocks — no contribution collection
-        qv, _idf = analyzed
-        full_mask = (1 << qv.n_tokens) - 1
-        mrows = [
-            (t, sum(1 << i for i in qv.term_tokens[t])) for t in qv.weights
-        ]
-        subset = self.index.postings_subset(list(qv.weights))
-        if len(mrows) <= self.MAX_MAP_LITERAL_TERMS:
-            mmap = F.create_map(
-                *[x for t, m_ in mrows for x in (F.lit(t), F.lit(m_))]
-            )
-            masked = subset.withColumn("mask", mmap[F.col("term")])
-        else:  # big prefix expansion: broadcast join, not a giant literal
-            mdf = self.spark.createDataFrame(mrows, "term string, mask long")
-            masked = subset.join(F.broadcast(mdf), "term")
-        total = (
-            masked.groupBy(DOCID)
-            .agg(F.bit_or("mask").alias("mask"))
-            .filter(F.col("mask") == full_mask)
-            .count()
-        )
+        total = self._query_membership(analyzed).count()
 
         t_p = time.time()
         k = page * per_page
@@ -1100,6 +1100,253 @@ class SearchEngine:
             },
             "data": {"items": items, "allFilteredItems": None, "aggregations": {}},
         }
+
+    def _query_membership(self, analyzed) -> DataFrame:
+        """Docids matching the analyzed query conjunctively — a mask-only
+        aggregate over the query terms' postings. No contribution
+        collection, no score materialization: the cheap form of query
+        membership for totals and bucket crossing."""
+        qv, _idf = analyzed
+        full_mask = (1 << qv.n_tokens) - 1
+        mrows = [
+            (t, sum(1 << i for i in qv.term_tokens[t])) for t in qv.weights
+        ]
+        subset = self.index.postings_subset(list(qv.weights))
+        if len(mrows) <= self.MAX_MAP_LITERAL_TERMS:
+            mmap = F.create_map(
+                *[x for t, m_ in mrows for x in (F.lit(t), F.lit(m_))]
+            )
+            masked = subset.withColumn("mask", mmap[F.col("term")])
+        else:  # big prefix expansion: broadcast join, not a giant literal
+            mdf = self.spark.createDataFrame(mrows, "term string, mask long")
+            masked = subset.join(F.broadcast(mdf), "term")
+        return (
+            masked.groupBy(DOCID)
+            .agg(F.bit_or("mask").alias("mask"))
+            .filter(F.col("mask") == full_mask)
+            .select(DOCID)
+        )
+
+    # ------------------------------------------------------------------
+    # filtered-WAND search (query + filters over block-backed configs)
+    # ------------------------------------------------------------------
+    def _filters_to_wand_groups(
+        self, input: Dict[str, Any]
+    ) -> Optional[List[List[str]]]:
+        """compile_search's final_pred for a plain ``filters`` input,
+        re-expressed as CNF groups of facet terms (``field␟key``; OR
+        within a group, AND across groups): a conjunctive facet value is
+        its own group, a disjunctive field's values share one. Returns
+        None when the shape doesn't reduce (unknown field — the caller's
+        compile raises the contract error).
+
+        Reproduces the reference's missing-key quirks exactly
+        (helpers.ts:171-194, facets.ts:141-150): a conjunctive value
+        missing from the dimension BEFORE any present one is ignored;
+        one missing AFTER any present one empties the result; a
+        disjunctive field whose values are ALL missing empties the
+        result; if NO filter value exists at all, the result is empty.
+        'Empty result' is encoded as one term-less group (matches
+        nothing in every docid range)."""
+        from .facetblocks import SEP
+
+        exists = self._exists_fn(input)
+        groups: List[List[str]] = []
+        started = False  # the conjunctive fold has a defined state
+        poisoned = False
+        any_ok = False
+        n_vals = 0
+        # same iteration order as facetir.input_to_facet_filters
+        for fld, values in (input.get("filters") or {}).items():
+            if values is None or len(values) == 0:
+                continue
+            agg = self.aggregations.get(fld)
+            if agg is None:
+                return None
+            if agg.get("conjunction") is not False:
+                for raw in values:
+                    n_vals += 1
+                    key = js_key(raw)
+                    if key is not None and exists(fld, key):
+                        groups.append([fld + SEP + key])
+                        started = True
+                        any_ok = True
+                    elif started:
+                        poisoned = True  # conj fold -> FALSE
+            else:
+                union = []
+                for raw in values:
+                    n_vals += 1
+                    key = js_key(raw)
+                    if key is not None and exists(fld, key):
+                        union.append(fld + SEP + key)
+                if union:
+                    any_ok = True
+                    groups.append(union)
+                else:
+                    poisoned = True  # all-missing disjunctive union = FALSE
+        if poisoned or (n_vals > 0 and not any_ok):
+            return [[]]
+        return groups
+
+    def _wand_filtered_search_applies(self, input: Dict[str, Any]) -> bool:
+        """Query + plain conjunctive/disjunctive filters over an index
+        with BOTH block stores and a selective filter set: the page and
+        its scores come from filtered block-max WAND instead of scoring
+        every query candidate (the reference's commonest request shape,
+        tests/search.spec.ts:105-170). Bucket counts and the total still
+        need query membership, but only as a mask aggregate — never the
+        per-doc contribution lists."""
+        idx = self.index
+        filters = input.get("filters") or {}
+        if not (
+            input.get("query")
+            and filters
+            and idx.posting_blocks is not None
+            and idx.facet_posting_blocks is not None
+        ):
+            return False
+        if (
+            input.get("sort")
+            or callable(input.get("filter"))
+            or input.get("_ids") is not None
+            or input.get("ids") is not None
+            or input.get("not_filters")
+            or input.get("filters_query")
+            or input.get("is_all_filtered_items")
+        ):
+            return False
+        fieldset = set(idx.facet_fields)
+        if any(fld not in fieldset for fld in filters):
+            return False
+        if self._facet_dim_cache() is None:
+            return False
+        # selectivity estimate from the cached global counts, exactly as
+        # _facetblock_search_applies: the WAND filter decodes every
+        # filter value's posting blocks, so its work is their sum
+        glob = self._facet_global or {}
+        est = 0
+        n = 0
+        for fld, vals in filters.items():
+            for v in vals or []:
+                n += 1
+                est += glob.get(fld, {}).get(js_key(v) or "", 0)
+        if n == 0:
+            return False
+        return est <= max(idx.n_docs, 1) * self.BLOCK_ROUTE_MAX_SELECTIVITY
+
+    def _search_wand_filtered(
+        self, input: Dict[str, Any]
+    ) -> Optional[Dict[str, Any]]:
+        """search({query, filters}) without materializing scores for the
+        full candidate set: the page + scores come from FILTERED
+        block-max WAND (the facet intersection runs inside each admitted
+        range's scoring group), the total + bucket counts from ONE
+        corpus pass over a mask-only query-membership set. The response
+        is bit-identical to the standard path (battery-proven). Returns
+        None to decline (caller falls through to the standard path)."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.time()
+        per_page, page = _parse_paging(input)
+        query = input["query"]
+
+        t_s = time.time()
+        analyzed = self._query_vector(query)  # _ExpansionTooLarge → caller
+        groups = self._filters_to_wand_groups(input)
+        if groups is None:
+            return None
+
+        persisted: List[DataFrame] = []
+        try:
+            if analyzed is None:
+                membership = self.spark.createDataFrame([], f"{DOCID} long")
+            else:
+                membership = self._query_membership(analyzed)
+            membership = membership.persist()
+            persisted.append(membership)
+            membership.count()
+            compiled = self.compile(input, has_query=True)
+            base = self._docs_with_query_flag(membership).persist()
+            persisted.append(base)
+            search_time = time.time() - t_s
+
+            t_par = time.time()
+
+            def run_facets():
+                # one corpus pass: all facet buckets + the result total
+                return self._get_buckets_impl(
+                    input, compiled, base, True, with_total=True
+                )
+
+            page_secs = [0.0]
+
+            def run_page():
+                t_p = time.time()
+                if per_page == 0 or analyzed is None:
+                    page_secs[0] = time.time() - t_p
+                    return []
+                topk = self.fulltext_topk_filtered(
+                    query,
+                    page * per_page,
+                    filter_groups=groups,
+                    _analyzed=analyzed,
+                )
+                ranked = (
+                    topk.orderBy(
+                        F.col(SCORE).desc(), F.col(DOCID).cast("string").asc()
+                    )
+                    .offset((page - 1) * per_page)
+                    .limit(per_page)
+                )
+                page_docs = self.index.docs.join(
+                    F.broadcast(ranked.select(DOCID, SCORE)), DOCID
+                ).orderBy(F.col(SCORE).desc(), F.col(DOCID).cast("string").asc())
+                keep = [
+                    c for c in page_docs.columns
+                    if not c.startswith(FK_PREFIX) and c != SCORE
+                ]
+                out = [
+                    _row_to_item(r)
+                    for r in page_docs.select(*keep)
+                    .withColumnRenamed(DOCID, "_id")
+                    .collect()
+                ]
+                page_secs[0] = time.time() - t_p
+                return out
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_facets = ex.submit(run_facets)
+                f_page = ex.submit(run_page)
+                aggregations, total = f_facets.result()
+                items = f_page.result()
+            facets_time = time.time() - t_par
+            if total is None:  # defensive: this path requires facet fields
+                total = base.filter(
+                    ir_to_column(compiled.final_pred, True)
+                ).count()
+
+            return {
+                "pagination": {
+                    "per_page": per_page, "page": page, "total": total,
+                },
+                "timings": {
+                    "total": int((time.time() - t0) * 1000),
+                    "facets": int(facets_time * 1000),
+                    "search": int(search_time * 1000),
+                    "sorting": int(page_secs[0] * 1000),
+                },
+                "data": {
+                    "items": items,
+                    "allFilteredItems": None,
+                    "aggregations": aggregations,
+                },
+            }
+        finally:
+            for df in persisted:
+                df.unpersist()
+            self.release_expansion_caches()
 
     # ------------------------------------------------------------------
     # facet-block search (index-side set algebra, block-backed configs)

@@ -44,6 +44,7 @@ def wand_topk(
     batch_ranges: int = 64,
     filter_blocks: Optional[DataFrame] = None,
     filter_fields: Optional[Dict[str, List[str]]] = None,
+    filter_groups: Optional[List[List[str]]] = None,
 ) -> DataFrame:
     """Top-k (_docid, __score) for an analyzed query.
 
@@ -54,32 +55,51 @@ def wand_topk(
 
     Filtered WAND: ``filter_blocks`` is a facet-posting block table
     (facetblocks.py; terms = ``field␟key``) built with the SAME
-    range_size as ``blocks``; ``filter_fields`` maps field → accepted
-    keys (OR within a field, AND across fields). Because facet and
-    fulltext blocks share docid ranges, each admitted range's facet
-    postings co-locate with its query postings in the same
-    applyInPandas group — the filter intersection is evaluated locally
-    during scoring, shuffle-free, and pruning bounds stay admissible
-    (filtering only removes candidates)."""
+    range_size as ``blocks``. The filter is a CNF over facet terms:
+    ``filter_groups`` is a list of groups of facet-term strings — OR
+    within a group, AND across groups (the general shape: a conjunctive
+    facet value is its own group; a disjunctive field's values share
+    one). ``filter_fields`` (field → accepted keys, OR within a field,
+    AND across fields) is the convenience dict form, translated to one
+    group per field. Because facet and fulltext blocks share docid
+    ranges, each admitted range's facet postings co-locate with its
+    query postings in the same applyInPandas group — the filter
+    intersection is evaluated locally during scoring, shuffle-free, and
+    pruning bounds stay admissible (filtering only removes candidates)."""
     terms = sorted(term_weights)
     if not terms or magnitude == 0.0:
         return spark.createDataFrame([], "_docid long, __score double")
 
-    tblocks = blocks.filter(F.col("term").isin(terms))
-    n_filter_fields = 0
-    if filter_blocks is not None and filter_fields:
+    if filter_groups is None and filter_fields:
         from .facetblocks import SEP
 
-        fterms = sorted(
-            f + SEP + key for f, keys in filter_fields.items() for key in keys
-        )
-        field_of = {t: t.split(SEP, 1)[0] for t in fterms}
-        n_filter_fields = len(set(field_of.values()))
+        filter_groups = [
+            [f + SEP + key for key in keys]
+            for f, keys in filter_fields.items()
+        ]
+
+    # canonical block columns: the checkpointed store adds a `bucket`
+    # partition column that a freshly-built in-memory block table lacks —
+    # project both union sides to the core layout (the term predicate is
+    # applied first, so pushdown/partition pruning still sees it)
+    _BLOCK_COLS = [
+        "term", "range_id", "block_id", "n",
+        "docid_min", "docid_max", "max_tf", "docids", "tfs",
+    ]
+    tblocks = blocks.filter(F.col("term").isin(terms)).select(*_BLOCK_COLS)
+    n_groups = 0
+    group_of: Dict[str, List[int]] = {}
+    if filter_blocks is not None and filter_groups:
+        n_groups = len(filter_groups)
+        for gid, group in enumerate(filter_groups):
+            for t in group:
+                group_of.setdefault(t, []).append(gid)
+        fterms = sorted(group_of)
         tblocks = tblocks.unionByName(
-            filter_blocks.filter(F.col("term").isin(fterms))
+            filter_blocks.filter(F.col("term").isin(fterms)).select(
+                *_BLOCK_COLS
+            )
         )
-    else:
-        field_of = {}
 
     # ---- phase 1: per-range upper bounds from metadata only ----------
     w_rows = [(t, float(term_weights[t])) for t in terms]
@@ -101,12 +121,13 @@ def wand_topk(
         # decode all blocks of this range, accumulate per-doc
         # (score, token-mask); conjunctive + facet filter; local top-k
         per_term: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
-        per_field: Dict[str, List[np.ndarray]] = {}
+        per_group: Dict[int, List[np.ndarray]] = {}
         for _, row in pdf.iterrows():
             d = decode_varint_deltas(bytes(row["docids"]), int(row["n"]))
-            fld = field_of.get(row["term"])
-            if fld is not None:  # facet-posting block: filter side
-                per_field.setdefault(fld, []).append(d)
+            gids = group_of.get(row["term"])
+            if gids is not None:  # facet-posting block: filter side
+                for gid in gids:
+                    per_group.setdefault(gid, []).append(d)
                 continue
             t = np.frombuffer(bytes(row["tfs"]), dtype=np.float64)
             per_term.setdefault(row["term"], []).append((d, t))
@@ -115,14 +136,14 @@ def wand_topk(
                 {"_docid": "int64", "__score": "float64"}
             )
         allowed: Optional[np.ndarray] = None
-        if n_filter_fields:
-            if len(per_field) < n_filter_fields:
-                # some required field has no values in this range
+        if n_groups:
+            if len(per_group) < n_groups:
+                # some required group has no values in this range
                 return pd.DataFrame({"_docid": [], "__score": []}).astype(
                     {"_docid": "int64", "__score": "float64"}
                 )
-            for parts in per_field.values():
-                ids = np.unique(np.concatenate(parts))  # OR within field
+            for parts in per_group.values():
+                ids = np.unique(np.concatenate(parts))  # OR within group
                 allowed = ids if allowed is None else np.intersect1d(
                     allowed, ids, assume_unique=True
                 )

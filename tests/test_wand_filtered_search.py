@@ -1,0 +1,121 @@
+"""search({query, filters}) through filtered block-max WAND: the page,
+total and buckets must be bit-identical to the standard scan path —
+including the reference's missing-key quirks (helpers.ts:171-194,
+facets.ts:141-150) and conjunctive-AND / disjunctive-OR value semantics
+— while never materializing scores for the full candidate set."""
+
+from __future__ import annotations
+
+from unittest import mock
+
+import pytest
+
+from itemsjs_spark.data.transcripts import transcripts_df
+from itemsjs_spark.engine import Index, SearchEngine, itemsjs_spark
+
+CFG = {
+    # role conjunctive (default), tool disjunctive: both group shapes
+    "aggregations": {
+        "role": {"size": 10},
+        "tool": {"size": 10, "conjunction": False},
+    },
+    "searchableFields": ["text"],
+}
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    tdf = transcripts_df(spark, n_turns=2000, n_convs=200, seed=9)
+    mem = itemsjs_spark(spark, tdf, CFG, order_by=["conv_id", "turn_idx"])
+    path = str(tmp_path_factory.mktemp("wfidx") / "artifacts")
+    mem.index.write_blocks(path, n_buckets=4, range_size=512, block_size=64)
+    disk = SearchEngine(Index.read(spark, path))
+    # force the router's selectivity gate open: this suite is about
+    # CORRECTNESS of the filtered-WAND path on every input shape, so
+    # every filter must route through it (the gate itself is covered by
+    # test_router_refuses_unselective below)
+    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    return mem, disk
+
+
+SEARCHES = [
+    # single conjunctive value
+    {"query": "spark", "filters": {"role": ["assistant"]}},
+    # conjunctive + disjunctive multi-value (OR within tool)
+    {
+        "query": "shuffle partition",
+        "filters": {"role": ["assistant"], "tool": ["bash", "grep"]},
+    },
+    # conjunctive multi-value = AND → empty (a doc has one role)
+    {"query": "spark", "filters": {"role": ["assistant", "user"]}},
+    # leading missing conjunctive value is IGNORED (reference quirk)
+    {"query": "spark", "filters": {"role": ["nosuchrole", "assistant"]}},
+    # missing AFTER a present conjunctive value empties the result
+    {"query": "spark", "filters": {"role": ["assistant", "nosuchrole"]}},
+    # no filter value exists at all → empty result, uncrossed buckets
+    {"query": "spark", "filters": {"role": ["nosuchrole"]}},
+    # disjunctive field with all values missing → empty result
+    {"query": "spark", "filters": {"role": ["user"], "tool": ["nosuch"]}},
+    # prefix query + paging past page 1
+    {"query": "s", "filters": {"role": ["user"]}, "per_page": 7, "page": 2},
+    # per_page 0 (the aggregation endpoint shape)
+    {"query": "broadcast", "filters": {"role": ["user"]}, "per_page": 0},
+]
+
+
+@pytest.mark.parametrize("idx", range(len(SEARCHES)))
+def test_filtered_wand_search_matches_scan_path(engines, idx):
+    mem, disk = engines
+    input = dict(SEARCHES[idx])
+    assert disk._wand_filtered_search_applies(dict(input)), input
+    with mock.patch.object(
+        disk, "_search_wand_filtered", wraps=disk._search_wand_filtered
+    ) as spy:
+        b = disk.search(dict(input))
+    assert spy.call_count == 1
+    a = mem.search(dict(input))
+    assert a["pagination"] == b["pagination"]
+    assert [i["_id"] for i in a["data"]["items"]] == [
+        i["_id"] for i in b["data"]["items"]
+    ]
+    for fld, entry in a["data"]["aggregations"].items():
+        assert entry["buckets"] == b["data"]["aggregations"][fld]["buckets"], fld
+
+
+def test_router_refuses_unselective_filters(engines):
+    """With the real threshold, a filter covering ~half the corpus must
+    NOT take the filtered-WAND path (the scan path's single pass wins);
+    a rare value must."""
+    _mem, disk = engines
+    old = disk.BLOCK_ROUTE_MAX_SELECTIVITY
+    disk.BLOCK_ROUTE_MAX_SELECTIVITY = SearchEngine.BLOCK_ROUTE_MAX_SELECTIVITY
+    try:
+        assert not disk._wand_filtered_search_applies(
+            {"query": "spark", "filters": {"role": ["assistant"]}}
+        )
+        glob = disk._facet_global or {}
+        rare = min(glob["tool"], key=glob["tool"].get)
+        if glob["tool"][rare] <= disk.index.n_docs * disk.BLOCK_ROUTE_MAX_SELECTIVITY:
+            assert disk._wand_filtered_search_applies(
+                {"query": "spark", "filters": {"tool": [rare]}}
+            )
+    finally:
+        disk.BLOCK_ROUTE_MAX_SELECTIVITY = old
+
+
+def test_filtered_wand_declines_out_of_shape_inputs(engines):
+    """not_filters / filters_query / sort / callback / ids inputs keep
+    the standard path."""
+    _mem, disk = engines
+    base = {"query": "spark", "filters": {"role": ["assistant"]}}
+    for extra in (
+        {"not_filters": {"tool": ["bash"]}},
+        {"filters_query": "role:assistant"},
+        {"sort": {"field": "turn_idx"}},
+        {"filter": lambda it: True},
+        {"_ids": [1, 2]},
+        {"is_all_filtered_items": True},
+    ):
+        inp = dict(base)
+        inp.update(extra)
+        assert not disk._wand_filtered_search_applies(inp), extra
