@@ -1874,97 +1874,123 @@ class SearchEngine:
         zero-count buckets are not represented (they can only enter a
         head when fewer than ``size`` buckets are nonzero), and bucket
         ordering uses Spark's string ordering (ASCII == lodash; exotic
-        UTF-16 surrogate keys may order differently)."""
-        from ..core.ordering import bucket_sort_spec
+        UTF-16 surrogate keys may order differently).
 
-        total: Optional[int] = None
-        if with_total:
-            total = base.filter(
-                ir_to_column(compiled.final_pred, has_query)
-            ).count()
+        The per-field count jobs (plus the total) are independent Spark
+        actions — they are submitted from driver threads so the cluster
+        pipelines them instead of running N facet fields serially."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        fields = list(self.index.facet_fields)
+        with ThreadPoolExecutor(max_workers=min(8, len(fields) + 1)) as ex:
+            f_total = (
+                ex.submit(
+                    lambda: base.filter(
+                        ir_to_column(compiled.final_pred, has_query)
+                    ).count()
+                )
+                if with_total
+                else None
+            )
+            f_fields = [
+                ex.submit(
+                    self._huge_field_entry, input, compiled, base, has_query, fld
+                )
+                for fld in fields
+            ]
+            entries = [f.result() for f in f_fields]
+            total: Optional[int] = f_total.result() if f_total else None
 
         out: Dict[str, Any] = {}
-        position = 1
-        for fld in self.index.facet_fields:
-            agg = self.aggregations.get(fld) or {}
-            raw_filters = (input.get("filters") or {}).get(fld) or []
-            selected_keys = [rv for rv in raw_filters if isinstance(rv, str)]
-            size = agg.get("size") or 10
-
-            pred = ir_to_column(compiled.bucket_pred[fld], has_query)
-            counted = (
-                base.filter(pred)
-                .select(F.explode(F.array_distinct(FK_PREFIX + fld)).alias("key"))
-                .groupBy("key")
-                .agg(F.count("*").alias("doc_count"))
-                .withColumn(
-                    "selected",
-                    F.col("key").isin(selected_keys)
-                    if selected_keys
-                    else F.lit(False),
-                )
-            )
-
-            iteratees, orders = bucket_sort_spec(agg)
-            sort_cols = []
-            for i, it in enumerate(iteratees):
-                o = orders[i] if i < len(orders) else "asc"
-                c = F.col(it) if it in ("key", "doc_count", "selected") else F.col("key")
-                sort_cols.append(c.desc() if o == "desc" else c.asc())
-            sort_cols.append(F.col("key").asc())  # stability tie-break
-            # orderBy+limit → per-partition top-k heaps, no global sort
-            head = counted.orderBy(*sort_cols).limit(size).collect()
-            buckets = [
-                {
-                    "key": r["key"],
-                    "doc_count": r["doc_count"],
-                    "selected": bool(r["selected"]),
-                }
-                for r in head
-            ]
-
-            entry: Dict[str, Any] = {
-                "name": fld,
-                "title": agg.get("title") or humanize(fld),
-                "position": position,
-                "buckets": buckets,
-            }
-            position += 1
-
-            if agg.get("show_facet_stats"):
-                # any non-numeric key in the DIMENSION is an error
-                # (reference parity) — checked distributedly
-                dim_keys = self.index.facet_values.filter(
-                    F.col("field") == fld
-                ).select("key")
-                n_nan = dim_keys.filter(
-                    ~F.col("key").rlike(r"^\s*[+-]?[0-9]")
-                    & ~F.trim("key").isin("Infinity", "-Infinity", "+Infinity", "")
-                ).limit(1).count()
-                if n_nan:
-                    raise EngineError(
-                        "You cant use chars to calculate the facet_stats."
-                    )
-                intval = F.regexp_extract("key", r"^\s*([+-]?[0-9]+)", 1).cast(
-                    "double"
-                )
-                srow = counted.select(
-                    F.col("doc_count"), intval.alias("v")
-                ).agg(
-                    F.min(F.when(F.col("doc_count") > 0, F.col("v"))).alias("mn"),
-                    F.max(F.when(F.col("doc_count") > 0, F.col("v"))).alias("mx"),
-                    F.sum(F.col("v") * F.col("doc_count")).alias("sm"),
-                    F.sum("doc_count").alias("cnt"),
-                ).collect()[0]
-                cnt = srow["cnt"] or 0
-                entry["facet_stats"] = {
-                    "min": srow["mn"],
-                    "max": srow["mx"],
-                    "avg": (srow["sm"] / cnt) if cnt else float("nan"),
-                    "sum": srow["sm"] or 0,
-                }
-            out[fld] = entry
+        for position, entry in enumerate(entries, start=1):
+            entry["position"] = position
+            out[entry["name"]] = entry
         return out, total
+
+    def _huge_field_entry(
+        self, input, compiled, base: DataFrame, has_query: bool, fld: str
+    ) -> Dict[str, Any]:
+        """One facet field's bucket head (+ optional facet_stats) for
+        _get_buckets_huge — runs on a driver thread; ``position`` is
+        stamped by the caller in field order."""
+        from ..core.ordering import bucket_sort_spec
+
+        agg = self.aggregations.get(fld) or {}
+        raw_filters = (input.get("filters") or {}).get(fld) or []
+        selected_keys = [rv for rv in raw_filters if isinstance(rv, str)]
+        size = agg.get("size") or 10
+
+        pred = ir_to_column(compiled.bucket_pred[fld], has_query)
+        counted = (
+            base.filter(pred)
+            .select(F.explode(F.array_distinct(FK_PREFIX + fld)).alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("doc_count"))
+            .withColumn(
+                "selected",
+                F.col("key").isin(selected_keys)
+                if selected_keys
+                else F.lit(False),
+            )
+        )
+
+        iteratees, orders = bucket_sort_spec(agg)
+        sort_cols = []
+        for i, it in enumerate(iteratees):
+            o = orders[i] if i < len(orders) else "asc"
+            c = F.col(it) if it in ("key", "doc_count", "selected") else F.col("key")
+            sort_cols.append(c.desc() if o == "desc" else c.asc())
+        sort_cols.append(F.col("key").asc())  # stability tie-break
+        # orderBy+limit → per-partition top-k heaps, no global sort
+        head = counted.orderBy(*sort_cols).limit(size).collect()
+        buckets = [
+            {
+                "key": r["key"],
+                "doc_count": r["doc_count"],
+                "selected": bool(r["selected"]),
+            }
+            for r in head
+        ]
+
+        entry: Dict[str, Any] = {
+            "name": fld,
+            "title": agg.get("title") or humanize(fld),
+            "buckets": buckets,
+        }
+
+        if agg.get("show_facet_stats"):
+            # any non-numeric key in the DIMENSION is an error
+            # (reference parity) — checked distributedly
+            dim_keys = self.index.facet_values.filter(
+                F.col("field") == fld
+            ).select("key")
+            n_nan = dim_keys.filter(
+                ~F.col("key").rlike(r"^\s*[+-]?[0-9]")
+                & ~F.trim("key").isin("Infinity", "-Infinity", "+Infinity", "")
+            ).limit(1).count()
+            if n_nan:
+                raise EngineError(
+                    "You cant use chars to calculate the facet_stats."
+                )
+            intval = F.regexp_extract("key", r"^\s*([+-]?[0-9]+)", 1).cast(
+                "double"
+            )
+            srow = counted.select(
+                F.col("doc_count"), intval.alias("v")
+            ).agg(
+                F.min(F.when(F.col("doc_count") > 0, F.col("v"))).alias("mn"),
+                F.max(F.when(F.col("doc_count") > 0, F.col("v"))).alias("mx"),
+                F.sum(F.col("v") * F.col("doc_count")).alias("sm"),
+                F.sum("doc_count").alias("cnt"),
+            ).collect()[0]
+            cnt = srow["cnt"] or 0
+            entry["facet_stats"] = {
+                "min": srow["mn"],
+                "max": srow["mx"],
+                "avg": (srow["sm"] / cnt) if cnt else float("nan"),
+                "sum": srow["sm"] or 0,
+            }
+        return entry
 
     # ------------------------------------------------------------------
     # aggregation endpoint (lib.ts:253-299)
