@@ -141,26 +141,56 @@ def jaccard_pairs(
     numerator/denominator use the capped universe, so the score stays a
     true Jaccard (of the informative shingle sets) rather than a biased
     ratio. This is the standard df-cut from near-dup literature; near
-    duplicates still share many rare shingles."""
-    e = df.select(id_col, F.explode(shingles(text_col, n)).alias("g")).distinct()
+    duplicates still share many rare shingles.
+
+    Physical plans (chosen by the cap, same result semantics):
+
+    * capped — posting-list plan: ONE groupBy on the shingle absorbs the
+      distinct AND the df-cut (``collect_set`` dedups, ``size(ids)``
+      filters), and candidate pairs come from in-row array combinations
+      (bounded by the cap, ≤ cap²/2 per shingle) — no df-cut join, no
+      self-join, and the corpus is scanned/exploded once per consumer
+      instead of four times.
+    * uncapped — equi-join plan: posting lists are unbounded, so rows
+      stream through the shingle self-join instead of materializing a
+      per-shingle array (a ubiquitous shingle would otherwise put its
+      whole posting list in one row)."""
     if max_shingle_df is not None:
-        ok = (
-            e.groupBy("g")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_shingle_df)
-            .select("g")
+        post = (
+            df.select(id_col, F.explode(shingles(text_col, n)).alias("g"))
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+            .filter(F.size("ids") <= max_shingle_df)
         )
-        e = e.join(ok, "g")
-    card = e.groupBy(id_col).agg(F.count("*").alias("c"))
-    x, y = e.alias("x"), e.alias("y")
-    pairs = (
-        x.join(y, "g")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .groupBy(
-            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        card = (
+            post.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("c"))
         )
-        .agg(F.count("*").alias("common"))
-    )
+        combos = F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> named_struct('a', x, 'b', y))))"
+        )
+        pairs = (
+            post.select(F.explode(combos).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        e = df.select(
+            id_col, F.explode(shingles(text_col, n)).alias("g")
+        ).distinct()
+        card = e.groupBy(id_col).agg(F.count("*").alias("c"))
+        x, y = e.alias("x"), e.alias("y")
+        pairs = (
+            x.join(y, "g")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .groupBy(
+                F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+            )
+            .agg(F.count("*").alias("common"))
+        )
     ca = card.select(F.col(id_col).alias("a"), F.col("c").alias("ca"))
     cb = card.select(F.col(id_col).alias("b"), F.col("c").alias("cb"))
     jac = F.col("common") / (F.col("ca") + F.col("cb") - F.col("common"))
