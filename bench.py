@@ -182,11 +182,29 @@ def headline_queries(spark, eng):
     _uns = {"filters": {"role": ["assistant"], "tool": ["bash"]}, "per_page": 12}
     _sel = {"filters": {"conv_id": ["c000042"]}, "per_page": 12}
     qs["facet_search_scan"] = lambda: eng.search(dict(_uns))
-    # above MAX_DRIVER_FACET_DIM conv_ids the router (correctly) refuses
-    # the block path — measure it only where it engages
-    if eng_blocks._facetblock_search_applies(dict(_sel)):
-        qs["facet_search_blocks_selective"] = lambda: eng_blocks.search(dict(_sel))
+    # cost model v2: below the ~1M-doc crossover the router sends even
+    # selective filters to the scan (fixed per-job cost dominates — the
+    # r2 mis-route). `routed_*` rows show the router's actual choice at
+    # this corpus; `blocks_selective` pins the block path so its cost
+    # stays visible in the artifact.
+    if eng_blocks.index.facet_posting_blocks is not None:
+        import contextlib
+
+        @contextlib.contextmanager
+        def _forced(route):
+            eng_blocks.ROUTER_FORCE = route
+            try:
+                yield
+            finally:
+                eng_blocks.ROUTER_FORCE = None
+
+        def _blocks_sel():
+            with _forced("blocks"):
+                return eng_blocks.search(dict(_sel))
+
+        qs["facet_search_blocks_selective"] = _blocks_sel
         qs["facet_search_scan_selective"] = lambda: eng.search(dict(_sel))
+        qs["facet_search_routed_selective"] = lambda: eng_blocks.search(dict(_sel))
         qs["facet_search_routed_unselective"] = lambda: eng_blocks.search(dict(_uns))
     qs["query_plus_facet"] = lambda: eng.result_df(
         {"query": "broadcast join", "filters": {"role": ["assistant"]}}

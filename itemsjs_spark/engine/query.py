@@ -105,11 +105,36 @@ class SearchEngine:
     # switches to the fully distributed expansion (a 1-char query against
     # a 10^12-turn vocabulary would otherwise collect millions of rows)
     MAX_DRIVER_EXPANSION = 100_000
-    # cost-based routing for filter-only searches: the facet-block path's
-    # work scales with the FILTER VALUES' posting lists (estimated from
-    # the cached global dimension counts), the scan path's with the
-    # corpus — route to blocks only below this estimated selectivity
-    BLOCK_ROUTE_MAX_SELECTIVITY = 0.05
+    # --- cost-based routing for filter searches (model v2) -----------
+    # The block path's row work scales with the FILTER VALUES' posting
+    # lists (estimated from the cached global dimension counts); the
+    # scan path's with the corpus. But each path also pays a FIXED cost
+    # per Spark action, and the block path runs more actions (one
+    # docid-set count pass per filtered field + final + page vs the
+    # scan's stacked-counts pass + page) — at small corpora that fixed
+    # cost dominates and the scan wins even for selective filters
+    # (measured: 60k docs, selective filter → blocks 1.0 s vs scan
+    # 0.25 s). Routing compares predicted seconds:
+    #     t_scan  = 2j + n_docs / R_SCAN
+    #     t_block = (n_filtered + 5) j + est / R_BLOCK
+    # Constants measured by scripts/calibrate_router.py on the dev box
+    # (local[16], 60k vs 600k transcript corpora): j = 0.15 s/action,
+    # scan ≈ 1.5 M rows/s (unselective 60k→600k delta), block ≈ 268 k
+    # postings/s (est 87→276 k delta at 600 k docs); the block path's
+    # measured fixed cost ≈ 6 j (docid-set derivation + final count +
+    # count pass + page), hence n_filtered + 5. Only the RATIOS steer
+    # the decision, so host-speed drift cancels. R_BLOCK < R_SCAN
+    # (block decode + docid joins cost more per row than a columnar
+    # corpus scan), which yields the asymptotic selectivity threshold
+    # est/n_docs < R_BLOCK/R_SCAN ≈ 1/6 at large corpora, while the j
+    # terms gate the block path off below ~1 M docs — measured
+    # crossover: scan still wins the selective filter at 600 k
+    # (0.30 s vs 0.85 s) on fixed cost alone.
+    ROUTER_JOB_SECONDS = 0.15
+    ROUTER_SCAN_ROWS_PER_SEC = 1_500_000.0
+    ROUTER_BLOCK_ROWS_PER_SEC = 250_000.0
+    # tests / operators may pin the route: "blocks" | "scan" | None
+    ROUTER_FORCE: Optional[str] = None
 
     def __init__(self, index: Index):
         self.index = index
@@ -1221,9 +1246,9 @@ class SearchEngine:
             return False
         if self._facet_dim_cache() is None:
             return False
-        # selectivity estimate from the cached global counts, exactly as
+        # cost estimate from the cached global counts, exactly as
         # _facetblock_search_applies: the WAND filter decodes every
-        # filter value's posting blocks, so its work is their sum
+        # filter value's posting blocks, so its row work is their sum
         glob = self._facet_global or {}
         est = 0
         n = 0
@@ -1233,7 +1258,7 @@ class SearchEngine:
                 est += glob.get(fld, {}).get(js_key(v) or "", 0)
         if n == 0:
             return False
-        return est <= max(idx.n_docs, 1) * self.BLOCK_ROUTE_MAX_SELECTIVITY
+        return self._route_block_cost(est, len(filters))
 
     def _search_wand_filtered(
         self, input: Dict[str, Any]
@@ -1379,23 +1404,39 @@ class SearchEngine:
         # assembly; huge dims use their dedicated distributed path
         if self._facet_dim_cache() is None:
             return False
-        # cost model from the cached global counts: the block path decodes
-        # EVERY filter value's posting list and joins them, so its work is
-        # the SUM of the values' doc counts; the scan path's is the
-        # corpus. Negative/DNF-only inputs have corpus-sized candidates —
-        # scan wins there outright.
+        # cost estimate from the cached global counts: the block path
+        # decodes EVERY filter value's posting list and joins them, so
+        # its row work is the SUM of the values' doc counts; the scan
+        # path's is the corpus. Negative/DNF-only inputs have
+        # corpus-sized candidates — scan wins there outright.
         glob = self._facet_global or {}
         est = None
+        n_filtered = 0
         for fld, vals in (input.get("filters") or {}).items():
             if not vals:
                 continue
+            n_filtered += 1
             tot = sum(
                 glob.get(fld, {}).get(js_key(v) or "", 0) for v in vals
             )
             est = tot if est is None else est + tot
         if est is None:
             return False
-        return est <= max(self.index.n_docs, 1) * self.BLOCK_ROUTE_MAX_SELECTIVITY
+        return self._route_block_cost(est, n_filtered)
+
+    def _route_block_cost(self, est: int, n_filtered: int) -> bool:
+        """Predicted-seconds comparison for the block-vs-scan route (see
+        the ROUTER_* constants for the model and its calibration).
+        ``est`` = summed global doc counts of the filter values;
+        ``n_filtered`` = filtered field count (one docid-set count pass
+        each). Ties go to the scan: a mis-route is only a perf cliff,
+        and the scan path is the simpler plan."""
+        if self.ROUTER_FORCE is not None:
+            return self.ROUTER_FORCE == "blocks"
+        j = self.ROUTER_JOB_SECONDS
+        t_scan = 2 * j + max(self.index.n_docs, 1) / self.ROUTER_SCAN_ROWS_PER_SEC
+        t_block = (n_filtered + 5) * j + est / self.ROUTER_BLOCK_ROWS_PER_SEC
+        return t_block < t_scan
 
     def _search_facetblocks(self, input: Dict[str, Any]) -> Dict[str, Any]:
         # the docid-set caches must not outlive the request, even when a

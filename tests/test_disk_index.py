@@ -188,7 +188,7 @@ def test_facetblock_search_path_matches_scan_path(spark, block_engines):
     assert not disk._facetblock_search_applies(
         {"filters": {"role": ["assistant"]}}
     )
-    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    disk.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     assert disk._facetblock_search_applies({"filters": {"tool": ["bash"]}})
     assert disk._facetblock_search_applies(
         {"filters": {"tool": ["bash"]}, "not_filters": {"role": ["user"]}}
@@ -247,7 +247,7 @@ def block_engines_disj(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("blockidxdisj") / "artifacts")
     mem.index.write_blocks(path, n_buckets=4, range_size=512, block_size=64)
     disk = SearchEngine(Index.read(spark, path))
-    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0  # force-route (tiny corpus)
+    disk.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     return mem, disk
 
 
@@ -310,7 +310,7 @@ def test_facetblock_get_buckets_and_aggregation_match_scan(spark, block_engines)
     """get_buckets / the aggregation endpoint take the block counting
     path under the same router — identical buckets to the scan path."""
     mem, disk, _report = block_engines
-    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    disk.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     for inp in (
         {"filters": {"tool": ["bash"]}},
         {"filters": {"role": ["assistant"]}, "not_filters": {"tool": ["grep"]}},

@@ -88,7 +88,7 @@ def test_stream_facet_blocks_serve_filter_algebra(spark, streamed):
     base, delta, out, _writer = streamed
     eng = SearchEngine(read_stream_index(spark, out, CFG))
     assert eng.index.facet_posting_blocks is not None
-    eng.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0  # force-route (tiny corpus)
+    eng.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     assert eng._facetblock_search_applies({"filters": {"tool": ["bash"]}})
     full = itemsjs_spark(
         spark, base.unionByName(delta), CFG, order_by=["conv_id", "turn_idx"]
@@ -137,7 +137,7 @@ def test_stream_facet_block_compaction_preserves_filters(spark, streamed, tmp_pa
     out2 = str(tmp_path / "idx2")
     shutil.copytree(out, out2)
     before = SearchEngine(read_stream_index(spark, out2, CFG))
-    before.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    before.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     inp = {"filters": {"tool": ["bash"]}, "per_page": 6}
     want = before.search(dict(inp))
 
@@ -149,7 +149,7 @@ def test_stream_facet_block_compaction_preserves_filters(spark, streamed, tmp_pa
     assert all(m["compacted"] for m in report["manifests"])
     spark.catalog.clearCache()
     eng = SearchEngine(read_stream_index(spark, out2, CFG))
-    eng.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    eng.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     assert eng._facetblock_search_applies(dict(inp))
     got = eng.search(dict(inp))
     assert got["pagination"] == want["pagination"]
@@ -183,7 +183,7 @@ def test_partial_facet_block_store_falls_back_to_scan(spark, streamed, tmp_path)
         os.remove(crc)
     eng = SearchEngine(read_stream_index(spark, out2, CFG))
     assert eng.index.facet_posting_blocks is None
-    eng.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    eng.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     assert not eng._facetblock_search_applies({"filters": {"tool": ["bash"]}})
     # and the scan path still answers correctly
     r = eng.search({"filters": {"tool": ["bash"]}, "per_page": 3})

@@ -34,7 +34,7 @@ def engines(spark, tmp_path_factory):
     # CORRECTNESS of the filtered-WAND path on every input shape, so
     # every filter must route through it (the gate itself is covered by
     # test_router_refuses_unselective below)
-    disk.BLOCK_ROUTE_MAX_SELECTIVITY = 1.0
+    disk.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
     return mem, disk
 
 
@@ -83,24 +83,38 @@ def test_filtered_wand_search_matches_scan_path(engines, idx):
 
 
 def test_router_refuses_unselective_filters(engines):
-    """With the real threshold, a filter covering ~half the corpus must
-    NOT take the filtered-WAND path (the scan path's single pass wins);
-    a rare value must."""
+    """Cost model v2: on a tiny corpus the per-job fixed cost dominates,
+    so the router refuses the block path for EVERY filter (the scan's
+    single cheap pass wins — the r2 ADVICE mis-route). Zeroing the job
+    term isolates the asymptotic regime, where a rare value routes to
+    blocks and a ~half-corpus value still refuses (row-rate ratio)."""
     _mem, disk = engines
-    old = disk.BLOCK_ROUTE_MAX_SELECTIVITY
-    disk.BLOCK_ROUTE_MAX_SELECTIVITY = SearchEngine.BLOCK_ROUTE_MAX_SELECTIVITY
+    old = disk.ROUTER_FORCE
+    disk.ROUTER_FORCE = None
     try:
+        # small-corpus gate: fixed job cost > any row-work difference
         assert not disk._wand_filtered_search_applies(
             {"query": "spark", "filters": {"role": ["assistant"]}}
         )
         glob = disk._facet_global or {}
         rare = min(glob["tool"], key=glob["tool"].get)
-        if glob["tool"][rare] <= disk.index.n_docs * disk.BLOCK_ROUTE_MAX_SELECTIVITY:
+        assert not disk._wand_filtered_search_applies(
+            {"query": "spark", "filters": {"tool": [rare]}}
+        )
+        # asymptotic regime (job term zeroed): selectivity threshold is
+        # the calibrated row-rate ratio R_BLOCK/R_SCAN
+        disk.ROUTER_JOB_SECONDS = 0.0
+        ratio = disk.ROUTER_BLOCK_ROWS_PER_SEC / disk.ROUTER_SCAN_ROWS_PER_SEC
+        if glob["tool"][rare] < disk.index.n_docs * ratio:
             assert disk._wand_filtered_search_applies(
                 {"query": "spark", "filters": {"tool": [rare]}}
             )
+        assert not disk._wand_filtered_search_applies(
+            {"query": "spark", "filters": {"role": ["assistant"]}}
+        )
     finally:
-        disk.BLOCK_ROUTE_MAX_SELECTIVITY = old
+        disk.ROUTER_FORCE = old
+        disk.ROUTER_JOB_SECONDS = SearchEngine.ROUTER_JOB_SECONDS
 
 
 def test_filtered_wand_declines_out_of_shape_inputs(engines):
