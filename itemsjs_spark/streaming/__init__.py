@@ -64,7 +64,15 @@ class StreamingIndexWriter:
 
     ``configuration`` is the usual itemsjs Configuration;
     ``order_by`` ranks rows WITHIN an epoch (epochs themselves are
-    ordered by arrival — the snapshot-append docid contract)."""
+    ordered by arrival — the snapshot-append docid contract).
+
+    ``compact_every``: every N doc-contributing epochs, fold the block
+    stores' accumulated ``snap-*`` delta files back into one optimally
+    packed block set per bucket (``compact_blocks`` — restores WAND's
+    per-range bound tightness and keeps file counts flat as the stream
+    runs). The swap is crash-safe and readable mid-flight (read-time
+    recovery), so maintenance needs no reader quiescence; a replayed
+    epoch never double-folds (snapshot ids are recorded as folded)."""
 
     def __init__(
         self,
@@ -74,6 +82,7 @@ class StreamingIndexWriter:
         n_buckets: int = 32,
         range_size: int = 1 << 20,
         block_size: int = 1 << 14,
+        compact_every: Optional[int] = None,
     ):
         self.out_path = out_path
         self.configuration = dict(configuration)
@@ -81,6 +90,7 @@ class StreamingIndexWriter:
         self.n_buckets = n_buckets
         self.range_size = range_size
         self.block_size = block_size
+        self.compact_every = compact_every
         aggs = self.configuration.get("aggregations") or {}
         self.facet_fields = list(aggs.keys())
         searchable = self.configuration.get("searchableFields") or []
@@ -182,6 +192,32 @@ class StreamingIndexWriter:
         meta.setdefault("doc_epochs", []).append(int(epoch_id))
         if fb_written:
             meta.setdefault("fb_epochs", []).append(int(epoch_id))
+        self._write_meta(fs, meta)
+        if self.compact_every:
+            self._maybe_compact(spark, fs, meta)
+
+    def _maybe_compact(self, spark, fs: _HadoopFS, meta: Dict[str, Any]) -> None:
+        """Every-``compact_every`` doc-contributing epochs, compact both
+        block stores. Runs AFTER the epoch's meta commit: a crash during
+        maintenance loses only the maintenance (the next epoch re-trips
+        the threshold and compact_blocks recovers any half-swap)."""
+        done = len(meta.get("doc_epochs", []))
+        last = int(meta.get("compacted_at_n_epochs", 0))
+        if done - last < self.compact_every:
+            return
+        from ..engine.checkpoint import compact_blocks
+
+        for sub in ("posting_blocks", "facet_blocks"):
+            d = posixpath.join(self.out_path, sub)
+            if fs.exists(d):
+                compact_blocks(
+                    spark,
+                    d,
+                    n_buckets=self.n_buckets,
+                    range_size=self.range_size,
+                    block_size=self.block_size,
+                )
+        meta["compacted_at_n_epochs"] = done
         self._write_meta(fs, meta)
 
     def attach(

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
 def main(argv=None):
@@ -34,13 +33,24 @@ def main(argv=None):
     p.add_argument("--range-size", type=int, default=1 << 20)
     p.add_argument("--available-now", action="store_true",
                    help="process what's available, then exit (catch-up mode)")
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="fold the block stores' snap deltas back into "
+                        "packed blocks every N doc-contributing epochs "
+                        "(0 disables; the swap is crash-safe and readable "
+                        "mid-flight, so no reader quiescence is needed)")
     p.add_argument("--smoke-query", default="shuffle partition")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("itemsjs-spark-stream-index").getOrCreate()
-    sys.path.insert(0, "/root/repo")  # driver-side import if not --py-files
+
+    from itemsjs_spark.engine.packaging import ensure_shipped
+
+    # executors must unpickle foreachBatch closures that import
+    # itemsjs_spark regardless of their cwd — ship the package zip even
+    # when the operator forgot --py-files (idempotent when they didn't)
+    ensure_shipped(spark)
 
     from itemsjs_spark.data.transcripts import transcripts_df
     from itemsjs_spark.engine import SearchEngine
@@ -57,6 +67,7 @@ def main(argv=None):
         ["conv_id", "turn_idx"],
         n_buckets=args.blocks_buckets,
         range_size=args.range_size,
+        compact_every=args.compact_every or None,
     )
     stream = spark.readStream.schema(schema).parquet(args.input)
     query = writer.attach(
@@ -66,8 +77,13 @@ def main(argv=None):
 
     eng = SearchEngine(read_stream_index(spark, args.output, cfg))
     hits = eng.fulltext_hits(args.smoke_query).count()
+    from itemsjs_spark.engine.checkpoint import _HadoopFS
+
+    meta = writer._read_meta(_HadoopFS(spark, args.output))
     print(json.dumps({
         "n_docs": eng.index.n_docs,
+        "epochs": len(meta.get("epochs", [])),
+        "compacted_at_n_epochs": int(meta.get("compacted_at_n_epochs", 0)),
         "smoke_query": args.smoke_query,
         "smoke_hits": int(hits),
     }))

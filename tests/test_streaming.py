@@ -188,3 +188,58 @@ def test_partial_facet_block_store_falls_back_to_scan(spark, streamed, tmp_path)
     # and the scan path still answers correctly
     r = eng.search({"filters": {"tool": ["bash"]}, "per_page": 3})
     assert r["pagination"]["total"] > 0
+
+
+def test_writer_inline_compaction_every_n_epochs(spark, tmp_path):
+    """compact_every wires compact_blocks into the ingest loop itself
+    (the stream_index_job maintenance step): after every N
+    doc-contributing epochs both block stores are folded, queries stay
+    parity-identical with a batch rebuild, and the store's file count
+    drops vs the append-only layout."""
+    import glob as globmod
+    import json as jsonmod
+
+    out = str(tmp_path / "idx")
+    out_plain = str(tmp_path / "idx_plain")
+    waves = [
+        transcripts_df(spark, n_turns=300, n_convs=30, seed=s)
+        .withColumn(
+            "conv_id", F.concat(F.lit(chr(97 + s)), F.substring("conv_id", 2, 10))
+        )
+        .persist()
+        for s in range(3)
+    ]
+    kw = dict(n_buckets=2, range_size=256, block_size=32)
+    w = StreamingIndexWriter(out, CFG, ["conv_id", "turn_idx"], compact_every=2, **kw)
+    wp = StreamingIndexWriter(out_plain, CFG, ["conv_id", "turn_idx"], **kw)
+    for i, wave in enumerate(waves):
+        w.process_batch(wave, epoch_id=i)
+        wp.process_batch(wave, epoch_id=i)
+
+    meta = jsonmod.loads(open(f"{out}/meta.json").read())
+    assert meta["compacted_at_n_epochs"] == 2  # tripped at epoch 2 of 3
+
+    n_files = len(globmod.glob(f"{out}/posting_blocks/bucket=*/*.parquet"))
+    n_plain = len(globmod.glob(f"{out_plain}/posting_blocks/bucket=*/*.parquet"))
+    assert n_files < n_plain
+
+    full = itemsjs_spark(
+        spark,
+        waves[0].unionByName(waves[1]).unionByName(waves[2]),
+        CFG,
+        order_by=["conv_id", "turn_idx"],
+    )
+    eng = SearchEngine(read_stream_index(spark, out, CFG))
+    eng.ROUTER_FORCE = "blocks"  # tiny corpus: pin the route for parity testing
+    assert eng.index.n_docs == full.index.n_docs == 900
+    for q in ("spark", "shuffle partition"):
+        a = sorted(map(tuple, eng.fulltext_hits(q).collect()))
+        b = sorted(map(tuple, full.fulltext_hits(q).collect()))
+        assert a == b, q
+    inp = {"filters": {"tool": ["bash"]}, "per_page": 6}
+    got, want = eng.search(dict(inp)), full.search(dict(inp))
+    assert got["pagination"] == want["pagination"]
+    for fld, entry in want["data"]["aggregations"].items():
+        assert got["data"]["aggregations"][fld]["buckets"] == entry["buckets"]
+    for wave in waves:
+        wave.unpersist()
