@@ -63,3 +63,46 @@ def test_word_frequencies_truncation_is_deterministic(spark):
     rows = bpe.word_frequencies(df, max_words=2).collect()
     # count desc, word asc: a(3), b(3) tie -> a first; c(2) truncated
     assert [(r["w"], r["cnt"]) for r in rows] == [("a", 3), ("b", 3)]
+
+
+def test_distributed_training_equals_driver_training(spark):
+    """train_bpe_distributed produces the EXACT merge list of the
+    driver-side trainer on the same corpus (same counts, same
+    lexicographic tie-break, same non-overlapping merge), including
+    repeated-character words that stress the fold-vs-two-pointer
+    equivalence."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox",
+        "aaaa aaab baaa",
+        "sssss sss ss s",
+        "low lower lowest newest newer new",
+        "the the the them theme",
+    ] * 3
+    df = _df(spark, texts)
+    want = bpe.train_bpe(df, n_merges=40)
+    got = bpe.train_bpe_distributed(df, n_merges=40, checkpoint_every=7)
+    assert got == want
+
+
+def test_distributed_training_from_words_table(spark):
+    """The from-words entry point (what a 10^6+-word vocabulary uses)
+    matches driver training over the identical word-count table."""
+    words = spark.createDataFrame(
+        [("hello", 5), ("help", 3), ("held", 2), ("hell", 7), ("shell", 1)],
+        "w string, cnt long",
+    )
+    got = bpe.train_bpe_distributed_from_words(words, n_merges=10)
+    # driver reference over the same table
+    vocab = {tuple(w) + (bpe.EOW,): c for w, c in
+             [("hello", 5), ("help", 3), ("held", 2), ("hell", 7), ("shell", 1)]}
+    merges = []
+    for _ in range(10):
+        pairs = bpe._count_pairs(vocab)
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        vocab = bpe._merge_vocab(vocab, best)
+    assert got == merges
