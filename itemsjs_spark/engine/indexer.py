@@ -86,12 +86,67 @@ def facet_keys_col(df: DataFrame, fld: str):
     )
 
 
+# below this estimated input size the distributed prefix sum's fixed
+# job overhead (counts job + range-sampling job + totals job, ~3 s on
+# the bench host) exceeds what it saves: route small inputs to the
+# one-materialization plan whose only non-parallel step is a window
+# over the GROUP table (≤ one row per conversation — bounded by the
+# same threshold). Interleaved A/B at 60k turns: 15.9 s -> ~12 s build.
+DOCID_DISTRIBUTED_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DOCID_DISTRIBUTED_MIN_BYTES", str(64 << 20))
+)
+
+
+def _estimated_input_bytes(df: DataFrame) -> int:
+    """Catalyst's plan-time size estimate (file size for file sources;
+    ``spark.sql.defaultSizeInBytes`` — effectively infinite — when
+    unknown, which safely routes unknown inputs to the distributed
+    path)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimation must never break the build
+        return 1 << 62
+
+
+def _assign_docids_small(df: DataFrame, keys: List[str], gkeys: List[str]) -> DataFrame:
+    """Small-input plan: per-group counts -> global-window prefix sum
+    over the GROUP table (single-partition, but ≤ |groups| rows — only
+    routed here when the whole input is under
+    ``DOCID_DISTRIBUTED_MIN_BYTES``) -> per-group row_number. One lazy
+    plan, one materialization job in the caller, no interim caches."""
+    counts = df.groupBy(*gkeys).agg(F.count("*").alias("__cnt"))
+    wg = (
+        Window.orderBy(*[F.col(c) for c in gkeys])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(wg), F.lit(0))
+    ).drop("__cnt")
+    wr = Window.partitionBy(*gkeys).orderBy(*[F.col(c) for c in keys])
+    return (
+        df.join(offs, gkeys)
+        .withColumn(DOCID, (F.col("__off") + F.row_number().over(wr)).cast("long"))
+        .drop("__off")
+    )
+
+
 def assign_docids(
-    df: DataFrame, order_by: Sequence[str], num_partitions: Optional[int] = None
+    df: DataFrame,
+    order_by: Sequence[str],
+    num_partitions: Optional[int] = None,
+    distributed: Optional[bool] = None,
 ) -> DataFrame:
     """1-based dense ``_docid`` under a total ordering, without a global
-    single-partition window anywhere (reference semantics: _id = input
-    position, src/fulltext.ts:56-58).
+    single-partition window over the CORPUS anywhere (reference
+    semantics: _id = input position, src/fulltext.ts:56-58).
+
+    Cost-routed: inputs whose plan-time size estimate is under
+    ``DOCID_DISTRIBUTED_MIN_BYTES`` take ``_assign_docids_small`` (one
+    lazy plan — the global window there touches only the group table,
+    which the size gate bounds); larger or unknown-size inputs take the
+    distributed prefix sum below. Both plans are pure functions of row
+    values and produce IDENTICAL assignments (tested), so the route is
+    a physical choice only. ``distributed=True/False`` overrides.
 
     Three-level distributed prefix sum:
 
@@ -116,6 +171,10 @@ def assign_docids(
     result plan either way."""
     keys = list(order_by)
     gkeys = keys[:-1] if len(keys) > 1 else keys
+    if distributed is None:
+        distributed = _estimated_input_bytes(df) >= DOCID_DISTRIBUTED_MIN_BYTES
+    if not distributed:
+        return _assign_docids_small(df, keys, gkeys)
     spark = df.sparkSession
     n_part = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
 

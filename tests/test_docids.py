@@ -64,9 +64,49 @@ def test_docids_stable_across_actions(spark):
 
 def test_docids_plan_has_no_single_partition_exchange(spark):
     df = _corpus(spark, 10_000, 2)
-    out = assign_docids(df, ["conv_id", "turn_idx"])
+    out = assign_docids(df, ["conv_id", "turn_idx"], distributed=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_docids_small_and_distributed_plans_agree(spark):
+    """The cost router is a physical choice only: both plans assign the
+    IDENTICAL docid to every row."""
+    df = _corpus(spark, 3_000, 4)
+    a = sorted(
+        map(
+            tuple,
+            assign_docids(df, ["conv_id", "turn_idx"], distributed=False)
+            .select("conv_id", "turn_idx", DOCID)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            assign_docids(df, ["conv_id", "turn_idx"], distributed=True)
+            .select("conv_id", "turn_idx", DOCID)
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_docids_size_router(spark, monkeypatch):
+    """Auto-routing: inputs under the size gate take the lazy one-job
+    plan (no interim caches); over it, the distributed prefix sum
+    (which exposes its pinned group cache via _interim_caches)."""
+    from itemsjs_spark.engine import indexer
+
+    df = _corpus(spark, 1_000, 2)
+    small = assign_docids(df, ["conv_id", "turn_idx"])  # range data: tiny
+    assert getattr(small, "_interim_caches", []) == []
+
+    monkeypatch.setattr(indexer, "DOCID_DISTRIBUTED_MIN_BYTES", 1)
+    big = assign_docids(df, ["conv_id", "turn_idx"])
+    assert getattr(big, "_interim_caches", [])
+    for c in big._interim_caches:
+        c.unpersist()
 
 
 def test_docids_single_key_order(spark):
