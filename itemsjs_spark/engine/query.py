@@ -158,6 +158,9 @@ class SearchEngine:
         # (one per oversized prefix query); released once the consumer
         # materialized — see release_expansion_caches
         self._expansion_caches: List[DataFrame] = []
+        # driver-side sorted terms dictionary (see _term_dictionary)
+        self._term_dict_data: Optional[Tuple[List[str], List[float]]] = None
+        self._term_dict_checked = False
 
     def release_expansion_caches(self) -> None:
         """Unpersist the distributed-expansion term-vector caches created
@@ -259,6 +262,8 @@ class SearchEngine:
         eng._facet_dim = self._facet_dim
         eng._facet_dim_checked = self._facet_dim_checked
         eng._ft_materialized = self._ft_materialized
+        eng._term_dict_data = self._term_dict_data
+        eng._term_dict_checked = self._term_dict_checked
         return eng
 
     def _facet_dim_cache(self) -> Optional[Dict[str, List[Tuple[str, int]]]]:
@@ -331,6 +336,64 @@ class SearchEngine:
     # ------------------------------------------------------------------
     # full-text
     # ------------------------------------------------------------------
+    # dictionary rows above this are not pinned on the driver (strings
+    # alone would be ~100 MB); expansion then falls back to the per-query
+    # dictionary-scan job
+    MAX_DRIVER_TERM_DICT = 1_000_000
+
+    def _term_dictionary(self) -> Optional[Tuple[List[str], List[float]]]:
+        """(sorted term list, aligned idf list), collected ONCE and
+        cached on the driver — or None for vocabularies over
+        ``MAX_DRIVER_TERM_DICT``. This is the reference's own structure
+        (its index is a driver-resident trie, src/fulltext.ts); holding
+        the ≤~50 MB dictionary removes one Spark job from EVERY query's
+        analysis path — the dominant fixed cost of short queries. Over
+        the cap (10^12-turn vocabularies) every path still works via
+        the dictionary-scan job / distributed expansion."""
+        if self._term_dict_checked:
+            return self._term_dict_data
+        self._term_dict_checked = True
+        idx = self.index
+        if idx.terms is None:
+            return None
+        self._ensure_fulltext_materialized()
+        over = (
+            idx.terms.limit(self.MAX_DRIVER_TERM_DICT + 1).count()
+            > self.MAX_DRIVER_TERM_DICT
+        )
+        if over:
+            return None
+        pdf = idx.terms.select("term", "idf").toPandas()
+        pdf = pdf.sort_values("term", kind="mergesort")  # Python ordering
+        self._term_dict_data = (pdf["term"].tolist(), pdf["idf"].tolist())
+        return self._term_dict_data
+
+    def _expand_tokens_driver(
+        self, distinct_tokens: Sequence[str]
+    ) -> Optional[Tuple[Dict[str, float], Dict[str, List[str]]]]:
+        """Prefix-expand via the cached dictionary: (idf_map, token →
+        sorted expanded terms). None when the dictionary is too big to
+        pin (caller falls back to the scan job); _ExpansionTooLarge
+        beyond MAX_DRIVER_EXPANSION distinct terms — identical overflow
+        semantics to the scan path."""
+        d = self._term_dictionary()
+        if d is None:
+            return None
+        import bisect
+
+        terms, idfs = d
+        idf_map: Dict[str, float] = {}
+        by_token: Dict[str, List[str]] = {}
+        for tok in distinct_tokens:
+            lo = bisect.bisect_left(terms, tok)
+            hi = bisect.bisect_left(terms, tok + "\U0010ffff")
+            by_token[tok] = terms[lo:hi]
+            for i in range(lo, hi):
+                idf_map[terms[i]] = idfs[i]
+            if len(idf_map) > self.MAX_DRIVER_EXPANSION:
+                raise _ExpansionTooLarge(" ".join(distinct_tokens))
+        return idf_map, by_token
+
     def _query_vector(
         self, query: str
     ) -> Optional[Tuple[scoring.QueryVector, Dict[str, float]]]:
@@ -347,31 +410,34 @@ class SearchEngine:
             return None
 
         distinct_tokens = sorted(set(tokens))
-        cond = None
-        for tok in distinct_tokens:
-            c = F.col("term").startswith(tok)
-            cond = c if cond is None else (cond | c)
-        expanded = (
-            idx.terms.filter(cond)
-            .select("term", "df", "idf")
-            .limit(self.MAX_DRIVER_EXPANSION + 1)
-            .collect()
-        )
-        if len(expanded) > self.MAX_DRIVER_EXPANSION:
-            raise _ExpansionTooLarge(query)
-        term_rows = sorted(expanded, key=lambda r: r["term"])
-
-        by_token: Dict[str, List] = {
-            tok: [r for r in term_rows if r["term"].startswith(tok)]
-            for tok in distinct_tokens
-        }
-        idf_map = {r["term"]: r["idf"] for r in term_rows}
+        exp = self._expand_tokens_driver(distinct_tokens)
+        if exp is not None:
+            idf_map, by_token = exp
+        else:
+            cond = None
+            for tok in distinct_tokens:
+                c = F.col("term").startswith(tok)
+                cond = c if cond is None else (cond | c)
+            expanded = (
+                idx.terms.filter(cond)
+                .select("term", "idf")
+                .limit(self.MAX_DRIVER_EXPANSION + 1)
+                .collect()
+            )
+            if len(expanded) > self.MAX_DRIVER_EXPANSION:
+                raise _ExpansionTooLarge(query)
+            term_rows = sorted(expanded, key=lambda r: r["term"])
+            by_token = {
+                tok: [r["term"] for r in term_rows if r["term"].startswith(tok)]
+                for tok in distinct_tokens
+            }
+            idf_map = {r["term"]: r["idf"] for r in term_rows}
 
         qv = scoring.build_query_vector(
             tokens,
             n_fields=len(idx.text_fields),
             boosts_sum=sum(b for _, b in idx.text_fields),
-            expand=lambda tok: [r["term"] for r in by_token[tok]],
+            expand=lambda tok: by_token[tok],
             idf_of=lambda t: idf_map[t],
         )
         if not qv.has_some_token or not qv.all_tokens_expandable:
@@ -523,27 +589,39 @@ class SearchEngine:
         if not all_tokens:
             return empty
 
-        # ONE dictionary scan for every query's prefix expansion
-        cond = None
-        for tok in sorted(all_tokens):
-            c = F.col("term").startswith(tok)
-            cond = c if cond is None else (cond | c)
-        rows_raw = (
-            idx.terms.filter(cond)
-            .select("term", "idf")
-            .limit(self.MAX_DRIVER_EXPANSION + 1)
-            .collect()
-        )
-        if len(rows_raw) > self.MAX_DRIVER_EXPANSION:
+        # ONE expansion for every query: the cached driver dictionary
+        # when it fits (zero Spark jobs), else one dictionary-scan job
+        try:
+            exp = self._expand_tokens_driver(sorted(all_tokens))
+        except _ExpansionTooLarge:
             raise EngineError(
                 "combined prefix expansion exceeds driver capacity; run the "
                 "oversized queries individually through fulltext_hits"
             )
-        term_rows = sorted(rows_raw, key=lambda r: r["term"])
-        idf_map = {r["term"]: r["idf"] for r in term_rows}
-        by_token: Dict[str, List[str]] = {}
-        for tok in all_tokens:
-            by_token[tok] = [r["term"] for r in term_rows if r["term"].startswith(tok)]
+        if exp is not None:
+            idf_map, by_token = exp
+        else:
+            cond = None
+            for tok in sorted(all_tokens):
+                c = F.col("term").startswith(tok)
+                cond = c if cond is None else (cond | c)
+            rows_raw = (
+                idx.terms.filter(cond)
+                .select("term", "idf")
+                .limit(self.MAX_DRIVER_EXPANSION + 1)
+                .collect()
+            )
+            if len(rows_raw) > self.MAX_DRIVER_EXPANSION:
+                raise EngineError(
+                    "combined prefix expansion exceeds driver capacity; run "
+                    "the oversized queries individually through fulltext_hits"
+                )
+            term_rows = sorted(rows_raw, key=lambda r: r["term"])
+            idf_map = {r["term"]: r["idf"] for r in term_rows}
+            by_token = {
+                tok: [r["term"] for r in term_rows if r["term"].startswith(tok)]
+                for tok in all_tokens
+            }
 
         rows = []
         for qid, tokens in analyzed:
