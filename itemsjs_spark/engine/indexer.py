@@ -664,6 +664,88 @@ def build_index(
     )
 
 
+def _align_appended_schema(
+    old_docs: DataFrame, new_docs: DataFrame
+) -> Tuple[DataFrame, DataFrame]:
+    """Schema alignment for snapshot append (both directions).
+
+    Two per-snapshot artifacts can disagree: (a) ``__raw_<f>`` sidecars
+    exist only for fields THAT snapshot's items lossily collapsed, and
+    (b) a field's column dtype reflects only that snapshot's values
+    (``price`` long in one, string-collapsed in the other). Merging:
+
+    * shared scalar columns with differing dtypes converge on the JS
+      collapse (string via ``_js_key_col``; long+double widen to
+      double), and every side whose values are CAST gains/els fills a
+      ``__raw_<f>`` sidecar from the pre-cast values (JSON literal — a
+      plain string cast for numerics/booleans, exactly what
+      ``items_to_df`` would have written), so returned items keep
+      original scalars;
+    * sidecar columns missing on one side are padded with NULL ("no
+      coercion recorded");
+    * non-scalar dtype conflicts (array element mismatch etc.) raise
+      the contract error — there is no JS-faithful merge for them.
+    """
+
+    def _plain(df):
+        return {
+            c: df.schema[c].dataType
+            for c in df.columns
+            if not c.startswith((FK_PREFIX, RAW_PREFIX)) and c != DOCID
+        }
+
+    old_t, new_t = _plain(old_docs), _plain(new_docs)
+    numeric = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+               T.DoubleType, T.FloatType)
+
+    def _collapse(df, col, dtype, target, raw_col):
+        """Cast ``col`` to ``target``, recording pre-cast values in the
+        sidecar (keeping any existing sidecar values)."""
+        raw_literal = F.col(col).cast("string")  # JSON literal for
+        # numerics/booleans; string columns are never cast here
+        existing = (
+            F.col(raw_col) if raw_col in df.columns
+            else F.lit(None).cast("string")
+        )
+        new_raw = F.when(
+            F.col(col).isNotNull(), F.coalesce(existing, raw_literal)
+        ).otherwise(existing)
+        out = df.withColumn(raw_col, new_raw)
+        if isinstance(target, T.StringType):
+            return out.withColumn(col, _js_key_col(F.col(col), dtype))
+        return out.withColumn(col, F.col(col).cast(target))
+
+    for c in set(old_t) & set(new_t):
+        ot, nt = old_t[c], new_t[c]
+        if ot == nt:
+            continue
+        scalar = isinstance(ot, numeric + (T.StringType, T.BooleanType)) and \
+            isinstance(nt, numeric + (T.StringType, T.BooleanType))
+        if not scalar:
+            raise ValueError(
+                f"append delta column '{c}' has incompatible type "
+                f"{nt.simpleString()} vs index {ot.simpleString()}"
+            )
+        both_numeric = isinstance(ot, numeric) and isinstance(nt, numeric)
+        target = T.DoubleType() if both_numeric else T.StringType()
+        raw_col = RAW_PREFIX + c
+        # a side already at the target dtype round-trips natively and is
+        # left alone; only the CAST side needs the sidecar
+        if type(ot) is not type(target):
+            old_docs = _collapse(old_docs, c, ot, target, raw_col)
+        if type(nt) is not type(target):
+            new_docs = _collapse(new_docs, c, nt, target, raw_col)
+
+    # sidecar padding: each side gets NULL for the other's sidecars
+    for c in old_docs.columns:
+        if c.startswith(RAW_PREFIX) and c not in new_docs.columns:
+            new_docs = new_docs.withColumn(c, F.lit(None).cast("string"))
+    for c in new_docs.columns:
+        if c.startswith(RAW_PREFIX) and c not in old_docs.columns:
+            old_docs = old_docs.withColumn(c, F.lit(None).cast("string"))
+    return old_docs, new_docs
+
+
 def append_index(
     index: Index,
     new_df: DataFrame,
@@ -703,11 +785,14 @@ def append_index(
         raise ValueError("need docid_col or order_by for stable _docid")
     # validate the delta's columns BEFORE deriving facet-key columns —
     # a delta lacking a facet column must fail with the contract error,
-    # not an AnalysisException out of facet_keys_col
+    # not an AnalysisException out of facet_keys_col. Derived columns
+    # (__fk_ facet keys, __raw_ lossy-value sidecars) are index-internal
+    # and never required of a delta.
     missing = [
         c
         for c in index.docs.columns
-        if not c.startswith(FK_PREFIX) and c not in new_docs.columns
+        if not c.startswith((FK_PREFIX, RAW_PREFIX))
+        and c not in new_docs.columns
     ]
     if missing:
         raise ValueError(f"append delta lacks columns {missing}")
@@ -721,10 +806,8 @@ def append_index(
         c.unpersist()
     n_docs = index.n_docs + n_new
 
-    missing = [c for c in index.docs.columns if c not in new_docs.columns]
-    if missing:
-        raise ValueError(f"append delta lacks columns {missing}")
-    docs = index.docs.unionByName(new_docs.select(*index.docs.columns))
+    old_docs, new_docs = _align_appended_schema(index.docs, new_docs)
+    docs = old_docs.unionByName(new_docs.select(*old_docs.columns))
 
     # dimension merge: old (key → doc_count, enum_rank) ⟗ delta counts
     delta_fv = _facet_dim_counts(new_docs, index.facet_fields)

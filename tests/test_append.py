@@ -292,3 +292,45 @@ def test_append_delta_missing_column_raises_contract_error(spark, corpora):
     bad = delta.drop("role")
     with pytest.raises(ValueError, match=r"append delta lacks columns.*role"):
         eng.append(bad, order_by=["conv_id", "turn_idx"])
+
+
+def test_append_aligns_raw_sidecar_columns(spark):
+    """__raw_ sidecars are per-snapshot: each side carries one only for
+    fields ITS items lossily collapsed. Appending must pad the missing
+    side with NULL, not reject the delta (clean→lossy) and not silently
+    drop the delta's sidecars (lossy→clean) — the appended items keep
+    their ORIGINAL scalars."""
+    from pyspark.sql import functions as SF
+
+    from itemsjs_spark.engine import items_to_df
+
+    cfg = {"aggregations": {"price": {"size": 10}}}
+    lossy = [{"name": "a", "price": 1}, {"name": "b", "price": "7"}]
+    clean = [{"name": "c", "price": 3}, {"name": "d", "price": 4}]
+
+    def delta_df(items, offset):
+        df = items_to_df(spark, items)
+        return df.withColumn(
+            "__input_order", SF.col("__input_order") + SF.lit(offset)
+        )
+
+    # lossy base + clean delta: delta legitimately has no __raw_price
+    eng = itemsjs_spark(spark, list(lossy), cfg)
+    app = eng.append(delta_df(clean, 2), docid_col="__input_order")
+    by_name = {
+        it["name"]: it for it in app.search({"per_page": 10})["data"]["items"]
+    }
+    assert by_name["b"]["price"] == "7" and isinstance(by_name["b"]["price"], str)
+    assert by_name["c"]["price"] == 3
+
+    # clean base + lossy delta: the delta's sidecar must survive the merge
+    eng2 = itemsjs_spark(spark, list(clean), cfg)
+    app2 = eng2.append(delta_df(lossy, 2), docid_col="__input_order")
+    by_name2 = {
+        it["name"]: it for it in app2.search({"per_page": 10})["data"]["items"]
+    }
+    assert by_name2["b"]["price"] == "7" and isinstance(
+        by_name2["b"]["price"], str
+    )
+    assert by_name2["a"]["price"] == 1 and isinstance(by_name2["a"]["price"], int)
+    assert by_name2["c"]["price"] == 3
