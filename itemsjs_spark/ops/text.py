@@ -154,6 +154,82 @@ CHARGRAM_PROFILES = {
 }
 
 
+def learn_chargram_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    grams_per_lang: int = 8,
+    gram_len: int = 4,
+    min_count: int = 2,
+) -> dict:
+    """Learn per-language char-gram profiles from a LABELED sample —
+    the data-derived replacement for the hand-set
+    ``CHARGRAM_PROFILES`` (same output shape; plug straight into
+    ``langid_chargram(profiles=...)``).
+
+    One distributed pass: normalize (lowercase, non-letters → space),
+    explode every ``gram_len``-gram, aggregate (lang, gram) counts
+    map-side-combined, score each gram by in-language purity ×
+    log-frequency, keep the top ``grams_per_lang`` per language (window
+    over the aggregated gram table, partitioned by language — the
+    post-agg table is |distinct grams| sized, and only
+    n_langs × grams_per_lang rows reach the driver). Weights are
+    normalized to max 1.0 and rounded so the learned profile inlines
+    into the same SQL formula text on both engines; grams are
+    restricted to ``[a-z ]`` so the literal is always quote-safe.
+
+    Scoring normalization contract: profiles are learned over
+    lowercased text, so score a lowercased column (or lowercase
+    upstream) for faithful matches — the hand-set defaults have the
+    same caveat for capitalized function words."""
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+    base = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("lang"), norm.alias("t")
+    )
+    grams = base.select(
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(t) - {gram_len - 1},"
+                f" 0)), i -> substring(t, i, {gram_len}))"
+            )
+        ).alias("gram"),
+    ).filter(
+        (F.length("gram") == gram_len) & F.col("gram").rlike("^[a-z ]+$")
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("gram").agg(F.sum("c").alias("ct"))
+    scored = (
+        counts.filter(F.col("c") >= min_count)
+        .join(tot, "gram")
+        .withColumn(
+            "w",
+            (F.col("c") / F.col("ct"))  # purity: share owned by this lang
+            * F.log1p(F.col("c")),      # × in-language evidence
+        )
+    )
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("lang").orderBy(F.col("w").desc(), F.col("gram"))
+    top = (
+        scored.withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") <= grams_per_lang)
+        .select("lang", "gram", "w")
+        .collect()
+    )
+    profiles: dict = {}
+    for r in top:
+        profiles.setdefault(r["lang"], {})[r["gram"]] = float(r["w"])
+    for lang, p in profiles.items():
+        mx = max(p.values()) or 1.0
+        profiles[lang] = {g: round(w / mx, 3) for g, w in p.items()}
+    return profiles
+
+
 def chargram_score_sql(text_ref: str, profile: dict) -> str:
     """Weighted non-overlapping gram-count score as a SQL expression
     valid in BOTH Spark SQL and DuckDB (length/replace arithmetic only)

@@ -284,6 +284,56 @@ def test_langid_chargram_picks_profile_language(spark):
     )
 
 
+def test_learned_chargram_profiles_classify_heldout(spark):
+    """Profiles learned from a labeled sample (one aggregation pass)
+    classify held-out text of the same languages, and the learned
+    grams inline into the identical SQL formula on Spark and DuckDB."""
+    import duckdb
+
+    train = [
+        ("en", "the cat and the dog went to the house of the man and the boy"),
+        ("en", "this is the end of the story and the start of the other one"),
+        ("en", "we are in the garden and the tree is near the gate of it"),
+        ("de", "der hund und die katze sind in der schule und das haus ist alt"),
+        ("de", "die frau und der mann gehen in die stadt und sehen das auto"),
+        ("de", "das kind und der lehrer sind nicht in der klasse und der halle"),
+    ] * 3
+    df = spark.createDataFrame(train, "lang string, text string")
+    profiles = text.learn_chargram_profiles(
+        df, grams_per_lang=6, gram_len=4, min_count=2
+    )
+    assert set(profiles) == {"en", "de"}
+    for p in profiles.values():
+        assert p and all(0 < w <= 1.0 for w in p.values())
+        assert all(set(g) <= set("abcdefghijklmnopqrstuvwxyz ") for g in p)
+
+    held = [
+        (1, "the bird and the fish are in the water near the house"),
+        (2, "der vogel und die fische sind in der stadt und der park"),
+    ]
+    hdf = spark.createDataFrame(held, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in text.langid_chargram(hdf, profiles=profiles).collect()
+    }
+    assert got == {1: "en", 2: "de"}
+
+    # formula portability: DuckDB evaluates the same inlined text to the
+    # same score (6-decimal round happens in both engines identically)
+    srow = (
+        text.langid_chargram(hdf, profiles=profiles)
+        .filter(F.col("doc_id") == 1)
+        .collect()[0]
+    )
+    for lang in profiles:
+        expr = text.chargram_score_sql("t", profiles[lang])
+        dv = duckdb.sql(
+            f"select round(cast({expr} as double), 6) from "
+            f"(select '{held[0][1]}' as t)"
+        ).fetchone()[0]
+        assert srow[f"score_{lang}"] == dv
+
+
 def test_chunk_dedup_removes_corpus_repeated_chunks(spark):
     boiler = "subscribe to our newsletter"  # 4-token chunk planted in 3 docs
     rows = [
