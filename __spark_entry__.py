@@ -322,6 +322,59 @@ def _q_wand_filtered(spark, sf_dir):
     )
 
 
+def _q_search_wand_filtered_page(spark, sf_dir):
+    """The reference's commonest request shape — search({query,
+    filters}) — paged through the FILTERED block-max WAND route (r3):
+    page + scores from WAND with the facet intersection inside each
+    scoring group, total from a mask-only membership pass. Route pinned
+    (ROUTER_FORCE) so the oracle checks the WAND path at every sf."""
+    import dataclasses
+
+    from itemsjs_spark.engine import SearchEngine
+    from itemsjs_spark.engine import facetblocks as fb
+    from itemsjs_spark.engine.blocks import build_posting_blocks
+
+    eng = _doc_engine(spark, sf_dir)
+
+    def build_blocks():
+        eng._ensure_fulltext_materialized()
+        b = build_posting_blocks(
+            eng.index.postings, range_size=64, block_size=32
+        ).persist()
+        b.count()
+        return b
+
+    def build_fblocks():
+        b = fb.build_facet_blocks(eng.index, range_size=64, block_size=32).persist()
+        b.count()
+        return b
+
+    blocks = _cached(("blocks", sf_dir), spark, build_blocks)
+    fblocks = _cached(("fblocks64", sf_dir), spark, build_fblocks)
+
+    def build_eng():
+        return SearchEngine(
+            dataclasses.replace(
+                eng.index, posting_blocks=blocks, facet_posting_blocks=fblocks
+            )
+        )
+
+    weng = _cached(("wand_search_eng", sf_dir), spark, build_eng)
+    weng.ROUTER_FORCE = "blocks"
+    try:
+        res = weng.search(
+            {"query": "spark", "filters": {"lang": ["en"]}, "per_page": 12}
+        )
+    finally:
+        weng.ROUTER_FORCE = None
+    total = int(res["pagination"]["total"])
+    rows = [
+        (i + 1, int(it["doc_id"]), total)
+        for i, it in enumerate(res["data"]["items"])
+    ]
+    return spark.createDataFrame(rows, "pos long, _id long, total long")
+
+
 def _q_ft_blocks_engine(spark, sf_dir):
     """Production path: SearchEngine reconstructed from the CHECKPOINTED
     compressed block store (Index.write_blocks → Index.read); the exact
@@ -903,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "fulltext_wand_filtered": _q_wand_filtered,
+        "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_counts_blocks_path": _q_facet_counts_blocks,
         "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
         "events_facet_counts": _q_events_facets,
@@ -1012,6 +1066,16 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
         f"SELECT _id, score FROM ({_ft_all}) q "
         "JOIN documents d ON d.doc_id = q._id WHERE d.lang = 'en' "
         "ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT 25"
+    )
+    # the search() endpoint routed through filtered WAND: first page in
+    # relevance order + the filtered-hit total on every row
+    sqls["search_wand_filtered_page"] = (
+        f"WITH f AS (SELECT _id, score FROM ({_ft_all}) q "
+        "JOIN documents d ON d.doc_id = q._id WHERE d.lang = 'en') "
+        "SELECT row_number() OVER (ORDER BY score DESC, "
+        "CAST(_id AS VARCHAR) ASC) AS pos, _id, "
+        "(SELECT count(*) FROM f)::BIGINT AS total "
+        "FROM f ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT 12"
     )
     sqls["events_facet_counts"] = """
 WITH k AS (SELECT DISTINCT event_type AS key FROM events),

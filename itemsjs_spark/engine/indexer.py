@@ -95,6 +95,16 @@ def facet_keys_col(df: DataFrame, fld: str):
 DOCID_DISTRIBUTED_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_DOCID_DISTRIBUTED_MIN_BYTES", str(64 << 20))
 )
+# map-only docid fast path: when every group's last-key values are a
+# dense unique integer range (the canonical transcript shape — turn_idx
+# 0..n-1 per conversation) and the group-offset table fits a broadcast,
+# docid = group offset + (last - min) + 1 needs NO corpus shuffle and
+# NO window — the corpus is touched by one broadcast-hash join only.
+# Above this group count the offsets stay too big to ship to every
+# executor and the shuffle+window path runs instead.
+DOCID_BROADCAST_MAX_GROUPS = int(
+    os.environ.get("SPARK_GRAFT_DOCID_BROADCAST_MAX_GROUPS", str(2_000_000))
+)
 
 
 def _estimated_input_bytes(df: DataFrame) -> int:
@@ -159,7 +169,13 @@ def assign_docids(
        two-level scan, so no task ever sees more than |groups|/P rows;
     3. group offset = range base + a per-RANGE window prefix sum
        (partitioned by range id → parallel), then per-row ``row_number``
-       windowed *within* each group (parallel across groups).
+       windowed *within* each group (parallel across groups) — UNLESS
+       every group's last-key values form a dense unique integer range
+       (detected in the same counts aggregate) and the group table fits
+       a broadcast (``DOCID_BROADCAST_MAX_GROUPS``): then the corpus
+       side is ONE broadcast hash join + arithmetic (docid = offset +
+       last − min + 1) with no shuffle, sort, or window at all — the
+       canonical transcript shape (turn_idx 0..n−1 per conversation).
 
     Determinism contract: range boundaries are SAMPLED once by
     ``repartitionByRange``; the ranged group table is persisted and
@@ -184,7 +200,33 @@ def assign_docids(
     # ~2x the factory cost at 60k turns) — with the persist, sampling
     # and the exchange both read the cache, so the corpus is scanned
     # exactly once here
-    counts = df.groupBy(*gkeys).agg(F.count("*").alias("__cnt")).persist()
+    last = keys[-1]
+    last_numeric = len(keys) > 1 and isinstance(
+        df.schema[last].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+    aggs = [F.count("*").alias("__cnt")]
+    if last_numeric:
+        # dense-range detection for the map-only fast path: unique
+        # (count_distinct == count) AND gapless (max-min+1 == count).
+        # The single count_distinct costs one Expand over the SLIM
+        # (gkeys, last) projection — never the full rows.
+        aggs += [
+            F.min(F.col(last)).cast("long").alias("__mn"),
+            (
+                (F.max(F.col(last)) - F.min(F.col(last)) + 1)
+                == F.count("*")
+            ).alias("__gapless"),
+            (F.count_distinct(F.col(last)) == F.count("*")).alias("__uniq"),
+        ]
+    else:
+        # single order key (group == key): dense ⇔ one row per group
+        aggs += [
+            F.lit(0).cast("long").alias("__mn"),
+            (F.count("*") == 1).alias("__gapless"),
+            F.lit(True).alias("__uniq"),
+        ]
+    counts = df.groupBy(*gkeys).agg(*aggs).persist()
     ranged = (
         counts.repartitionByRange(n_part, *[F.col(c) for c in gkeys])
         .sortWithinPartitions(*gkeys)
@@ -192,13 +234,21 @@ def assign_docids(
         .persist()
     )
     # one tiny job: per-range totals (≤ n_part rows), pinning the cache
-    totals = ranged.groupBy("__rid").agg(F.sum("__cnt").alias("__t")).collect()
+    totals = ranged.groupBy("__rid").agg(
+        F.sum("__cnt").alias("__t"),
+        F.count("*").alias("__g"),
+        F.min(F.col("__gapless") & F.col("__uniq")).alias("__dense"),
+    ).collect()
     counts.unpersist()  # folded into the pinned ranged cache now
     base = 0
     bases = []
+    n_groups = 0
+    all_dense = bool(totals)
     for r in sorted(totals, key=lambda r: r["__rid"]):
         bases.append((int(r["__rid"]), base))
         base += int(r["__t"])
+        n_groups += int(r["__g"])
+        all_dense = all_dense and bool(r["__dense"])
     if not bases:
         bases = [(0, 0)]
     base_df = spark.createDataFrame(bases, "__rid int, __base long")
@@ -214,14 +264,42 @@ def assign_docids(
             "__off",
             F.col("__base") + F.coalesce(F.sum("__cnt").over(w_range), F.lit(0)),
         )
-        .select(*gkeys, "__off")
+        .select(*gkeys, "__off", "__mn")
     )
-    wr = Window.partitionBy(*gkeys).orderBy(*[F.col(c) for c in keys])
-    out = (
-        df.join(offs, gkeys)
-        .withColumn(DOCID, (F.col("__off") + F.row_number().over(wr)).cast("long"))
-        .drop("__off")
-    )
+    if all_dense and n_groups <= DOCID_BROADCAST_MAX_GROUPS:
+        # map-only fast path: every group's last-key values are the
+        # dense unique range [mn, mn+cnt) (or the group is a single
+        # row), so docid = off + (last - mn) + 1 — the prefix sum stays
+        # distributed (above), and the CORPUS side is one broadcast
+        # hash join + arithmetic: no shuffle, no sort, no window. This
+        # is the canonical transcript shape (turn_idx 0..n-1 per
+        # conversation); at group counts beyond the broadcast cap the
+        # shuffle+window path below handles it.
+        last_term = (
+            (F.col(last).cast("long") - F.col("__mn"))
+            if last_numeric
+            else F.lit(0).cast("long")
+        )
+        out = (
+            df.join(F.broadcast(offs), gkeys)
+            .withColumn(
+                DOCID, (F.col("__off") + last_term + 1).cast("long")
+            )
+            .drop("__off", "__mn")
+        )
+        # map-only: the output keeps the INPUT's partitioning — callers
+        # that cache it should re-balance coarse scans (build_index does)
+        out._docid_route = "dense-broadcast"
+    else:
+        wr = Window.partitionBy(*gkeys).orderBy(*[F.col(c) for c in keys])
+        out = (
+            df.join(offs.drop("__mn"), gkeys)
+            .withColumn(
+                DOCID, (F.col("__off") + F.row_number().over(wr)).cast("long")
+            )
+            .drop("__off")
+        )
+        out._docid_route = "window"
     # the pinned group table is conversation-count sized (potentially
     # 10^9 rows); callers that materialize the result should release it
     # (build_index does, right after docs.count()). Recompute after
@@ -291,8 +369,16 @@ class Index:
     # -- storage -----------------------------------------------------------
     def write(self, path: str) -> None:
         """Iceberg-layout parquet: postings sorted by term so query-time
-        prefix expansion prunes row groups / files (min-max stats)."""
-        self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        prefix expansion prunes row groups / files (min-max stats); docs
+        range-partitioned + sorted by the external ``id`` when present,
+        so point lookups (``similar``, ``ids``) prune to one file/row
+        group instead of scanning the corpus."""
+        docs_out = self.docs
+        if "id" in docs_out.columns:
+            docs_out = docs_out.repartitionByRange(
+                max(self.spark.sparkContext.defaultParallelism, 1), "id"
+            ).sortWithinPartitions("id")
+        docs_out.write.mode("overwrite").parquet(os.path.join(path, "docs"))
         self.facet_values.write.mode("overwrite").parquet(
             os.path.join(path, "facet_values")
         )
@@ -600,11 +686,13 @@ def build_index(
     facet_fields = [f for f in aggregations.keys() if f in df.columns]
 
     interim: List[DataFrame] = []
+    docid_route = None
     if docid_col:
         docs = df.withColumn(DOCID, F.col(docid_col).cast("long"))
     elif order_by:
         docs = assign_docids(df, order_by)
         interim = getattr(docs, "_interim_caches", [])
+        docid_route = getattr(docs, "_docid_route", None)
     else:
         raise ValueError("need docid_col or order_by for stable _docid")
 
@@ -617,12 +705,20 @@ def build_index(
     # shuffle when the materialized cache is actually too narrow — at
     # real scale the docid join/window already leaves the corpus wide,
     # so this is a no-op there and a cheap fix-up on toy inputs.
+    #
+    # The map-only dense-broadcast docid route keeps the SCAN's
+    # partitioning, so coarse inputs (few fat single-row-group files —
+    # measured 2.4x slower tokenization from 6 real splits on 16 cores)
+    # need a higher floor: demand 2x the core count before trusting the
+    # input layout. A production Iceberg scan yields thousands of
+    # balanced splits and never triggers this.
     n_part = max(spark.sparkContext.defaultParallelism, 1)
+    min_parts = 2 * n_part if docid_route == "dense-broadcast" else n_part
     docs = docs.persist()
     n_docs = docs.count()
     for c in interim:  # docid group table: baked into the docs cache now
         c.unpersist()
-    if docs.rdd.getNumPartitions() < n_part:
+    if docs.rdd.getNumPartitions() < min_parts:
         narrow = docs
         docs = narrow.repartition(n_part, F.col(DOCID)).persist()
         docs.count()

@@ -2148,9 +2148,18 @@ class SearchEngine:
         minimum = options.get("minimum") or 0
         docs = self.index.docs
         key = js_key(id)
-        anchor_rows = (
-            docs.filter(F.col("id").cast("string") == key).limit(1).collect()
-        )
+        # type-native anchor predicate where possible: comparing
+        # cast(id as string) would defeat parquet pushdown/min-max
+        # pruning on a disk-backed corpus (the docs table is written
+        # id-ordered for exactly this point lookup)
+        id_type = docs.schema["id"].dataType if "id" in docs.columns else None
+        if isinstance(
+            id_type, (T.LongType, T.IntegerType, T.ShortType, T.DoubleType)
+        ) and isinstance(id, (int, float)) and not isinstance(id, bool):
+            anchor_pred = F.col("id") == F.lit(id)
+        else:
+            anchor_pred = F.col("id").cast("string") == key
+        anchor_rows = docs.filter(anchor_pred).limit(1).collect()
         if not anchor_rows:
             raise EngineError(f"item with id {id!r} not found")
         anchor = anchor_rows[0]

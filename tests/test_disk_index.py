@@ -324,3 +324,33 @@ def test_facetblock_get_buckets_and_aggregation_match_scan(spark, block_engines)
     b = disk.aggregation(dict(agg_inp))
     assert a["data"]["buckets"] == b["data"]["buckets"]
     assert a["pagination"] == b["pagination"]
+
+
+def test_point_lookup_pushdown_on_id_ordered_docs(spark, tmp_path):
+    """Index.write orders docs by the external id and similar_df's
+    anchor predicate stays type-native, so the point lookup reaches the
+    parquet scan as a pushed filter (row-group pruning at scale, not a
+    corpus scan)."""
+    rows = [(i, f"n{i}", ["a", "b"] if i % 2 else ["a"]) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, name string, tags array<string>")
+    cfg = {"aggregations": {"tags": {"size": 10}}}
+    eng = itemsjs_spark(spark, df, cfg, docid_col="id")
+    path = str(tmp_path / "idx")
+    eng.index.write(path)
+    disk = SearchEngine(Index.read(spark, path))
+
+    plan = (
+        disk.index.docs.filter(F.col("id") == F.lit(42))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "EqualTo(id,42)" in plan, plan
+
+    got = disk.similar(42, {"field": "tags", "minimum": 1})
+    assert got["data"]["items"], got
+    # string-typed external ids still resolve via the JS-coerced compare
+    got2 = disk.similar("42", {"field": "tags", "minimum": 1})
+    assert [i["id"] for i in got2["data"]["items"]] == [
+        i["id"] for i in got["data"]["items"]
+    ]

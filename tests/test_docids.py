@@ -146,3 +146,70 @@ def test_docids_property_random_key_multisets(spark):
         assert ks == sorted(uniq)
 
     check()
+
+
+def test_docids_dense_broadcast_route_matches_window_route(spark):
+    """Dense unique per-group turn ranges take the map-only broadcast
+    route (no corpus shuffle/window); the assignment is identical to
+    the window route, and the executed plan proves the shape."""
+    from itemsjs_spark.engine import indexer
+
+    df = _corpus(spark, 3_000, 4)  # turn_idx 0..3 per group: dense
+    dense = assign_docids(df, ["conv_id", "turn_idx"], distributed=True)
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    # the corpus joins the broadcast offsets; the only window left is
+    # the group-table range prefix sum — no per-row row_number anywhere
+    assert "BroadcastHashJoin" in plan, plan
+    assert "row_number" not in plan, plan
+
+    # gapped turns (0,2,4,...) must fall back to the window route
+    gapped = df.withColumn("turn_idx", F.col("turn_idx") * 2)
+    win = assign_docids(gapped, ["conv_id", "turn_idx"], distributed=True)
+    wplan = win._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in wplan, wplan
+
+    a = sorted(
+        map(tuple, dense.select("conv_id", "turn_idx", DOCID).collect())
+    )
+    # the gapped corpus maps turn t -> 2t; halving recovers comparability
+    b = sorted(
+        (r["conv_id"], r["turn_idx"] // 2, r[DOCID])
+        for r in win.select("conv_id", "turn_idx", DOCID).collect()
+    )
+    assert a == b
+    for d in (dense, win):
+        for c in getattr(d, "_interim_caches", []):
+            c.unpersist()
+
+
+def test_docids_duplicate_last_key_never_takes_dense_route(spark):
+    """Duplicated (group, turn) keys can satisfy gaplessness by count
+    alone; the count_distinct guard must force the window route and
+    keep docids unique."""
+    base = _corpus(spark, 500, 3)
+    dup = base.union(base.limit(200))  # 200 duplicated keys
+    out = assign_docids(dup, ["conv_id", "turn_idx"], distributed=True)
+    n = dup.count()
+    got = out.agg(
+        F.countDistinct(DOCID).alias("d"),
+        F.min(DOCID).alias("lo"),
+        F.max(DOCID).alias("hi"),
+    ).collect()[0]
+    assert (got["d"], got["lo"], got["hi"]) == (n, 1, n)
+    for c in getattr(out, "_interim_caches", []):
+        c.unpersist()
+
+
+def test_docids_dense_route_respects_group_cap(spark, monkeypatch):
+    """Above DOCID_BROADCAST_MAX_GROUPS the dense corpus still goes
+    through the shuffle+window route (offsets too big to broadcast)."""
+    from itemsjs_spark.engine import indexer
+
+    monkeypatch.setattr(indexer, "DOCID_BROADCAST_MAX_GROUPS", 10)
+    df = _corpus(spark, 1_000, 2)
+    out = assign_docids(df, ["conv_id", "turn_idx"], distributed=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan, plan
+    assert out.agg(F.countDistinct(DOCID)).collect()[0][0] == 2_000
+    for c in getattr(out, "_interim_caches", []):
+        c.unpersist()
