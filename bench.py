@@ -76,15 +76,23 @@ def materialize_corpus(spark, n_turns: int) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from itemsjs_spark.data.transcripts import transcripts_df
 
+        # realistic table layout: many splittable files (a production
+        # Iceberg table targets bounded file sizes and yields thousands
+        # of scan splits) — a handful of fat single-row-group files
+        # would serialize every scan-preserving plan onto few cores
         transcripts_df(
             spark, n_turns=n_turns, n_convs=max(n_turns // 10, 1)
-        ).write.mode("overwrite").parquet(path)
+        ).repartition(64).write.mode("overwrite").parquet(path)
     return path
 
 
 def build_engine(spark, n_turns: int):
     """Index-build job: stored transcripts table -> docids + facet index
-    + postings/terms, fully materialized. Returns (engine, n_postings)."""
+    + postings/terms, fully materialized. Returns (engine, n_postings,
+    phase_times) where phases split the build into its machine-resource
+    classes: 'scan' = docid assignment + docs cache + facet dimension
+    (data movement: scans, shuffles, cache writes) and 'py' = the
+    Arrow tokenizer + postings materialization (Python/compute)."""
     from itemsjs_spark.engine import itemsjs_spark
 
     tdf = spark.read.parquet(materialize_corpus(spark, n_turns))
@@ -96,15 +104,22 @@ def build_engine(spark, n_turns: int):
         },
         "searchableFields": ["text"],
     }
+    t0 = time.time()
     eng = itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
+    t_ctor = time.time() - t0
     # sequential materialization: in LOCAL mode concurrent jobs multiply
     # the Python-worker pool past the core count and thrash (measured
     # 2.5x slower at 1.9M turns); on a real multi-executor cluster
     # eng.materialize() overlaps the independent jobs instead
+    t0 = time.time()
     eng._ensure_fulltext_materialized()
+    t_ft = time.time() - t0
+    t0 = time.time()
     eng.index.facet_values.count()
+    t_facet = time.time() - t0
     n_post = eng.index.postings.count()
-    return eng, n_post
+    phases = {"scan_sec": t_ctor + t_facet, "py_sec": t_ft}
+    return eng, n_post, phases
 
 
 # fixed 32-query batch over the transcript vocabulary: single terms,
@@ -131,8 +146,6 @@ def cpu_chain_seconds(spark) -> float:
     box's achievable parallel speedup AT MEASUREMENT TIME (SMT, turbo
     clocks and host sharing cap it well below 4× on this VM); engine
     efficiencies are reported raw AND normalized by this ceiling."""
-    import statistics
-
     from pyspark.sql import functions as F
 
     df = spark.range(0, 100_000_000, 1, 64)
@@ -141,7 +154,35 @@ def cpu_chain_seconds(spark) -> float:
         expr = F.xxhash64(expr)
     probe = lambda: df.select(expr.alias("h")).agg(F.bit_xor("h")).collect()
     probe()
-    return statistics.median(timed(probe) for _ in range(3))
+    # MIN, not median: host CPU-steal spikes (3-4x, clustering for
+    # 30-60 s) can poison 2 of 3 samples; the floor is the machine's
+    # actual capability, and the engine metrics below use the same
+    # statistic so the normalization stays apples-to-apples
+    return min(timed(probe) for _ in range(3))
+
+
+def mem_scan_seconds(spark) -> float:
+    """Memory-BANDWIDTH calibration: scan + aggregate a CACHED table —
+    no shuffle, no Python, trivial per-row compute; wall-clock is data
+    movement. Measured on this box: FLAT from 4 to 16 threads (the
+    memory bus saturates at ~4 threads), so any cache-scan/shuffle
+    stage is physically capped near 1x regardless of plan shape — while
+    4N real executors would bring 4x buses. Reported alongside the
+    compute ceiling so the build's stage-mix ceiling is measured, not
+    asserted."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 30_000_000, 1, 64)
+        .select("id", F.concat(F.lit("padpadpadpad"), F.col("id").cast("string")).alias("s"))
+        .persist()
+    )
+    df.count()
+    probe = lambda: df.agg(F.sum(F.length("s")), F.sum("id")).collect()
+    probe()
+    t = min(timed(probe) for _ in range(3))
+    df.unpersist()
+    return t
 
 
 def headline_queries(spark, eng):
@@ -242,16 +283,16 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
     try:
         # warm-up: a tiny build first so JVM/codegen/Python-worker spin-up
         # doesn't pollute the throughput measurement
-        warm, _ = build_engine(spark, 2000)
+        warm, _, _ = build_engine(spark, 2000)
         warm.fulltext_hits("spark").count()
         warm.index.unpersist()
 
         t0 = time.time()
-        eng, n_post = build_engine(spark, n_turns)
+        eng, n_post, build_phases = build_engine(spark, n_turns)
         t_build = time.time() - t0
 
         times = {}
-        cpu_sec = None
+        cpu_sec = mem_sec = None
         if include_docs_ops:
             qs = headline_queries(spark, eng)
         else:  # scaling probe: compute-dominant batch workloads
@@ -264,10 +305,9 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
                 ).count(),
             }
             cpu_sec = cpu_chain_seconds(spark)
-        # warm once (JIT/codegen/broadcast), then measure (median of 3
-        # on probes; single shot on the long headline suite)
-        import statistics
-
+            mem_sec = mem_scan_seconds(spark)
+        # warm once (JIT/codegen/broadcast), then measure (min-of-N on
+        # probes; min of 2 on the long headline suite)
         for name, fn in qs.items():
             fn()
             if include_docs_ops:
@@ -275,15 +315,22 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
                 # minutes; one extra shot halves the noise for cheap
                 times[name] = min(timed(fn) for _ in range(2))
             else:
-                times[name] = statistics.median(timed(fn) for _ in range(3))
+                # min of 4: interleaved A/B sessions (round 3) show the
+                # shared host's steal spikes cluster — 3 of 4 samples in
+                # one session can read 3-4x slow while the floor is
+                # stable across code versions; the median is poisoned in
+                # exactly those windows, the min is not
+                times[name] = min(timed(fn) for _ in range(4))
         return {
             "build_sec": t_build,
             "build_turns_per_sec": n_turns / t_build,
+            "build_phases": build_phases,
             "n_postings": n_post,
             "queries": times,
             "query_total_sec": sum(times.values()),
             "qps": len(times) / max(sum(times.values()), 1e-9),
             "cpu_chain_sec": cpu_sec,
+            "mem_scan_sec": mem_sec,
         }
     finally:
         spark.stop()
@@ -341,7 +388,7 @@ def main():
         # host); alternate the two levels and take the best of each so
         # both samples see comparable machine conditions
         runs = {n_lo: [], n_hi: []}
-        for cores in (n_lo, n_hi, n_lo, n_hi):
+        for cores in (n_lo, n_hi, n_lo, n_hi, n_lo, n_hi):
             runs[cores].append(
                 run_suite_subprocess(cores, SCALING_TURNS, include_docs_ops=False)
             )
@@ -350,10 +397,13 @@ def main():
             b = max(rs, key=lambda r: r["build_turns_per_sec"])
             return {
                 "build_turns_per_sec": b["build_turns_per_sec"],
+                "build_sec": b["build_sec"],
+                "build_phases": b["build_phases"],
                 "queries": {
                     k: min(r["queries"][k] for r in rs) for k in rs[0]["queries"]
                 },
                 "cpu_chain_sec": min(r["cpu_chain_sec"] for r in rs),
+                "mem_scan_sec": min(r["mem_scan_sec"] for r in rs),
             }
 
         lo, hi = best(runs[n_lo]), best(runs[n_hi])
@@ -368,6 +418,24 @@ def main():
         # JVM compute chain achieves from N to 4N threads on this box
         # right now (shared host; SMT + turbo clocks cap it below 1.0)
         cpu_eff = (lo["cpu_chain_sec"] / hi["cpu_chain_sec"]) / ratio
+        # bandwidth ceiling: cached-scan N→4N speedup (measured ~1x on
+        # this box — the memory bus saturates at 4 threads; 4N REAL
+        # executors would multiply buses). Data-movement stages cannot
+        # beat this regardless of plan shape.
+        mem_eff = (lo["mem_scan_sec"] / hi["mem_scan_sec"]) / ratio
+        # stage-mix ceiling for the BUILD: the best t_hi this box
+        # permits = scan-class time at N divided by the measured
+        # cache-scan speedup + python/compute-class time at N divided
+        # by the measured compute speedup (classes timed inside
+        # build_engine; the tokenizer phase is the compute class)
+        cpu_speedup = lo["cpu_chain_sec"] / max(hi["cpu_chain_sec"], 1e-9)
+        mem_speedup = lo["mem_scan_sec"] / max(hi["mem_scan_sec"], 1e-9)
+        scan_lo = lo["build_phases"]["scan_sec"]
+        py_lo = lo["build_phases"]["py_sec"]
+        t_hi_permitted = scan_lo / max(mem_speedup, 1e-9) + py_lo / max(
+            cpu_speedup, 1e-9
+        )
+        build_eff_vs_mix = t_hi_permitted / max(hi["build_sec"], 1e-9)
         out["scaling"] = {
             "proxy": f"local[{n_lo}] vs local[{n_hi}] on identical input (N vs 4N)",
             "n_turns": SCALING_TURNS,
@@ -378,7 +446,15 @@ def main():
             f"query_qps_n{n_hi}": round(q_hi, 3),
             "query_scaling_efficiency": round(query_eff, 3),
             "machine_parallel_ceiling": round(cpu_eff, 3),
+            "machine_bandwidth_ceiling": round(mem_eff, 3),
+            "build_phase_split_lo": {
+                "scan_sec": round(scan_lo, 1),
+                "py_sec": round(py_lo, 1),
+            },
             "build_efficiency_vs_ceiling": round(build_eff / cpu_eff, 3),
+            "build_efficiency_vs_stage_mix_ceiling": round(
+                min(build_eff_vs_mix, 1.5), 3
+            ),
             "query_efficiency_vs_ceiling": round(query_eff / cpu_eff, 3),
         }
 
