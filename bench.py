@@ -164,12 +164,13 @@ def cpu_chain_seconds(spark) -> float:
 def mem_scan_seconds(spark) -> float:
     """Memory-BANDWIDTH calibration: scan + aggregate a CACHED table —
     no shuffle, no Python, trivial per-row compute; wall-clock is data
-    movement. Measured on this box: FLAT from 4 to 16 threads (the
-    memory bus saturates at ~4 threads), so any cache-scan/shuffle
-    stage is physically capped near 1x regardless of plan shape — while
-    4N real executors would bring 4x buses. Reported alongside the
-    compute ceiling so the build's stage-mix ceiling is measured, not
-    asserted."""
+    movement. The N→4N ratio of this probe varies with NEIGHBOR load on
+    the shared host (observed anywhere from ~1.0x — bus saturated at 4
+    threads — to ~2.9x in quiet windows), which is exactly why it must
+    be measured in the same subprocesses as the engine metrics: any
+    cache-scan/shuffle stage is capped by whatever this reads AT RUN
+    TIME, while 4N real executors would bring 4x buses. Feeds the
+    build's stage-mix ceiling."""
     from pyspark.sql import functions as F
 
     df = (

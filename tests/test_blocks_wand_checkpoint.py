@@ -221,3 +221,28 @@ def test_varint_roundtrip_property():
         assert np.array_equal(out, ids)
 
     check()
+
+
+def test_term_dictionary_cap_falls_back_to_scan_job(spark, tx_engine):
+    """Vocabularies over MAX_DRIVER_TERM_DICT are not pinned on the
+    driver; query analysis falls back to the dictionary-scan job with
+    identical results (scores AND ranks)."""
+    eng = tx_engine
+    cases = ["spark", "shuffle part", "pa"]
+    refs = {q: sorted(map(tuple, eng.fulltext_hits(q).collect())) for q in cases}
+    assert all(refs[q] for q in cases)
+    # fresh engine over the same index, dictionary disabled via the cap
+    from itemsjs_spark.engine import SearchEngine
+
+    scan_eng = SearchEngine(eng.index)
+    scan_eng.MAX_DRIVER_TERM_DICT = 0
+    assert scan_eng._term_dictionary() is None
+    for q in cases:
+        got = sorted(map(tuple, scan_eng.fulltext_hits(q).collect()))
+        assert got == refs[q], q
+    b = sorted(
+        map(tuple, scan_eng.fulltext_hits_batch(["spark", "pa"]).collect())
+    )
+    assert b == sorted(
+        map(tuple, eng.fulltext_hits_batch(["spark", "pa"]).collect())
+    )
