@@ -322,6 +322,30 @@ def _q_wand_filtered(spark, sf_dir):
     )
 
 
+def _q_append_fulltext_topk(spark, sf_dir):
+    """Snapshot append under the DRIVER oracle (O23 incremental path):
+    index the first half of the corpus, append the second half (only
+    the delta is tokenized), and score a query over the MERGED index —
+    must equal the full-corpus BM25 oracle exactly (docids, tf, df and
+    idf all coincide after the append's terms/idf merge)."""
+    def build():
+        docs = _documents(spark, sf_dir)
+        mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        base = docs.filter(F.col("doc_id") <= mid)
+        delta = docs.filter(F.col("doc_id") > mid)
+        eng = itemsjs_spark(spark, base, DOC_CONFIG, docid_col="doc_id")
+        return eng.append(delta, docid_col="doc_id")
+
+    eng = _cached(("append_eng", sf_dir), spark, build)
+    hits = eng.fulltext_hits("spark")
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(50)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 def _q_search_wand_filtered_page(spark, sf_dir):
     """The reference's commonest request shape — search({query,
     filters}) — paged through the FILTERED block-max WAND route (r3):
@@ -955,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_plus_facet": _q_query_plus_filter,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
+        "append_fulltext_topk": _q_append_fulltext_topk,
         "fulltext_wand_filtered": _q_wand_filtered,
         "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_counts_blocks_path": _q_facet_counts_blocks,
@@ -1058,6 +1083,8 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["fulltext_single_term"] = _ft_sql("spark", 50)
     # WAND over compressed blocks must reproduce the exact scorer's top-k
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
+    # half-corpus build + snapshot append == full-corpus scores exactly
+    sqls["append_fulltext_topk"] = _ft_sql("spark", 50)
     # engine rebuilt from the checkpointed block store: same scores
     sqls["fulltext_blocks_engine"] = _ft_sql("fast join", 50)
     # filtered WAND: exact scoring ∩ facet filter, re-ranked top-25
