@@ -690,6 +690,23 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_ops.cluster_pairs(df, pairs, "doc_id")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing ≥5
+    distinct 3-token shingles with a held-out 'benchmark' subset
+    (doc_id % 23 == 0). Skew-safe by construction: the reference gram
+    set is distinct, so the overlap join output is bounded by the
+    corpus gram count."""
+    docs = _documents(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 23 == 0)
+    return dedup_ops.decontaminate(docs, "doc_id", ref, min_hits=5)
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-bigram coverage,
+    duplicate-trigram fraction) — pure JVM aggregates."""
+    return text_ops.repetition_signals(_documents(spark, sf_dir), "doc_id")
+
+
 def _q_simhash(spark, sf_dir):
     return dedup_ops.simhash(_documents(spark, sf_dir), "doc_id", bits=32)
 
@@ -1001,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard_pairs": _q_neardup_pairs,
         "neardup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
+        "decontaminate_vs_holdout": _q_decontaminate,
+        "repetition_signals": _q_repetition_signals,
         "embedding_topk_cosine": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1316,6 +1335,31 @@ WHERE round(list_dot_product(a.emb, b.emb) /
         f"keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= {_JACCARD_MAX_DF}), "
         f"e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN keep USING (g))"
     )
+    sqls["decontaminate_vs_holdout"] = f"""
+WITH e0 AS (SELECT DISTINCT doc_id, g FROM ({_SHINGLES_SQL})),
+ref AS (SELECT DISTINCT g FROM e0 WHERE doc_id % 23 = 0),
+hits AS (SELECT e0.doc_id, count(*) AS n_overlap
+         FROM e0 JOIN ref USING (g) GROUP BY e0.doc_id)
+SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(h.n_overlap, 0) >= 5 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+    sqls["repetition_signals"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bi AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(l), 1)),
+        i -> l[i] || ' ' || l[i+1])) AS g FROM toks WHERE len(l) >= 2),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bia AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+        FROM bic GROUP BY doc_id),
+tri AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+        FROM toks WHERE len(l) >= 3),
+tra AS (SELECT doc_id, round(1 - count(DISTINCT g)::DOUBLE / count(*), 6)
+        AS dup_trigram_frac FROM tri GROUP BY doc_id)
+SELECT d.doc_id, coalesce(bia.top_bigram_frac, 0) AS top_bigram_frac,
+       coalesce(tra.dup_trigram_frac, 0) AS dup_trigram_frac
+FROM documents d LEFT JOIN bia USING (doc_id) LEFT JOIN tra USING (doc_id)
+"""
     sqls["neardup_jaccard_pairs"] = f"""
 {_capped_e},
 card AS (SELECT doc_id, count(*) AS c FROM e GROUP BY doc_id),

@@ -279,3 +279,49 @@ def simhash(
     for j in range(bits):
         sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return g.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    ref_text_col: Optional[str] = None,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of DISTINCT
+    ``n``-token shingles shared with a reference set (the test/benchmark
+    documents a training corpus must not leak), plus the resulting
+    ``contaminated`` flag (``n_overlap >= min_hits``).
+
+    Plan: both sides explode to distinct (id, gram) / (gram) rows; the
+    overlap is ONE equi-join on the gram. The join is inherently
+    skew-safe — the reference gram set is distinct, so every corpus
+    (doc, gram) row matches at most one reference row and the join
+    output is bounded by the corpus gram count; no df-cut is needed
+    (unlike the pair join in ``jaccard_pairs``). The reference side is
+    benchmark-sized and broadcasts under AQE when small. Documents with
+    no overlap keep n_overlap = 0 (left join back to the id universe).
+    """
+    ref_grams = (
+        ref_df.select(
+            F.explode(shingles(ref_text_col or text_col, n)).alias("g")
+        ).distinct()
+    )
+    e = df.select(
+        id_col, F.explode(shingles(text_col, n)).alias("g")
+    ).distinct()
+    hits = (
+        e.join(ref_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn(
+            "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+        )
+        .withColumn("contaminated", F.col("n_overlap") >= F.lit(min_hits))
+    )

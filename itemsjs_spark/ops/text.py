@@ -372,3 +372,60 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataF
         f"i -> md5(substring({text_col}, i, {window}))))"
     )
     return df.withColumn("fingerprint", fp)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 quality filters, re-expressed relationally):
+
+    * ``top_bigram_frac`` — fraction of all token bigrams covered by the
+      single most frequent bigram (boilerplate/chant detector);
+    * ``dup_trigram_frac`` — fraction of token trigrams that are repeats
+      of an earlier trigram in the same document (1 − distinct/total).
+
+    One explode + two-level aggregate per signal, all JVM expressions;
+    rounded to 6 decimals so an independent SQL engine reproduces the
+    values exactly. Documents too short for a bigram/trigram report 0.
+    """
+
+    def grams(n: int):
+        return F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+            "ELSE array() END"
+        )
+
+    bi = (
+        df.select(id_col, F.explode(grams(2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+        )
+    )
+    tri = (
+        df.select(id_col, F.explode(grams(3)).alias("g"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                1 - F.count_distinct("g") / F.count("*"), 6
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)),
+        )
+    )

@@ -393,3 +393,50 @@ def test_cosine_neardup_pairs_and_cell_cap(spark):
     assert all(a < 100 and b < 100 for a, b in got)
     uncapped = embeddings.cosine_neardup_pairs(big, threshold=0.95)
     assert uncapped.count() > 30 * 29 / 4  # the quadratic mass the cap removes
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from itemsjs_spark.ops import dedup
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),  # copy
+            (2, "a wholly different sentence with no shared trigrams at all"),
+            (3, "he said the quick brown fox is fast"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in dedup.decontaminate(corpus, "doc_id", ref, min_hits=3).collect()
+    }
+    assert got[1][1] is True and got[1][0] == 8  # 10 tokens -> 8 trigrams
+    assert got[2] == (0, False)
+    assert got[3][0] == 2 and got[3][1] is False  # 2 shared < min_hits 3
+
+
+def test_repetition_signals_planted(spark):
+    from itemsjs_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),     # bigrams repeat heavily
+            (2, "one two three four five six"),    # all distinct
+            (3, "solo"),                           # too short for bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in t.repetition_signals(df, "doc_id").collect()
+    }
+    # 5 bigrams: "spam ham" x3, "ham spam" x2 -> top 3/5
+    assert got[1][0] == 0.6
+    # 4 trigrams: "spam ham spam" x2, "ham spam ham" x2 -> 1 - 2/4
+    assert got[1][1] == 0.5
+    assert got[2] == (pytest.approx(0.2), 0.0)  # all-unique: top 1/5, no dups
+    assert got[3] == (0.0, 0.0)
