@@ -690,6 +690,21 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_ops.cluster_pairs(df, pairs, "doc_id")
 
 
+_MIX_TARGET = {"src0": 0.6, "src1": 0.25, "src2": 0.15}
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling: deterministic downsample-only rates
+    that reshape the corpus toward a target source mix (the pretraining
+    data-mix operation); membership is the portable md5-prefix hash
+    fraction, so the oracle reproduces the kept set bit-for-bit."""
+    from itemsjs_spark.ops import sampling as sampling_ops
+
+    return sampling_ops.mixture_sample(
+        _documents(spark, sf_dir), "doc_id", "source", _MIX_TARGET
+    ).select("doc_id", "source")
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing ≥5
     distinct 3-token shingles with a held-out 'benchmark' subset
@@ -1019,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "decontaminate_vs_holdout": _q_decontaminate,
+        "domain_mixture_sample": _q_mixture_sample,
         "repetition_signals": _q_repetition_signals,
         "embedding_topk_cosine": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1282,6 +1298,25 @@ SELECT query_id, neighbor_id, cosine FROM (
     sqls["deterministic_split"] = (
         f"SELECT doc_id, {_case} AS split FROM documents"
     )
+
+    # domain mixture: same rate formula text as ops.sampling
+    # (t / (n_g / n), scaled so the most over-demanded source keeps all)
+    _mix_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in _MIX_TARGET.items())
+        + " ELSE 0.0 END"
+    )
+    sqls["domain_mixture_sample"] = f"""
+WITH obs AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+tot AS (SELECT sum(n_g)::DOUBLE AS n FROM obs),
+sc AS (SELECT source, ({_mix_case}) / (n_g / n) AS demand FROM obs, tot),
+pk AS (SELECT max(demand) AS peak FROM sc),
+rates AS (SELECT source, round(least(1.0, demand / peak), 6) AS keep_rate
+          FROM sc, pk)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE {_frac} < keep_rate
+"""
 
     _md5_shard = "md5('0#' || doc_id::VARCHAR)"
     _shard = f"({_hex8_int(_md5_shard)} % 8)"

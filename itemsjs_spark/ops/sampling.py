@@ -142,3 +142,60 @@ def pack_sequences(
         return pdf
 
     return out.groupBy("shard").applyInPandas(assign, schema=schema)
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str, target: Dict[str, float]
+) -> DataFrame:
+    """Per-group keep-rates that reshape the corpus toward a TARGET
+    domain mixture by downsampling only (never upsampling — rates are
+    capped at 1, the standard pretraining-mix practice).
+
+    rate_g = min(1, (target_g / max_over_h(target_h / observed_h)) ×
+    N / n_g): the scaling constant is chosen so the most over-demanded
+    group keeps everything and every other group is downsampled to the
+    exact target proportions RELATIVE to it. Groups absent from
+    ``target`` get rate 0. One aggregate over the group column; the
+    group table is dimension-sized."""
+    tgt = F.create_map(
+        *[x for k, v in target.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    obs = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    tot = obs.agg(F.sum("n_g").cast("double").alias("__n"))
+    scored = (
+        obs.crossJoin(F.broadcast(tot))
+        .withColumn("__t", F.coalesce(tgt[F.col(group_col)], F.lit(0.0)))
+        .withColumn("__demand", F.col("__t") / (F.col("n_g") / F.col("__n")))
+    )
+    peak = scored.agg(F.max("__demand").alias("__peak"))
+    return (
+        scored.crossJoin(F.broadcast(peak))
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(F.lit(1.0), F.col("__demand") / F.col("__peak")),
+                6,
+            ),
+        )
+        .select(group_col, F.col("n_g").cast("long").alias("n_g"), "keep_rate")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target: Dict[str, float],
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministically downsample ``df`` to the ``target`` mixture:
+    join the dimension-sized ``mixture_weights`` table (broadcast) and
+    keep rows whose hash fraction falls under their group's rate —
+    membership is a pure function of (seed, id, group rates), so any
+    engine reproduces it bit-for-bit."""
+    rates = mixture_weights(df, group_col, target)
+    return (
+        df.join(F.broadcast(rates.select(group_col, "keep_rate")), group_col)
+        .filter(hash_fraction(F.col(id_col), seed) < F.col("keep_rate"))
+        .drop("keep_rate")
+    )

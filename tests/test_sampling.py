@@ -94,3 +94,42 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
         ).collect()
     )
     assert packed == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_mixture_weights_and_sample(spark):
+    """Downsample-only rates hit the target mix: the most over-demanded
+    group keeps everything; realized proportions approach the target."""
+    import pytest
+
+    from itemsjs_spark.ops import sampling as s
+    from pyspark.sql import functions as F
+
+    # observed mix: a=70%, b=20%, c=10%; target: a=25%, b=25%, c=50%
+    rows = (
+        [(i, "a") for i in range(700)]
+        + [(700 + i, "b") for i in range(200)]
+        + [(900 + i, "c") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    target = {"a": 0.25, "b": 0.25, "c": 0.5}
+    rates = {
+        r["grp"]: r["keep_rate"]
+        for r in s.mixture_weights(df, "grp", target).collect()
+    }
+    # c is the most over-demanded (0.5 target vs 0.1 observed): keeps all
+    assert rates["c"] == 1.0
+    # relative rates follow target/observed ratios exactly
+    assert rates["a"] == pytest.approx((0.25 / 0.7) / (0.5 / 0.1), abs=1e-6)
+    assert rates["b"] == pytest.approx((0.25 / 0.2) / (0.5 / 0.1), abs=1e-6)
+
+    kept = s.mixture_sample(df, "doc_id", "grp", target)
+    mix = {r["grp"]: r["cnt"] for r in kept.groupBy("grp").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert mix["c"] == 100  # rate-1 group fully kept
+    # realized counts within sampling noise of the target ratios
+    assert abs(mix["a"] - 50) <= 25 and abs(mix["b"] - 50) <= 25
+
+    # group absent from the target is dropped entirely
+    df2 = df.union(spark.createDataFrame([(2000, "z")], "doc_id long, grp string"))
+    kept2 = s.mixture_sample(df2, "doc_id", "grp", target)
+    assert kept2.filter(F.col("grp") == "z").count() == 0
