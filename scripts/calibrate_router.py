@@ -51,7 +51,7 @@ def main():
     sizes = (60_000, 600_000)
     per_size = {}
     for n_turns in sizes:
-        eng, _ = bench.build_engine(spark, n_turns)
+        eng, _, _ = bench.build_engine(spark, n_turns)
         fblocks = build_facet_blocks(eng.index).persist()
         fblocks.count()
         engb = SearchEngine(
