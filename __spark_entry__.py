@@ -1311,8 +1311,10 @@ WITH obs AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
 tot AS (SELECT sum(n_g)::DOUBLE AS n FROM obs),
 sc AS (SELECT source, ({_mix_case}) / (n_g / n) AS demand FROM obs, tot),
 pk AS (SELECT max(demand) AS peak FROM sc),
-rates AS (SELECT source, round(least(1.0, demand / peak), 6) AS keep_rate
-          FROM sc, pk)
+rates AS (SELECT source,
+          CASE WHEN peak > 0
+               THEN round(least(1.0, demand / peak), 6) ELSE 0.0 END
+          AS keep_rate FROM sc, pk)
 SELECT d.doc_id, d.source
 FROM documents d JOIN rates USING (source)
 WHERE {_frac} < keep_rate

@@ -248,6 +248,12 @@ def append_blocks_checkpointed(
     multiple blocks per (term, range)."""
     spark = delta_postings.sparkSession
     fs = _HadoopFS(spark, out_path)
+    # appends are WRITERS: restore bucket liveness from any crashed
+    # compaction first, so a delta is never written into a bucket dir
+    # that a mid-swap crash left missing (which would create a dir
+    # holding ONLY the delta and strand the main postings in staging)
+    if fs.exists(posixpath.join(out_path, "_compacting")):
+        _recover_compaction_fs(fs, out_path, writer=True)
     fp = input_fingerprint(delta_postings)
     manifest_name = f"_manifest.{snapshot}.json"
 
@@ -346,18 +352,16 @@ def compact_blocks(
 
     fs = _HadoopFS(spark, out_path)
     staging_root = posixpath.join(out_path, "_compacting")
-    # finish/roll back any prior in-progress swap before starting
-    recovered = _recover_compaction_fs(fs, out_path)
+    # writer-side recovery: restore liveness, then DISCARD any prior
+    # crash's staging leftovers — the live dirs are authoritative (they
+    # may hold snap-* deltas appended after the crash), so every bucket
+    # below recompacts from current live state; nothing stale is adopted
+    _recover_compaction_fs(fs, out_path, writer=True)
 
     report: List[dict] = []
     for b in range(n_buckets):
         bdir = _bucket_dir(out_path, b)
         tmp = posixpath.join(staging_root, f"bucket={b}")
-        if b in recovered:  # adopted a completed swap from a prior crash
-            m = _read_manifest(fs, out_path, b)
-            if m:
-                report.append(m)
-            continue
         if not fs.exists(bdir):
             continue
         t0 = time.time()
@@ -410,28 +414,43 @@ def compact_blocks(
 
 
 def recover_compaction(spark: SparkSession, out_path: str) -> List[int]:
-    """Finish (or roll back) a compaction swap that died mid-flight, so
-    a block store is NEVER read minus a bucket's postings. Returns the
-    bucket ids whose completed swaps were adopted.
+    """WRITER-side recovery of a compaction that died mid-flight (run by
+    maintenance jobs — ``compact_blocks`` / ``append_blocks_checkpointed``
+    — under the store's single-writer assumption). Returns the bucket
+    ids whose liveness had to be restored.
 
-    State machine per staged bucket (``_compacting/bucket=N[.old]``):
+    Per staged bucket (``_compacting/bucket=N[.old]``):
 
-    * staging manifest present → the re-encode COMPLETED; the swap may
-      have died anywhere after — adopt staging (drop whichever of the
-      live dir / set-aside dir still exists, promote staging).
-    * staging without manifest → partial encode; the live dir is intact
-      (it is only renamed aside AFTER the manifest lands) — drop staging.
-    * only a set-aside ``.old`` dir → the promote completed; drop it —
-      unless the live dir is somehow missing, then restore from it.
+    * live dir MISSING → the crash hit between the two swap renames;
+      restore liveness by promoting staging (its manifest is the
+      completion marker) or, defensively, the set-aside ``.old`` copy.
+    * live dir present → it is authoritative: it may contain ``snap-*``
+      deltas appended AFTER the crashed compaction, so a stale staging
+      dir must never replace it. ALL leftovers (partial or completed
+      staging, set-aside copies) are discarded; the caller recompacts
+      from the live state if it wants the fold.
     """
-    return _recover_compaction_fs(_HadoopFS(spark, out_path), out_path)
+    return _recover_compaction_fs(
+        _HadoopFS(spark, out_path), out_path, writer=True
+    )
 
 
-def _recover_compaction_fs(fs: _HadoopFS, out_path: str) -> List[int]:
+def _recover_compaction_fs(
+    fs: _HadoopFS, out_path: str, writer: bool
+) -> List[int]:
+    """Shared recovery walk. ``writer=False`` is the READ-time mode: it
+    only restores liveness (promote-style renames when the live dir is
+    missing) and NEVER deletes anything — a reader racing a live
+    compaction writer must not be able to destroy the bucket the writer
+    is just promoting (each rename here is benign if it loses the race:
+    Hadoop rename onto an existing destination returns false and the
+    writer's freshly promoted live dir wins). Leftover staging dirs are
+    garbage-collected by the next WRITER, whose single-writer contract
+    makes deletion safe."""
     staging_root = posixpath.join(out_path, "_compacting")
     if not fs.exists(staging_root):
         return []
-    adopted: List[int] = []
+    restored: List[int] = []
     for name in fs.list_dirs(staging_root):
         base = name.removesuffix(".old")
         if not base.startswith("bucket="):
@@ -443,31 +462,36 @@ def _recover_compaction_fs(fs: _HadoopFS, out_path: str) -> List[int]:
         bdir = _bucket_dir(out_path, b)
         tmp = posixpath.join(staging_root, f"bucket={b}")
         old = tmp + ".old"
-        if fs.exists(posixpath.join(tmp, MANIFEST)):
-            fs.delete(bdir)
-            fs._fs.rename(fs._path(tmp), fs._path(bdir))
-            fs.delete(old)
-            adopted.append(b)
-        elif name.endswith(".old"):
-            if fs.exists(bdir):
-                fs.delete(old)
-            else:  # defensive: promote never ran — roll back
+        if not fs.exists(bdir):
+            # crash (or a live writer) between the swap renames: restore
+            # liveness from the completed staging, else the set-aside copy
+            if fs.exists(posixpath.join(tmp, MANIFEST)):
+                fs._fs.rename(fs._path(tmp), fs._path(bdir))
+                restored.append(b)
+            elif name.endswith(".old") and fs.exists(old):
                 fs._fs.rename(fs._path(old), fs._path(bdir))
-        else:
-            fs.delete(tmp)  # partial encode; live dir is intact
-    if not fs.list_dirs(staging_root):
+                restored.append(b)
+        if writer and fs.exists(bdir):
+            # live dir is authoritative (it may hold post-crash snap-*
+            # deltas); stale staging must never replace it
+            fs.delete(tmp)
+            fs.delete(old)
+    if writer and not fs.list_dirs(staging_root):
         fs.delete(staging_root)
-    return adopted
+    return restored
 
 
 def read_blocks(spark: SparkSession, out_path: str) -> DataFrame:
-    # a store with an in-progress compaction swap is completed/rolled
-    # back BEFORE the glob below binds, so a crash mid-swap can never
-    # serve the store minus a bucket's postings (one exists() probe on
-    # the common path)
+    # a store with an in-progress compaction swap has its bucket
+    # liveness restored BEFORE the glob below binds, so a crash mid-swap
+    # can never serve the store minus a bucket's postings (one exists()
+    # probe on the common path). Read-time recovery is PROMOTE-ONLY
+    # (writer=False): it never deletes, so a reader racing a live
+    # compaction writer cannot destroy the bucket the writer is
+    # promoting; staging leftovers are cleaned by the next writer.
     fs = _HadoopFS(spark, out_path)
     if fs.exists(posixpath.join(out_path, "_compacting")):
-        _recover_compaction_fs(fs, out_path)
+        _recover_compaction_fs(fs, out_path, writer=False)
     return spark.read.option("basePath", out_path).parquet(
         posixpath.join(out_path, "bucket=*")
     )

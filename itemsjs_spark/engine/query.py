@@ -384,13 +384,24 @@ class SearchEngine:
         terms, idfs = d
         idf_map: Dict[str, float] = {}
         by_token: Dict[str, List[str]] = {}
+        cap = self.MAX_DRIVER_EXPANSION
         for tok in distinct_tokens:
             lo = bisect.bisect_left(terms, tok)
-            hi = bisect.bisect_left(terms, tok + "\U0010ffff")
+            # exact prefix range: walk to the first non-prefix term (a
+            # sentinel like tok+MAXCHAR can exclude terms that CONTAIN
+            # the max codepoint right after the prefix — scan-path
+            # startswith semantics must hold bit-for-bit). The walk is
+            # bounded by the expansion cap, which also bounds its cost.
+            hi = lo
+            n = len(terms)
+            while hi < n and terms[hi].startswith(tok):
+                hi += 1
+                if hi - lo > cap:
+                    raise _ExpansionTooLarge(" ".join(distinct_tokens))
             by_token[tok] = terms[lo:hi]
             for i in range(lo, hi):
                 idf_map[terms[i]] = idfs[i]
-            if len(idf_map) > self.MAX_DRIVER_EXPANSION:
+            if len(idf_map) > cap:
                 raise _ExpansionTooLarge(" ".join(distinct_tokens))
         return idf_map, by_token
 

@@ -68,9 +68,13 @@ def train_bpe_distributed(
     Spark job (pair-count + deterministic top-1), so nothing larger
     than a single (pair, count) row ever reaches the driver.
 
-    Identical output to ``train_bpe`` on the same corpus (equality
+    Identical output to ``train_bpe`` on the same WORD TABLE (equality
     tested): same pair counting, same max-count / lexicographically
-    smallest tie-break, same left-to-right non-overlapping merge. Cost
+    smallest tie-break, same left-to-right non-overlapping merge. Note
+    the DEFAULT truncations differ deliberately — ``train_bpe`` caps at
+    its driver-memory bound (max_words=1M) while this trainer defaults
+    to the UNtruncated vocabulary (its reason to exist); pass the same
+    ``max_words`` to both for byte-identical merges on huge corpora. Cost
     model: ``n_merges`` jobs, each exploding one adjacent pair per
     symbol — O(total symbols) rows per round with map-side partial
     aggregation; the symbolized vocab is re-persisted per round and

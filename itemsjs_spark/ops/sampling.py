@@ -172,10 +172,12 @@ def mixture_weights(
         scored.crossJoin(F.broadcast(peak))
         .withColumn(
             "keep_rate",
-            F.round(
-                F.least(F.lit(1.0), F.col("__demand") / F.col("__peak")),
-                6,
-            ),
+            # peak == 0 ⇔ no observed group appears in the target: every
+            # rate is 0 (an unguarded __demand/__peak would throw
+            # DIVIDE_BY_ZERO under Spark's ANSI default here)
+            F.when(F.col("__peak") > 0, F.round(
+                F.least(F.lit(1.0), F.col("__demand") / F.col("__peak")), 6
+            )).otherwise(F.lit(0.0)),
         )
         .select(group_col, F.col("n_g").cast("long").alias("n_g"), "keep_rate")
     )

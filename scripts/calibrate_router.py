@@ -2,8 +2,13 @@
 
 The router (SearchEngine._route_block_cost) predicts, in seconds:
 
-    t_scan  = SCAN_JOBS * j + n_docs / r_scan
-    t_block = (n_filtered_fields + 2) * j + est / r_block
+    t_scan  = 2 * j + n_docs / r_scan
+    t_block = (n_filtered_fields + 5) * j + est / r_block
+
+(the block path's measured fixed cost is ~6 actions for one filtered
+field — docid-set derivation, final count, one count pass per filtered
+field, page — hence the +5; keep this formula in sync with
+_route_block_cost when recalibrating)
 
 where ``est`` = sum of the filter values' global doc counts, ``j`` is
 the fixed cost of one Spark action (driver + scheduler + stage launch),

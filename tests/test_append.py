@@ -250,37 +250,116 @@ def test_compaction_crash_windows_recovered_at_read(spark, corpora, tmp_path):
     fs = _HadoopFS(spark, out)
     staging = posixpath.join(out, "_compacting")
 
-    def assert_recovered():
+    from itemsjs_spark.engine.checkpoint import recover_compaction
+
+    def assert_readable():
+        """Read-time contract: the store is COMPLETE (promote-only
+        liveness restore; readers never delete anything)."""
         got = sorted(
             map(tuple, postings_from_blocks(read_blocks(spark, out)).collect())
         )
         assert got == expect
+
+    def assert_writer_cleans():
+        """Writer-side contract: recovery also clears staging leftovers."""
+        recover_compaction(spark, out)
+        assert_readable()
         assert not fs.exists(staging)
 
     # window 1 — the old code's fatal window: live dir gone, completed
-    # staging (with manifest) not yet promoted. Old readers would have
-    # silently served the store minus bucket 0's postings.
+    # staging (with manifest) not yet promoted. Readers promote it.
     fs.mkdirs(staging)
     fs._fs.rename(
         fs._path(f"{out}/bucket=0"), fs._path(f"{staging}/bucket=0")
     )
-    assert_recovered()
+    assert_readable()
+    assert_writer_cleans()
 
     # window 2 — crash mid-encode: staging exists WITHOUT a manifest;
-    # the live dir is intact (it is only set aside after the manifest
-    # lands). Recovery drops the partial encode.
+    # the live dir is intact. Readers serve the live store untouched;
+    # the next WRITER drops the partial encode.
     fs.write_text(posixpath.join(staging, "bucket=1", "part-junk.txt"), "x")
-    assert_recovered()
+    assert_readable()
+    assert fs.exists(posixpath.join(staging, "bucket=1"))  # reader left it
+    assert_writer_cleans()
 
     # window 3 — crash between promote and cleanup: a set-aside .old
-    # dir remains next to a healthy live dir. And the defensive inverse:
-    # live dir missing with only .old present rolls back from it.
+    # dir remains next to a healthy live dir (writer cleans it). And
+    # the defensive inverse: live dir missing with only .old present —
+    # readers roll back from it.
     fs.write_text(posixpath.join(staging, "bucket=1.old", "stale.txt"), "x")
-    assert_recovered()
+    assert_readable()
+    assert_writer_cleans()
+    fs.mkdirs(staging)
     fs._fs.rename(
         fs._path(f"{out}/bucket=1"), fs._path(f"{staging}/bucket=1.old")
     )
-    assert_recovered()
+    assert_readable()
+    assert_writer_cleans()
+
+
+def test_stale_staging_never_clobbers_post_crash_appends(spark, corpora, tmp_path):
+    """A compaction that crashed AFTER writing its completed staging but
+    BEFORE the swap must not be adopted later: the live bucket may have
+    received snap-* deltas since, and adopting the stale staging would
+    silently delete them (round-3 review finding). Writers discard the
+    stale staging and recompact from live state instead."""
+    import posixpath
+
+    from itemsjs_spark.engine.blocks import postings_from_blocks
+    from itemsjs_spark.engine.checkpoint import (
+        _HadoopFS,
+        compact_blocks,
+        read_blocks,
+    )
+
+    base, delta = corpora
+    out = str(tmp_path / "blocks")
+    eng = itemsjs_spark(spark, base, CFG, order_by=["conv_id", "turn_idx"])
+    eng._ensure_fulltext_materialized()
+    build_blocks_checkpointed(
+        eng.index.postings, out, n_buckets=2, range_size=512, block_size=64
+    )
+    fs = _HadoopFS(spark, out)
+    staging = posixpath.join(out, "_compacting")
+
+    # simulate: compaction staged a COMPLETED copy of bucket 0 (manifest
+    # included) and crashed before the swap — live dirs untouched
+    import subprocess
+
+    fs.mkdirs(staging)
+    subprocess.run(
+        ["cp", "-r", f"{out}/bucket=0", f"{staging}/bucket=0"], check=True
+    )
+
+    # post-crash life goes on: a snapshot APPEND lands in the live store
+    delta_eng = itemsjs_spark(spark, delta, CFG, order_by=["conv_id", "turn_idx"])
+    delta_eng._ensure_fulltext_materialized()
+    from itemsjs_spark.engine.checkpoint import append_blocks_checkpointed
+
+    append_blocks_checkpointed(
+        delta_eng.index.postings.withColumn(
+            "_docid", F.col("_docid") + F.lit(1500)
+        ),
+        out,
+        snapshot="e1",
+        n_buckets=2,
+        range_size=512,
+        block_size=64,
+    )
+    expect = sorted(
+        map(tuple, postings_from_blocks(read_blocks(spark, out)).collect())
+    )
+    assert len(expect) > 0
+
+    # the next compaction must NOT adopt the stale staging (which lacks
+    # the appended snapshot) — postings must be unchanged after it
+    compact_blocks(spark, out, n_buckets=2, range_size=512, block_size=64)
+    got = sorted(
+        map(tuple, postings_from_blocks(read_blocks(spark, out)).collect())
+    )
+    assert got == expect
+    assert not fs.exists(staging)
 
 
 def test_append_delta_missing_column_raises_contract_error(spark, corpora):
