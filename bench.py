@@ -309,20 +309,22 @@ def run_suite(cores: int, n_turns: int, include_docs_ops: bool):
             mem_sec = mem_scan_seconds(spark)
         # warm once (JIT/codegen/broadcast), then measure (min-of-N on
         # probes; min of 2 on the long headline suite)
+        samples = {}
         for name, fn in qs.items():
             fn()
-            if include_docs_ops:
-                # min of 2: the shared host's speed drifts ~2x across
-                # minutes; one extra shot halves the noise for cheap
-                times[name] = min(timed(fn) for _ in range(2))
-            else:
-                # min of 4: interleaved A/B sessions (round 3) show the
-                # shared host's steal spikes cluster — 3 of 4 samples in
-                # one session can read 3-4x slow while the floor is
-                # stable across code versions; the median is poisoned in
-                # exactly those windows, the min is not
-                times[name] = min(timed(fn) for _ in range(4))
+            # uniform min of 4 everywhere (r3 verdict): interleaved A/B
+            # sessions show the shared host's steal spikes cluster — 3 of
+            # 4 samples in one session can read 3-4x slow while the floor
+            # is stable across code versions; the median is poisoned in
+            # exactly those windows, the min is not. All samples are
+            # recorded so a future regression reading can be attributed
+            # (noise spike vs floor shift) from the artifact alone.
+            samples[name] = [timed(fn) for _ in range(4)]
+            times[name] = min(samples[name])
         return {
+            "query_samples": {
+                k: [round(x, 3) for x in v] for k, v in samples.items()
+            },
             "build_sec": t_build,
             "build_turns_per_sec": n_turns / t_build,
             "build_phases": build_phases,
@@ -371,6 +373,7 @@ def main():
         "value": round(main_run["query_total_sec"], 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in main_run["queries"].items()},
+        "query_samples": main_run.get("query_samples", {}),
         "sf": sf,
         "n_turns": N_TURNS,
         "cores_env": CPUS,

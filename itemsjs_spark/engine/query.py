@@ -101,6 +101,11 @@ class SearchEngine:
     # scoring projection (no per-query BroadcastExchange); larger prefix
     # expansions fall back to a broadcast join
     MAX_MAP_LITERAL_TERMS = 256
+    # score aggregation pivots per-doc contributions onto sorted-term-rank
+    # columns (one conditional sum each, folded in rank order — no struct
+    # array, no term strings in the shuffle) up to this many ranks; wider
+    # expansions keep the sorted-struct-array fold (same reduction order)
+    WIDE_SUM_MAX_TERMS = 64
     # prefix expansions beyond this never reach the driver: fulltext_hits
     # switches to the fully distributed expansion (a 1-char query against
     # a 10^12-turn vocabulary would otherwise collect millions of rows)
@@ -357,13 +362,16 @@ class SearchEngine:
         if idx.terms is None:
             return None
         self._ensure_fulltext_materialized()
-        over = (
-            idx.terms.limit(self.MAX_DRIVER_TERM_DICT + 1).count()
-            > self.MAX_DRIVER_TERM_DICT
+        # ONE bounded job: collect cap+1 rows via Arrow and decide
+        # over/under from the row count (a separate limit().count() probe
+        # would scan the terms table twice).
+        pdf = (
+            idx.terms.select("term", "idf")
+            .limit(self.MAX_DRIVER_TERM_DICT + 1)
+            .toPandas()
         )
-        if over:
+        if len(pdf) > self.MAX_DRIVER_TERM_DICT:
             return None
-        pdf = idx.terms.select("term", "idf").toPandas()
         pdf = pdf.sort_values("term", kind="mergesort")  # Python ordering
         self._term_dict_data = (pdf["term"].tolist(), pdf["idf"].tolist())
         return self._term_dict_data
@@ -661,10 +669,69 @@ class SearchEngine:
                 )
         if not rows:
             return empty
+        all_terms = sorted({r[1] for r in rows})
+
+        # per-query sorted-term rank: the deterministic reduction order.
+        # Wide path (the common case): pivot each (qid, doc) group's
+        # contributions onto rank columns with one conditional sum per
+        # rank — (term, _docid) is unique in postings, so each cell is a
+        # singleton — then fold the columns in rank order. Bit-identical
+        # to the sorted-struct-array fold (same order; absent ranks add
+        # +0.0, and every contribution is ≥ +0.0 since lunr idf ≥ 1), but
+        # shuffles W nullable doubles instead of materializing per-doc
+        # struct arrays carrying term strings. Per-qid constants (mag,
+        # fmask) stay out of the aggregation entirely — applied after it
+        # from driver-side literal maps.
+        by_qid: Dict[int, List[tuple]] = {}
+        for r in rows:
+            by_qid.setdefault(r[0], []).append(r)
+        tid_of = {
+            (qid, t): i
+            for qid, qrows in by_qid.items()
+            for i, t in enumerate(sorted(r[1] for r in qrows))
+        }
+        width = max(len(qrows) for qrows in by_qid.values())
+        mags = {qid: qrows[0][4] for qid, qrows in by_qid.items()}
+        fmasks = {qid: qrows[0][5] for qid, qrows in by_qid.items()}
+
+        if width <= self.WIDE_SUM_MAX_TERMS and len(by_qid) <= 2048:
+            qdf = self.spark.createDataFrame(
+                [
+                    (qid, t, w, m, tid_of[(qid, t)])
+                    for qid, t, w, m, _mag, _fm in rows
+                ],
+                "qid long, term string, w double, mask long, tid int",
+            )
+            joined = idx.postings_subset(all_terms).join(F.broadcast(qdf), "term")
+            c = F.col("w") * F.col("tf")
+            per = joined.groupBy("qid", DOCID).agg(
+                F.bit_or("mask").alias("mask"),
+                *[
+                    F.sum(F.when(F.col("tid") == i, c)).alias(f"_c{i}")
+                    for i in range(width)
+                ],
+            )
+            magmap = F.create_map(
+                *[x for q, m in mags.items() for x in (F.lit(q), F.lit(m))]
+            )
+            fmaskmap = F.create_map(
+                *[x for q, m in fmasks.items() for x in (F.lit(q), F.lit(m))]
+            )
+            score = F.lit(0.0)
+            for i in range(width):
+                score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+            score = score / magmap[F.col("qid")]
+            return (
+                per.filter(F.col("mask") == fmaskmap[F.col("qid")])
+                .withColumn(SCORE, score)
+                .select("qid", DOCID, SCORE)
+            )
+
+        # oversized expansions / huge batches: sorted-struct fold (exact
+        # same reduction order, heavier shuffle)
         qdf = self.spark.createDataFrame(
             rows, "qid long, term string, w double, mask long, mag double, fmask long"
         )
-        all_terms = sorted({r[1] for r in rows})
         joined = idx.postings_subset(all_terms).join(F.broadcast(qdf), "term")
         per = joined.groupBy("qid", DOCID).agg(
             F.bit_or("mask").alias("mask"),
@@ -711,6 +778,7 @@ class SearchEngine:
         # index only the matching compressed blocks are decoded; on the
         # cached path it just narrows the join input
         subset = idx.postings_subset(list(qv.weights))
+        sorted_terms = sorted(qv.weights)
         if len(rows) <= self.MAX_MAP_LITERAL_TERMS:
             # small expansions (the common case): weights/masks as MAP
             # literals — a pure projection, no BroadcastExchange job per
@@ -724,24 +792,55 @@ class SearchEngine:
             joined = subset.withColumn("w", wmap[F.col("term")]).withColumn(
                 "mask", mmap[F.col("term")]
             )
+            if len(rows) <= self.WIDE_SUM_MAX_TERMS:
+                tidmap = F.create_map(
+                    *[
+                        x
+                        for i, t in enumerate(sorted_terms)
+                        for x in (F.lit(t), F.lit(i))
+                    ]
+                )
+                joined = joined.withColumn("tid", tidmap[F.col("term")])
         else:
             expanded_df = self.spark.createDataFrame(
                 rows, "term string, w double, mask long"
             )
             joined = subset.join(F.broadcast(expanded_df), "term")
-        per_doc = joined.groupBy(DOCID).agg(
-            F.bit_or("mask").alias("mask"),
-            # deterministic reduction order: sort contributions by term
-            # before summing, so scores equal the oracle bit-for-bit
-            F.sort_array(
-                F.collect_list(F.struct(F.col("term"), (F.col("w") * F.col("tf")).alias("c")))
-            ).alias("contribs"),
-        )
-        score = F.aggregate(
-            "contribs",
-            F.lit(0.0),
-            lambda acc, x: acc + x["c"],
-        ) / F.lit(qv.magnitude)
+
+        if len(rows) <= self.WIDE_SUM_MAX_TERMS:
+            # deterministic reduction in sorted-term order WITHOUT the
+            # struct array: (term, _docid) is unique, so each rank's
+            # conditional sum is a singleton; the column fold runs in
+            # rank order and absent ranks add +0.0 (every contribution
+            # is ≥ +0.0 — lunr idf ≥ 1), bit-identical to the old
+            # sort_array(collect_list(struct)) fold at a fraction of the
+            # shuffle/aggregation-buffer bandwidth.
+            c = F.col("w") * F.col("tf")
+            per_doc = joined.groupBy(DOCID).agg(
+                F.bit_or("mask").alias("mask"),
+                *[
+                    F.sum(F.when(F.col("tid") == i, c)).alias(f"_c{i}")
+                    for i in range(len(sorted_terms))
+                ],
+            )
+            score = F.lit(0.0)
+            for i in range(len(sorted_terms)):
+                score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+            score = score / F.lit(qv.magnitude)
+        else:
+            per_doc = joined.groupBy(DOCID).agg(
+                F.bit_or("mask").alias("mask"),
+                # deterministic reduction order: sort contributions by term
+                # before summing, so scores equal the oracle bit-for-bit
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("term"), (F.col("w") * F.col("tf")).alias("c")))
+                ).alias("contribs"),
+            )
+            score = F.aggregate(
+                "contribs",
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ) / F.lit(qv.magnitude)
         return (
             per_doc.filter(F.col("mask") == full_mask)
             .withColumn(SCORE, score)

@@ -130,6 +130,34 @@ def test_checkpointed_build_resume(spark, tx_engine, tmp_path):
             assert key in m
 
 
+def test_wide_sum_route_bit_equals_struct_fold(spark, tx_engine):
+    """The rank-pivot score aggregation (WIDE_SUM_MAX_TERMS path) must be
+    bit-identical to the sorted-struct-array fold it replaced — same
+    sorted-term reduction order, +0.0 padding for absent ranks. Forcing
+    the cap to 0 routes everything through the struct fold."""
+    queries = ["spark", "shuffle partition", "s", "the", "broadcast join"]
+    wide_single = {
+        q: {r[DOCID]: r["__score"] for r in tx_engine.fulltext_hits(q).collect()}
+        for q in queries
+    }
+    wide_batch = sorted(map(tuple, tx_engine.fulltext_hits_batch(queries).collect()))
+    old_cap = tx_engine.WIDE_SUM_MAX_TERMS
+    tx_engine.WIDE_SUM_MAX_TERMS = 0
+    try:
+        for q in queries:
+            struct_single = {
+                r[DOCID]: r["__score"] for r in tx_engine.fulltext_hits(q).collect()
+            }
+            assert struct_single == wide_single[q], q
+        assert wide_single["spark"]  # non-vacuous
+        struct_batch = sorted(
+            map(tuple, tx_engine.fulltext_hits_batch(queries).collect())
+        )
+        assert struct_batch == wide_batch and wide_batch
+    finally:
+        tx_engine.WIDE_SUM_MAX_TERMS = old_cap
+
+
 def test_fulltext_batch_matches_single(spark, tx_engine):
     """Batched multi-query scoring (one job) must equal per-query runs."""
     queries = ["spark", "shuffle partition", "s", "zzzqqq", "the", "broadcast join"]
