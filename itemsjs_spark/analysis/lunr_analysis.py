@@ -62,6 +62,9 @@ def js_to_string(v: Any) -> str:
 
 def tokenize(value: Any) -> List[str]:
     """lunr 1.0.0 tokenizer."""
+    if type(value) is str:  # hot path: plain strings skip js_to_string
+        s = value.strip().lower()
+        return _SPLIT_RE.split(s) if s else []
     if value is None:
         return []
     if isinstance(value, (list, tuple)):
@@ -89,17 +92,33 @@ def build_pipeline(
     use_stopwords = not (is_exact_search or remove_stop_word_filter)
     use_stemmer = not is_exact_search
 
+    # Token vocabularies are Zipfian: memoize the WHOLE per-token chain
+    # (trim regexes + stopword set + stem) so repeated tokens cost one
+    # dict hit. The memo lives in the closure — one per partition in the
+    # Arrow tokenizer, one per engine on the driver — and is bounded so a
+    # pathological vocabulary can't exhaust executor memory (beyond the
+    # cap lookups still hit, new tokens just aren't inserted).
+    memo: dict = {}
+    memo_max = 1 << 20
+    miss = object()
+
+    def transform(t: str) -> str | None:
+        t2 = trimmer(t)
+        if use_stopwords and t2 in STOP_WORDS:
+            return None
+        return stem(t2) if use_stemmer else t2
+
     def run(tokens: List[str]) -> List[str]:
         out: List[str] = []
+        get = memo.get
         for t in tokens:
-            t2: str | None = trimmer(t)
-            if use_stopwords:
-                t2 = stop_word_filter(t2)
-                if t2 is None:
-                    continue
-            if use_stemmer:
-                t2 = stem(t2)
-            out.append(t2)
+            v = get(t, miss)
+            if v is miss:
+                v = transform(t)
+                if len(memo) < memo_max:
+                    memo[t] = v
+            if v is not None:
+                out.append(v)
         return out
 
     return run

@@ -30,6 +30,7 @@ the in-memory oracle and the distributed Spark scorer:
 from __future__ import annotations
 
 import math
+from collections import Counter
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Sequence, Set, Tuple
 
@@ -39,16 +40,20 @@ def doc_tf(field_token_lists: Sequence[Tuple[List[str], float]]) -> Dict[str, fl
     registration order."""
     out: Dict[str, float] = {}
     all_tokens: Set[str] = set()
-    for tokens, _ in field_token_lists:
+    # Counter instead of per-token list.count: O(len + distinct) per field
+    # rather than O(distinct × len). Skipping c == 0 fields is bit-exact
+    # (the old code added literal +0.0, an IEEE identity for the
+    # non-negative partial sums here).
+    counted = []
+    for tokens, boost in field_token_lists:
         all_tokens.update(tokens)
+        counted.append((Counter(tokens), len(tokens), boost))
     for token in sorted(all_tokens):  # SortedSet iteration order
         v = 0.0
-        for tokens, boost in field_token_lists:
-            n = len(tokens)
-            if n == 0:
-                continue
-            c = tokens.count(token)
-            v += c / n * boost
+        for cnt, n, boost in counted:
+            c = cnt.get(token)
+            if c:
+                v += c / n * boost
         out[token] = v
     return out
 
