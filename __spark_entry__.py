@@ -775,6 +775,28 @@ def _q_langid_multilang(spark, sf_dir):
     )
 
 
+def _q_langid_learned(spark, sf_dir):
+    """TWO-STAGE learned langid: stage 1 learns per-language char-gram
+    profiles from the corpus's own labels in one distributed aggregation
+    (purity × log-evidence, top-8 grams/lang, weights half-up-rounded to
+    3 decimals); stage 2 scores every document's normalized text against
+    the learned profiles and takes the argmax. The oracle re-derives the
+    ENTIRE learning pass in SQL (same formula text, same rank order, same
+    rounding), so the driver hash-checks learning and inference
+    together."""
+    docs = _documents(spark, sf_dir)
+    profiles = text_ops.learn_chargram_profiles(docs)
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+    scored = text_ops.langid_chargram(
+        docs.select("doc_id", norm.alias("t")), "t", profiles=profiles
+    )
+    return scored.select("doc_id", "lang_pred", "lang_score")
+
+
 def _q_chunk_dedup(spark, sf_dir):
     """C4-style repeated-chunk (line) removal: 3-token chunks occurring
     in ≥3 distinct docs are dropped corpus-wide, texts reassembled."""
@@ -904,6 +926,23 @@ def _q_pack_sequences(spark, sf_dir):
     ).select("doc_id", "shard", "bin")
 
 
+_UPMIX_TARGET = {"src0": 0.47, "src1": 0.3, "src2": 0.23}
+
+
+def _q_mixture_upsample(spark, sf_dir):
+    """Domain-mixture resampling WITH upsampling: over-demanded sources
+    are repeated floor(rate) times plus a hash-fraction-chosen remainder
+    copy, hitting the target mix exactly in expectation (rates here are
+    9.4 / 6.0 / 4.6 — both integer repeats and the fractional remainder
+    are exercised). Deterministic and engine-portable like
+    domain_mixture_sample."""
+    from itemsjs_spark.ops import sampling as sampling_ops
+
+    return sampling_ops.mixture_upsample(
+        _documents(spark, sf_dir), "doc_id", "source", _UPMIX_TARGET
+    ).select("doc_id", "source", "copy")
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column → Arrow-batched
     feature extraction via mapInPandas. The 'decode' is a deterministic
@@ -1018,8 +1057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_fulltext_topk": _q_append_fulltext_topk,
         "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
-        "orders_crossed_counts": _q_orders_crossed_counts,
-        "orders_sort_paginate": _q_orders_sort_page,
         "lineitem_facet_stats": _q_lineitem_stats,
         "similar_items": _q_similar,
         "aggregation_endpoint": _q_aggregation,
@@ -1034,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "decontaminate_vs_holdout": _q_decontaminate,
         "domain_mixture_sample": _q_mixture_sample,
+        "domain_mixture_upsample": _q_mixture_upsample,
         "repetition_signals": _q_repetition_signals,
         "embedding_topk_cosine": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1048,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "charngram_profile_fit": _q_charngram_fit,
         "langid_multilang": _q_langid_multilang,
+        "langid_learned": _q_langid_learned,
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "multimodal_features": _q_multimodal_features,
@@ -1059,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_result_ids": _q_negative_ids,
         "events_facet_counts": _q_events_facets,
         "events_sort_paginate": _q_events_sort_page,
+        "orders_sort_paginate": _q_orders_sort_page,
+        "orders_crossed_counts": _q_orders_crossed_counts,
         "lineitem_crossed_counts": _q_lineitem_crossed_counts,
     }
 
@@ -1326,6 +1367,33 @@ FROM documents d JOIN rates USING (source)
 WHERE {_frac} < keep_rate
 """
 
+    # upsampling mixture: rate = (target_g / Σtarget) / (n_g / N), rows
+    # repeated floor(rate) times + one hash-fraction remainder copy —
+    # the normalized-target literals are the SAME Python doubles the
+    # engine puts into its map literal (repr round-trips exactly)
+    _uptot = float(sum(_UPMIX_TARGET.values()))
+    _upmix_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{k}' THEN {float(v) / _uptot!r}"
+            for k, v in _UPMIX_TARGET.items()
+        )
+        + " ELSE 0.0 END"
+    )
+    sqls["domain_mixture_upsample"] = f"""
+WITH obs AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+tot AS (SELECT sum(n_g)::DOUBLE AS n FROM obs),
+rates AS (SELECT source, round(({_upmix_case}) / (n_g / n), 6) AS rate FROM obs, tot),
+j AS (
+  SELECT d.doc_id, d.source,
+         floor(rate)::BIGINT
+           + (CASE WHEN {_frac} < rate - floor(rate) THEN 1 ELSE 0 END) AS n_copies
+  FROM documents d JOIN rates USING (source)
+)
+SELECT doc_id, source, u.copy::BIGINT AS copy
+FROM j, LATERAL unnest(range(0, n_copies)) u(copy)
+"""
+
     _md5_shard = "md5('0#' || doc_id::VARCHAR)"
     _shard = f"({_hex8_int(_md5_shard)} % 8)"
     sqls["pack_sequences"] = f"""
@@ -1550,6 +1618,60 @@ GROUP BY doc_id
         f"WITH s AS (SELECT doc_id, {_scores} FROM documents) "
         f"SELECT doc_id, {_case} AS lang_pred, {_best} AS lang_score FROM s"
     )
+
+    # learned langid: the oracle re-derives the ENTIRE learning pass —
+    # gram counts, purity × log1p weight (rounded to 9 BEFORE ranking, so
+    # last-ulp ln() differences can't flip the top-8 selection), half-up
+    # 3-decimal weight normalization (floor(x*1000+0.5)/1000, the exact
+    # operation learn_chargram_profiles performs) — then scores with the
+    # same weighted non-overlapping gram-count formula and argmax
+    # (score DESC, lang ASC) the engine uses.
+    _lnorm = (
+        "' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) || ' '"
+    )
+    sqls["langid_learned"] = f"""
+WITH base AS (
+  SELECT lang, {_lnorm} AS t FROM documents WHERE lang IS NOT NULL
+),
+grams AS (
+  SELECT lang, substr(t, u.i, 4) AS gram
+  FROM base, LATERAL unnest(range(1, greatest(length(t) - 3, 0) + 1)) u(i)
+),
+cg AS (
+  SELECT lang, gram, count(*) AS c FROM grams
+  WHERE length(gram) = 4 AND regexp_matches(gram, '^[a-z ]+$')
+  GROUP BY lang, gram
+),
+tot AS (SELECT gram, sum(c) AS ct FROM cg GROUP BY gram),
+scored AS (
+  SELECT lang, gram, round((c::DOUBLE / ct) * ln(1.0 + c), 9) AS w
+  FROM cg JOIN tot USING (gram) WHERE c >= 2
+),
+ranked AS (
+  SELECT lang, gram, w,
+         row_number() OVER (PARTITION BY lang ORDER BY w DESC, gram) AS r
+  FROM scored
+),
+prof AS (
+  SELECT lang, gram,
+         floor(w / max(w) OVER (PARTITION BY lang) * 1000.0 + 0.5) / 1000.0 AS wn
+  FROM ranked WHERE r <= 8
+),
+docs AS (SELECT doc_id, {_lnorm} AS t FROM documents),
+ls AS (
+  SELECT d.doc_id, p.lang,
+         round(sum(p.wn * ((length(d.t) - length(replace(d.t, p.gram, ''))) / 4.0)), 6) AS score
+  FROM docs d CROSS JOIN prof p
+  GROUP BY d.doc_id, p.lang
+)
+SELECT doc_id, lang AS lang_pred, score AS lang_score
+FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM ls
+)
+WHERE rn = 1
+"""
 
     sqls["chunk_dedup"] = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -183,6 +183,77 @@ def mixture_weights(
     )
 
 
+def upsample_rates(
+    df: DataFrame, group_col: str, target: Dict[str, float]
+) -> DataFrame:
+    """Per-group REPEAT rates that reshape the corpus to exactly the
+    target mixture while preserving the corpus size in expectation:
+    rate_g = (target_g / Σtarget) / (n_g / N). Rates above 1 mean the
+    group is over-demanded and gets repeated (the upsampling companion
+    to ``mixture_weights``, which caps at 1 instead). Groups absent from
+    ``target`` get rate 0. One aggregate; the rate table is
+    dimension-sized. Rates are rounded to 6 decimals so any engine
+    reproduces the floor/remainder split bit-for-bit."""
+    total = float(sum(target.values()))
+    tgt = F.create_map(
+        *[
+            x
+            for k, v in target.items()
+            for x in (F.lit(k), F.lit(float(v) / total))
+        ]
+    )
+    obs = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    tot = obs.agg(F.sum("n_g").cast("double").alias("__n"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .withColumn("__t", F.coalesce(tgt[F.col(group_col)], F.lit(0.0)))
+        .withColumn(
+            "rate",
+            F.round(F.col("__t") / (F.col("n_g") / F.col("__n")), 6),
+        )
+        .select(group_col, F.col("n_g").cast("long").alias("n_g"), "rate")
+    )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target: Dict[str, float],
+    seed: str = "0",
+) -> DataFrame:
+    """Resample ``df`` to the ``target`` mixture with upsampling allowed:
+    each row is emitted ``floor(rate_g)`` times plus one more when its
+    hash fraction falls under the fractional remainder — integer repeats
+    plus a deterministically-chosen remainder set, so expected group
+    sizes hit the target exactly and membership is a pure function of
+    (seed, id, group rates). Adds ``copy`` (0-based repeat index); rows
+    whose group draws 0 copies disappear. The rate join is broadcast
+    (dimension-sized); the explode multiplies rows only by each group's
+    own repeat factor — no shuffle is introduced."""
+    rates = upsample_rates(df, group_col, target)
+    frac = hash_fraction(F.col(id_col), seed)
+    base = F.floor(F.col("rate")).cast("long")
+    extra = F.when(frac < F.col("rate") - F.floor(F.col("rate")), 1).otherwise(
+        0
+    )
+    n_copies = (base + extra).alias("n_copies")
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .withColumn("n_copies", n_copies)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("n_copies") > 0,
+                    F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        .drop("rate", "n_copies")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -8,6 +8,7 @@ columns and is verified against an independent DuckDB oracle through
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -208,8 +209,13 @@ def learn_chargram_profiles(
         .join(tot, "gram")
         .withColumn(
             "w",
-            (F.col("c") / F.col("ct"))  # purity: share owned by this lang
-            * F.log1p(F.col("c")),      # × in-language evidence
+            # purity (share owned by this lang) × log in-language evidence,
+            # rounded to 9 decimals BEFORE ranking so the top-N selection
+            # is reproducible across engines whose ln() differs in the
+            # last ulp (the DuckDB oracle re-derives this ranking)
+            F.round(
+                (F.col("c") / F.col("ct")) * F.log1p(F.col("c")), 9
+            ),
         )
     )
     from pyspark.sql import Window
@@ -226,7 +232,12 @@ def learn_chargram_profiles(
         profiles.setdefault(r["lang"], {})[r["gram"]] = float(r["w"])
     for lang, p in profiles.items():
         mx = max(p.values()) or 1.0
-        profiles[lang] = {g: round(w / mx, 3) for g, w in p.items()}
+        # half-up, not Python's banker's round: matches SQL round()
+        # semantics (Spark HALF_UP / DuckDB half-away) so an oracle that
+        # re-derives the normalization lands on the same 3-decimal weight
+        profiles[lang] = {
+            g: math.floor(w / mx * 1000.0 + 0.5) / 1000.0 for g, w in p.items()
+        }
     return profiles
 
 

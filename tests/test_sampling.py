@@ -133,3 +133,69 @@ def test_mixture_weights_and_sample(spark):
     df2 = df.union(spark.createDataFrame([(2000, "z")], "doc_id long, grp string"))
     kept2 = s.mixture_sample(df2, "doc_id", "grp", target)
     assert kept2.filter(F.col("grp") == "z").count() == 0
+
+
+def test_mixture_upsample_repeats_and_remainder(spark):
+    """Upsampling mixture: over-demanded groups are repeated
+    floor(rate) times plus a hash-chosen remainder copy; expected group
+    sizes hit the target exactly; corpus size is preserved in
+    expectation; membership/copy-count is a pure function of the id."""
+    import pytest
+
+    from itemsjs_spark.ops import sampling as s
+
+    # observed: a=50%, b=30%, c=20%; target: a=10%, b=30%, c=60%
+    rows = (
+        [(i, "a") for i in range(500)]
+        + [(500 + i, "b") for i in range(300)]
+        + [(800 + i, "c") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    target = {"a": 0.1, "b": 0.3, "c": 0.6}
+    rates = {
+        r["grp"]: r["rate"]
+        for r in s.upsample_rates(df, "grp", target).collect()
+    }
+    assert rates["a"] == pytest.approx(0.1 / 0.5, abs=1e-6)   # 0.2
+    assert rates["b"] == pytest.approx(0.3 / 0.3, abs=1e-6)   # 1.0
+    assert rates["c"] == pytest.approx(0.6 / 0.2, abs=1e-6)   # 3.0
+
+    out = s.mixture_upsample(df, "doc_id", "grp", target)
+    per = {
+        r["grp"]: r["cnt"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()
+    }
+    # integer rates are exact: every b row once, every c row 3 times
+    assert per["b"] == 300 and per["c"] == 600
+    # fractional rate 0.2: within sampling noise of 100
+    assert abs(per["a"] - 100) <= 40
+    # copy indices are dense 0..n-1 per row
+    copies = out.filter(F.col("grp") == "c").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy")).alias("cs")).collect()
+    assert all(r["cs"] == [0, 1, 2] for r in copies)
+
+    # fractional remainder: rate 2.5 gives every row 2 or 3 copies and
+    # the 3-copy set is the SAME under recomputation over a subset
+    t2 = {"a": 0.5, "b": 0.2, "c": 0.2}  # a: (0.5/0.9)/(0.5) = 1.111…
+    out2 = s.mixture_upsample(df, "doc_id", "grp", t2)
+    n_by_id = {
+        r["doc_id"]: r["n"]
+        for r in out2.filter(F.col("grp") == "a")
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(n_by_id.values()) <= {1, 2}
+    # deterministic: a rerun reproduces every per-id copy count
+    again = {
+        r["doc_id"]: r["n"]
+        for r in s.mixture_upsample(df, "doc_id", "grp", t2)
+        .filter(F.col("grp") == "a")
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == n_by_id
+
+    # group absent from target vanishes
+    df2 = df.union(spark.createDataFrame([(2000, "z")], "doc_id long, grp string"))
+    assert (
+        s.mixture_upsample(df2, "doc_id", "grp", target)
+        .filter(F.col("grp") == "z").count() == 0
+    )
