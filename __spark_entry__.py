@@ -978,6 +978,50 @@ def _q_multimodal_features(spark, sf_dir):
     return df.mapInPandas(extract, schema=schema)
 
 
+def _q_multimodal_png(spark, sf_dir):
+    """REAL image decode: each doc's md5 bytes become a 4x4 grayscale
+    PNG (stdlib encoder), then `decode_png_features` genuinely inflates
+    and unfilters it back to pixels and pools chunk means. Because the
+    planted pixels ARE the md5 bytes, the oracle predicts the decoded
+    features algebraically from md5 nibbles — the zlib/filter round trip
+    must be byte-perfect for the hashes to match."""
+    from itemsjs_spark.ops import multimodal as mm
+    from itemsjs_spark.ops import png as pngcodec
+
+    ensure_shipped(spark)  # executors unpickle closures importing the codec
+    df = _documents(spark, sf_dir).select(
+        "doc_id", F.unhex(F.md5("text")).alias("pix")
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["pix"].map(
+                        lambda b: pngcodec.encode_png(4, 4, 1, bytes(b))
+                    ),
+                }
+            )
+
+    payloads = df.mapInPandas(encode, schema=enc_schema)
+    decoded = mm.decode_png_features(payloads, dims=4)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        *[F.col("features")[k].alias(f"f{k}") for k in range(4)],
+    )
+
+
 def _q_transcripts_topk(spark, sf_dir):
     """North-rule corpus: the full engine pipeline — distributed docid
     assignment (`assign_docids` via order_by), facet + posting index
@@ -1057,7 +1101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_fulltext_topk": _q_append_fulltext_topk,
         "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
-        "lineitem_facet_stats": _q_lineitem_stats,
         "similar_items": _q_similar,
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
@@ -1090,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_png_decode": _q_multimodal_png,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
@@ -1100,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sort_paginate": _q_events_sort_page,
         "orders_sort_paginate": _q_orders_sort_page,
         "orders_crossed_counts": _q_orders_crossed_counts,
+        "lineitem_facet_stats": _q_lineitem_stats,
         "lineitem_crossed_counts": _q_lineitem_crossed_counts,
     }
 
@@ -1707,6 +1752,26 @@ FROM t
     sqls["multimodal_features"] = (
         f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
         f"SELECT doc_id, 16::BIGINT AS n_bytes, {fcols} FROM h"
+    )
+
+    # real PNG decode: the engine PNG-encodes the md5 bytes as 4x4 gray
+    # pixels and decodes them back through zlib inflate + unfilter; the
+    # planted pixels are the md5 bytes, so the oracle derives the chunk
+    # means straight from the nibbles — any codec byte error breaks the
+    # hash match
+    _byte = lambda j: (  # noqa: E731 — md5 hex byte j as 0-255
+        f"({_sql_nib('hx', 2 * j + 1)} * 16 + {_sql_nib('hx', 2 * j + 2)})"
+    )
+    _pngf = ", ".join(
+        "round(("
+        + " + ".join(_byte(4 * k + i) for i in range(4))
+        + f") / 4.0 / 255.0, 6) AS f{k}"
+        for k in range(4)
+    )
+    sqls["multimodal_png_decode"] = (
+        f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
+        f"SELECT doc_id, 4::INTEGER AS width, 4::INTEGER AS height, "
+        f"1::INTEGER AS channels, {_pngf} FROM h"
     )
 
     # transcript corpus derived relationally from documents; _docid must

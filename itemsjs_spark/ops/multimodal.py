@@ -2,12 +2,16 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` operators. The decode kernels themselves are STUBBED
-(this environment has no image/audio libraries): ``fake=True`` (default)
-substitutes a deterministic md5-derived kernel so the Spark-side
-contract — schema, batching, partitioning, UDF signature — is fully
-real and tested; ``fake=False`` raises NotImplementedError at the exact
-line where a real libjpeg/ffmpeg call plugs in.
+``mapInPandas`` operators.
+
+IMAGE kernels are REAL: ``fake=False`` decodes/encodes PNG through the
+pure-stdlib codec in ``ops.png`` (zlib inflate + scanline unfilter — no
+PIL/libvips needed), so feature extraction and resizing compute over
+actual pixels. ``fake=True`` (default) keeps the deterministic
+md5-derived kernel for format-agnostic plumbing tests. The VIDEO
+frame-sample kernel stays an honest stub (``fake=False`` raises
+NotImplementedError at the exact line an ffmpeg call plugs in — no
+video codec exists in this environment).
 """
 
 from __future__ import annotations
@@ -19,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import png as pngcodec
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -42,6 +48,21 @@ def _fake_decode(payload: bytes, dims: int) -> list:
     return [round(h[i % len(h)] / 255.0, 6) for i in range(dims)]
 
 
+def _chunk_means(pixels: bytes, dims: int) -> list:
+    """``dims`` contiguous-chunk means of the raster, scaled to [0,1]
+    and rounded to 6 decimals (sum / chunk_len / 255 in that exact
+    operation order — an oracle repeats it bit-for-bit)."""
+    n = len(pixels)
+    out = []
+    for k in range(dims):
+        lo, hi = k * n // dims, (k + 1) * n // dims
+        if hi <= lo:
+            out.append(0.0)
+            continue
+        out.append(round(sum(pixels[lo:hi]) / float(hi - lo) / 255.0, 6))
+    return out
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -49,25 +70,77 @@ def extract_features(
     dims: int = 4,
     fake: bool = True,
 ) -> DataFrame:
-    """binary payload -> feature vector (e.g. a CNN embedding). Arrow
-    batches in, Arrow batches out; one Python worker per partition."""
+    """binary payload -> feature vector. Arrow batches in, Arrow batches
+    out; one Python worker per partition. ``fake=False`` treats payloads
+    as PNG and pools REAL pixel values (contiguous-chunk means of the
+    decoded raster — the stand-in for a CNN embedding, computed over
+    genuinely decoded bytes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            if not fake:
-                raise NotImplementedError(
-                    "plug a real decoder here (PIL/torchvision/ffmpeg)"
+            if fake:
+                feats = payloads.map(lambda b: _fake_decode(bytes(b), dims))
+            else:
+                feats = payloads.map(
+                    lambda b: _chunk_means(
+                        pngcodec.decode_png(bytes(b))[3], dims
+                    )
                 )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "features": payloads.map(lambda b: _fake_decode(bytes(b), dims)),
+                    "features": feats,
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_png_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    dims: int = 4,
+) -> DataFrame:
+    """REAL image decode: PNG payload -> typed dimensions + pixel-pool
+    features, via the pure-stdlib codec (actual zlib inflate + scanline
+    unfilter, no image library). Same Arrow batch shape as
+    ``extract_features``; per-row Python cost is the decode itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, feats = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, pix = pngcodec.decode_png(bytes(payload))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                feats.append(_chunk_means(pix, dims))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -99,17 +172,29 @@ def resize_images(
     """'image' payload -> resized payload + typed metadata struct. The
     fake kernel produces a deterministic width×height byte raster by
     cyclic sampling of the source bytes (shape-correct, contract-real);
-    a real one decodes + resamples via PIL/libvips at the marked line."""
+    ``fake=False`` REALLY resamples: PNG decode -> nearest-neighbor ->
+    PNG re-encode, all through the pure-stdlib codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = width * height
         for pdf in batches:
             ids, blobs, metas = [], [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                if not fake:
-                    raise NotImplementedError("plug PIL/libvips resampling here")
                 b = bytes(payload)
-                blobs.append(bytes(b[i % len(b)] for i in range(n_out)))
+                if fake:
+                    blobs.append(bytes(b[i % len(b)] for i in range(n_out)))
+                else:
+                    w, h, ch, pix = pngcodec.decode_png(b)
+                    blobs.append(
+                        pngcodec.encode_png(
+                            width,
+                            height,
+                            ch,
+                            pngcodec.resize_nearest(
+                                w, h, ch, pix, width, height
+                            ),
+                        )
+                    )
                 ids.append(int(did))
                 metas.append(
                     {"width": width, "height": height, "src_bytes": len(b)}

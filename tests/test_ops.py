@@ -50,10 +50,15 @@ def test_multimodal_frame_sampling(spark, docs):
         assert b"".join(b for _, b in sorted(fr)) is not None
 
 
-def test_multimodal_real_decoder_stub(spark, docs):
+def test_multimodal_real_decoder_rejects_nonpng(spark, docs):
+    # the image kernels are REAL now (stdlib PNG codec); feeding the real
+    # path non-PNG bytes fails loudly instead of fabricating features
     payloads = docs.limit(2).select("doc_id", F.unhex(F.md5("text")).alias("payload"))
-    with pytest.raises(Exception, match="NotImplementedError|plug"):
+    with pytest.raises(Exception, match="PNG|signature"):
         multimodal.extract_features(payloads, fake=False).collect()
+    # video frame sampling stays an honest env-blocked stub (no ffmpeg)
+    with pytest.raises(Exception, match="NotImplementedError|plug"):
+        multimodal.sample_frames(payloads, fake=False).collect()
 
 
 def test_lsh_topk_recall_vs_bruteforce(spark, emb):
@@ -263,7 +268,7 @@ def test_multimodal_resize_plumbing(spark, docs):
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 3
         assert r["meta"]["src_bytes"] == 16
     import pytest as _pt
-    with _pt.raises(Exception, match="NotImplementedError|plug"):
+    with _pt.raises(Exception, match="PNG|signature"):
         multimodal.resize_images(payloads, 4, 3, fake=False).collect()
 
 
