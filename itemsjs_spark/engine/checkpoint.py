@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import json
 import posixpath
+import re
 import time
 from typing import Dict, List, Optional
 
@@ -103,6 +104,19 @@ class _HadoopFS:
         on HDFS; the commit primitive for snapshot appends."""
         self.delete(dst)
         self._fs.rename(self._path(src), self._path(dst))
+
+    def try_rename(self, src: str, dst: str) -> bool:
+        """Race-tolerant atomic move for swap/recovery PROMOTION: False
+        instead of an exception when another promoter won (source
+        vanished / destination appeared). HDFS signals both by returning
+        false, but Hadoop's LocalFileSystem RAISES FileNotFoundException
+        for a missing source — proven by the reader-promotes-first race
+        test — so the exception is part of the benign-loss contract, not
+        an error."""
+        try:
+            return bool(self._fs.rename(self._path(src), self._path(dst)))
+        except Exception:
+            return False
 
     def list_parquet(self, p: str):
         return [n for n in self.list_names(p) if n.endswith(".parquet")]
@@ -406,7 +420,14 @@ def compact_blocks(
         old = tmp + ".old"
         fs.delete(old)
         fs._fs.rename(fs._path(bdir), fs._path(old))
-        fs._fs.rename(fs._path(tmp), fs._path(bdir))
+        # a concurrent reader's promote-only recovery may legally win
+        # this exact rename (it saw the live dir missing); losing is
+        # benign as long as SOMEONE made the bucket live again
+        if not fs.try_rename(tmp, bdir) and not fs.exists(bdir):
+            raise RuntimeError(
+                f"compaction swap for bucket {b}: promote lost but no "
+                f"live dir appeared at {bdir}"
+            )
         fs.delete(old)
         report.append(manifest)
     fs.delete(staging_root)
@@ -464,13 +485,16 @@ def _recover_compaction_fs(
         old = tmp + ".old"
         if not fs.exists(bdir):
             # crash (or a live writer) between the swap renames: restore
-            # liveness from the completed staging, else the set-aside copy
+            # liveness from the completed staging, else the set-aside
+            # copy. try_rename: the writer (or another reader) may win
+            # the same promote between our exists() probe and the rename
+            # — losing is benign, the bucket is live either way
             if fs.exists(posixpath.join(tmp, MANIFEST)):
-                fs._fs.rename(fs._path(tmp), fs._path(bdir))
-                restored.append(b)
+                if fs.try_rename(tmp, bdir):
+                    restored.append(b)
             elif name.endswith(".old") and fs.exists(old):
-                fs._fs.rename(fs._path(old), fs._path(bdir))
-                restored.append(b)
+                if fs.try_rename(old, bdir):
+                    restored.append(b)
         if writer and fs.exists(bdir):
             # live dir is authoritative (it may hold post-crash snap-*
             # deltas); stale staging must never replace it
@@ -481,6 +505,19 @@ def _recover_compaction_fs(
     return restored
 
 
+def _staged_bucket_ids(fs: _HadoopFS, out_path: str) -> set:
+    staging_root = posixpath.join(out_path, "_compacting")
+    ids = set()
+    for name in fs.list_dirs(staging_root):
+        base = name.removesuffix(".old")
+        if base.startswith("bucket="):
+            try:
+                ids.add(int(base[len("bucket="):]))
+            except ValueError:
+                pass
+    return ids
+
+
 def read_blocks(spark: SparkSession, out_path: str) -> DataFrame:
     # a store with an in-progress compaction swap has its bucket
     # liveness restored BEFORE the glob below binds, so a crash mid-swap
@@ -489,9 +526,50 @@ def read_blocks(spark: SparkSession, out_path: str) -> DataFrame:
     # (writer=False): it never deletes, so a reader racing a live
     # compaction writer cannot destroy the bucket the writer is
     # promoting; staging leftovers are cleaned by the next writer.
+    #
+    # A LIVE writer can also set a bucket aside BETWEEN our recovery
+    # walk and the glob binding below (the swap is two renames, and the
+    # reader cannot freeze the store). Every bucket a writer may touch
+    # has a staging entry, so after binding we check the file index
+    # actually caught every staged bucket (driver-side inputFiles — no
+    # job) and rebind if the glob hit the swap window. Bounded retry:
+    # each pass either finds the store complete or re-promotes liveness.
+    #
+    # Read contract under a LIVE compaction (single-writer store, no
+    # table format): a DataFrame BOUND here can still fail LOUDLY at
+    # execution time (FAILED_READ_FILE) if the writer swaps its bucket
+    # between binding and the scan — the old files move away. It can
+    # never be silently wrong: every bound file set is a complete
+    # consistent store snapshot (the race-proof above), so the failure
+    # mode is an exception to retry, never a short count. Closing that
+    # last window needs generation-tracked files + deferred GC (what
+    # Iceberg/Delta manifests provide) — out of scope for a
+    # directory-swap store.
     fs = _HadoopFS(spark, out_path)
-    if fs.exists(posixpath.join(out_path, "_compacting")):
-        _recover_compaction_fs(fs, out_path, writer=False)
-    return spark.read.option("basePath", out_path).parquet(
-        posixpath.join(out_path, "bucket=*")
+    glob = posixpath.join(out_path, "bucket=*")
+    staging_root = posixpath.join(out_path, "_compacting")
+    last_missing: set = set()
+    for _ in range(5):
+        staged: set = set()
+        if fs.exists(staging_root):
+            _recover_compaction_fs(fs, out_path, writer=False)
+            staged = _staged_bucket_ids(fs, out_path)
+        df = spark.read.option("basePath", out_path).parquet(glob)
+        if not staged:
+            return df
+        seen = set()
+        for f in df.inputFiles():
+            m = re.search(r"/bucket=(\d+)/", f)
+            if m:
+                seen.add(int(m.group(1)))
+        # every staged bucket must be visible in the bound index: a live
+        # writer only ever touches staged buckets, and a staged bucket
+        # whose live dir is currently absent gets promoted by the next
+        # pass's recovery walk (or by the writer itself, whichever wins)
+        last_missing = staged - seen
+        if not last_missing:
+            return df
+    raise RuntimeError(
+        f"read_blocks: store at {out_path} kept a torn compaction swap "
+        f"across retries (buckets {sorted(last_missing)} live but unbound)"
     )
