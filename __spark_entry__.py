@@ -1022,6 +1022,95 @@ def _q_multimodal_png(spark, sf_dir):
     )
 
 
+def _q_multimodal_wav(spark, sf_dir):
+    """REAL audio decode: each doc's md5 bytes become 16 8-bit PCM
+    samples in a genuine RIFF/WAVE container (stdlib encoder), then
+    `decode_wav_features` walks the RIFF chunks and pools the decoded
+    samples. The planted samples ARE the md5 bytes, so the oracle
+    predicts the features algebraically from md5 nibbles — the chunk
+    walk + unsigned-PCM scaling must be byte-perfect for the hashes to
+    match."""
+    from itemsjs_spark.ops import multimodal as mm
+    from itemsjs_spark.ops import wav as wavcodec
+
+    ensure_shipped(spark)  # executors unpickle closures importing the codec
+    df = _documents(spark, sf_dir).select(
+        "doc_id", F.unhex(F.md5("text")).alias("pcm")
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["pcm"].map(
+                        lambda b: wavcodec.encode_wav(16000, 1, 1, bytes(b))
+                    ),
+                }
+            )
+
+    payloads = df.mapInPandas(encode, schema=enc_schema)
+    out = mm.decode_wav_features(payloads, dims=4)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        *[F.col("features")[k].alias(f"f{k}") for k in range(4)],
+    )
+
+
+def _q_multimodal_y4m(spark, sf_dir):
+    """REAL video frame sampling: each doc's md5 bytes become a 4-frame
+    2x2 mono YUV4MPEG2 stream (frame f's luma plane = md5 bytes
+    4f..4f+3), then `sample_y4m_frames` parses the stream/frame headers
+    and keeps every 2nd REAL frame. The oracle predicts each kept
+    frame's luma mean straight from the md5 nibbles, so any header or
+    frame-boundary error breaks the hash match."""
+    from itemsjs_spark.ops import multimodal as mm
+    from itemsjs_spark.ops import y4m as y4mcodec
+
+    ensure_shipped(spark)
+    df = _documents(spark, sf_dir).select(
+        "doc_id", F.unhex(F.md5("text")).alias("pix")
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["pix"].map(
+                        lambda b: y4mcodec.encode_y4m(
+                            2,
+                            2,
+                            [bytes(b)[4 * f : 4 * f + 4] for f in range(4)],
+                            "mono",
+                        )
+                    ),
+                }
+            )
+
+    payloads = df.mapInPandas(encode, schema=enc_schema)
+    return mm.sample_y4m_frames(payloads, every_n=2).select(
+        "doc_id", "frame_idx", "width", "height", "luma_mean"
+    )
+
+
 def _q_transcripts_topk(spark, sf_dir):
     """North-rule corpus: the full engine pipeline — distributed docid
     assignment (`assign_docids` via order_by), facet + posting index
@@ -1134,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "multimodal_features": _q_multimodal_features,
         "multimodal_png_decode": _q_multimodal_png,
+        "multimodal_wav_decode": _q_multimodal_wav,
+        "multimodal_y4m_frames": _q_multimodal_y4m,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
@@ -1772,6 +1863,36 @@ FROM t
         f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
         f"SELECT doc_id, 4::INTEGER AS width, 4::INTEGER AS height, "
         f"1::INTEGER AS channels, {_pngf} FROM h"
+    )
+
+    # real WAV decode: the engine wraps the md5 bytes as 16 8-bit PCM
+    # samples in a genuine RIFF container and decodes them back through
+    # the chunk walk; the planted samples are the md5 bytes, so the
+    # features share the PNG oracle's nibble algebra and the metadata is
+    # the planted format constants
+    sqls["multimodal_wav_decode"] = (
+        f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
+        f"SELECT doc_id, 16000::INTEGER AS sample_rate, "
+        f"1::INTEGER AS channels, 16::BIGINT AS n_samples, {_pngf} FROM h"
+    )
+
+    # real y4m frame sampling: 4 planted 2x2 mono frames per doc (frame
+    # f's luma = md5 bytes 4f..4f+3), engine keeps frames 0 and 2; the
+    # oracle derives each kept frame's luma mean from the nibbles
+    def _luma(f: int) -> str:
+        return (
+            "round(("
+            + " + ".join(_byte(4 * f + i) for i in range(4))
+            + ") / 4.0 / 255.0, 6)"
+        )
+
+    sqls["multimodal_y4m_frames"] = (
+        f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
+        f"SELECT doc_id, 0::INTEGER AS frame_idx, 2::INTEGER AS width, "
+        f"2::INTEGER AS height, {_luma(0)} AS luma_mean FROM h "
+        f"UNION ALL "
+        f"SELECT doc_id, 2::INTEGER, 2::INTEGER, 2::INTEGER, {_luma(2)} "
+        f"FROM h"
     )
 
     # transcript corpus derived relationally from documents; _docid must

@@ -7,11 +7,14 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 IMAGE kernels are REAL: ``fake=False`` decodes/encodes PNG through the
 pure-stdlib codec in ``ops.png`` (zlib inflate + scanline unfilter — no
 PIL/libvips needed), so feature extraction and resizing compute over
-actual pixels. ``fake=True`` (default) keeps the deterministic
-md5-derived kernel for format-agnostic plumbing tests. The VIDEO
-frame-sample kernel stays an honest stub (``fake=False`` raises
-NotImplementedError at the exact line an ffmpeg call plugs in — no
-video codec exists in this environment).
+actual pixels. AUDIO is real too: ``decode_wav_features`` parses
+RIFF/WAVE PCM through ``ops.wav`` and pools actual samples. VIDEO frame
+sampling is real for the uncompressed YUV4MPEG2 interchange format
+(``sample_y4m_frames`` via ``ops.y4m``); compressed containers keep an
+honest stub (``sample_frames(fake=False)`` raises NotImplementedError at
+the exact line an ffmpeg call plugs in — no codec exists in this
+environment). ``fake=True`` kernels stay for format-agnostic plumbing
+tests.
 """
 
 from __future__ import annotations
@@ -25,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import png as pngcodec
+from . import wav as wavcodec
+from . import y4m as y4mcodec
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -202,6 +207,132 @@ def resize_images(
             yield pd.DataFrame({"doc_id": ids, "resized": blobs, "meta": metas})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _sample_chunk_means(samples, dims: int, scale: float) -> list:
+    """``dims`` contiguous-chunk means of an integer sample sequence,
+    scaled and rounded exactly like :func:`_chunk_means` (sum / len /
+    scale, round 6) so an oracle can repeat it bit-for-bit."""
+    n = len(samples)
+    out = []
+    for k in range(dims):
+        lo, hi = k * n // dims, (k + 1) * n // dims
+        if hi <= lo:
+            out.append(0.0)
+            continue
+        out.append(round(sum(samples[lo:hi]) / float(hi - lo) / scale, 6))
+    return out
+
+
+def decode_wav_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    dims: int = 4,
+) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE PCM payload -> typed stream metadata
+    + sample-pool features, via the pure-stdlib codec in ``ops.wav``
+    (actual chunk walk + PCM sample access, no audio library). 8-bit
+    samples pool on the 0..255 unsigned scale, 16-bit on the signed
+    -32768..32767 scale (divisor 32768). Same Arrow batch shape as
+    ``decode_png_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, chs, ns, feats = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, channels, sampwidth, pcm = wavcodec.decode_wav(
+                    bytes(payload)
+                )
+                samples = wavcodec.pcm_to_ints(pcm, sampwidth)
+                ids.append(int(did))
+                rates.append(rate)
+                chs.append(channels)
+                ns.append(len(samples) // channels)
+                feats.append(
+                    _sample_chunk_means(
+                        samples, dims, 255.0 if sampwidth == 1 else 32768.0
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_SCHEMA)
+
+
+Y4M_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("luma_mean", T.DoubleType()),
+    ]
+)
+
+
+def sample_y4m_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling: uncompressed YUV4MPEG2 payload ->
+    every ``every_n``-th decoded frame (1→N rows per input), with the
+    luma-plane mean as an oracle-checkable per-frame feature. y4m is the
+    codec-free video interchange format, so this needs only the stdlib
+    parser in ``ops.y4m``; compressed containers route to
+    :func:`sample_frames`'s ffmpeg plug point instead."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, frames, means = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _chroma, fr = y4mcodec.decode_y4m(bytes(payload))
+                n_luma = w * h
+                for i in range(0, len(fr), every_n):
+                    luma = fr[i][:n_luma]
+                    ids.append(int(did))
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    frames.append(fr[i])
+                    means.append(
+                        round(sum(luma) / float(n_luma) / 255.0, 6)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "frame": frames,
+                    "luma_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=Y4M_FRAME_SCHEMA
+    )
 
 
 def sample_frames(

@@ -1,0 +1,168 @@
+"""Pure-stdlib WAV + YUV4MPEG2 codecs and the real audio/video multimodal
+kernels: round trips, chunk-walk robustness, unsupported-flavor
+rejection, and Spark-side decode over planted payloads with known sample
+values."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from itemsjs_spark.ops import multimodal
+from itemsjs_spark.ops.wav import (
+    UnsupportedWAV,
+    decode_wav,
+    encode_wav,
+    pcm_to_ints,
+)
+from itemsjs_spark.ops.y4m import (
+    UnsupportedY4M,
+    decode_y4m,
+    encode_y4m,
+)
+
+
+# ---------------------------------------------------------------- WAV --
+
+
+def test_wav_roundtrip_8_and_16_bit():
+    pcm8 = bytes((i * 13) % 256 for i in range(16))
+    assert decode_wav(encode_wav(16000, 1, 1, pcm8)) == (16000, 1, 1, pcm8)
+    pcm16 = struct.pack("<8h", 0, 1, -1, 32767, -32768, 100, -100, 7)
+    assert decode_wav(encode_wav(44100, 2, 2, pcm16)) == (44100, 2, 2, pcm16)
+
+
+def test_wav_odd_data_is_padded_and_roundtrips():
+    pcm = bytes([1, 2, 3])  # odd byte count: RIFF pads the chunk
+    data = encode_wav(8000, 1, 1, pcm)
+    assert len(data) % 2 == 0
+    assert decode_wav(data) == (8000, 1, 1, pcm)
+
+
+def test_wav_skips_foreign_chunks():
+    # a LIST metadata chunk between fmt and data must be walked over
+    pcm = bytes(range(8))
+    base = encode_wav(22050, 1, 1, pcm)
+    fmt_chunk = base[12 : 12 + 8 + 16]
+    data_chunk = base[12 + 8 + 16 :]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = b"WAVE" + fmt_chunk + extra + data_chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(data) == (22050, 1, 1, pcm)
+
+
+def test_wav_rejects_unsupported_and_corrupt():
+    pcm = bytes(range(8))
+    good = encode_wav(8000, 1, 1, pcm)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNK" + good[4:])
+    # IEEE-float format tag (3)
+    bad = bytearray(good)
+    bad[20] = 3  # fmt tag low byte
+    with pytest.raises(UnsupportedWAV):
+        decode_wav(bytes(bad))
+    # 24-bit PCM
+    bad = bytearray(good)
+    bad[34] = 24  # bits-per-sample low byte
+    with pytest.raises(UnsupportedWAV):
+        decode_wav(bytes(bad))
+    # truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(good[:-4])
+
+
+def test_pcm_to_ints_signedness():
+    assert pcm_to_ints(bytes([0, 128, 255]), 1) == [0, 128, 255]
+    assert pcm_to_ints(struct.pack("<3h", -1, 0, 32767), 2) == [-1, 0, 32767]
+
+
+# ---------------------------------------------------------------- y4m --
+
+
+def test_y4m_roundtrip_mono_420_444():
+    for chroma, npix in (("mono", 4), ("420", 6), ("444", 12)):
+        frames = [bytes((f * 50 + i) % 256 for i in range(npix)) for f in range(3)]
+        w, h, c, fr = decode_y4m(encode_y4m(2, 2, frames, chroma))
+        assert (w, h, c, fr) == (2, 2, chroma, frames)
+
+
+def test_y4m_default_chroma_is_420():
+    frame = bytes(range(6))  # 2x2 C420 = 6 bytes
+    data = b"YUV4MPEG2 W2 H2 F30:1\nFRAME\n" + frame
+    assert decode_y4m(data) == (2, 2, "420", [frame])
+
+
+def test_y4m_rejects_bad_magic_chroma_and_truncation():
+    good = encode_y4m(2, 2, [bytes(4)], "mono")
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"NOT A STREAM\n")
+    with pytest.raises(UnsupportedY4M):
+        decode_y4m(good.replace(b"Cmono", b"C422p10"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(good[:-1])
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(good.replace(b"FRAME", b"FRAmE"))
+
+
+# -------------------------------------------------- Spark-side kernels --
+
+
+def test_spark_decode_wav_features_known_samples(spark):
+    # 16 known 8-bit samples per doc: features are 4-byte chunk means
+    rows = [
+        (i, encode_wav(16000, 1, 1, bytes((i + j) % 256 for j in range(16))))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_wav_features(df, dims=4).collect()
+    }
+    assert len(got) == 6
+    for i in range(6):
+        r = got[i]
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (16000, 1, 16)
+        s = [(i + j) % 256 for j in range(16)]
+        want = [round(sum(s[k * 4 : k * 4 + 4]) / 4.0 / 255.0, 6) for k in range(4)]
+        assert list(r["features"]) == want
+
+
+def test_spark_decode_wav_features_16bit_signed_scale(spark):
+    pcm = struct.pack("<4h", -32768, 0, 16384, 32767)
+    df = spark.createDataFrame(
+        [(1, encode_wav(8000, 1, 2, pcm))], "doc_id long, payload binary"
+    )
+    r = multimodal.decode_wav_features(df, dims=2).collect()[0]
+    assert r["n_samples"] == 4
+    assert list(r["features"]) == [
+        round((-32768 + 0) / 2.0 / 32768.0, 6),
+        round((16384 + 32767) / 2.0 / 32768.0, 6),
+    ]
+
+
+def test_spark_sample_y4m_frames_every_second_frame(spark):
+    # 4 frames of 2x2 mono video; planted luma values per frame
+    frames = [bytes([f * 10 + k for k in range(4)]) for f in range(4)]
+    df = spark.createDataFrame(
+        [(5, encode_y4m(2, 2, frames, "mono"))], "doc_id long, payload binary"
+    )
+    out = multimodal.sample_y4m_frames(df, every_n=2).collect()
+    got = {r["frame_idx"]: r for r in out}
+    assert sorted(got) == [0, 2]
+    for idx in (0, 2):
+        r = got[idx]
+        assert (r["width"], r["height"]) == (2, 2)
+        assert bytes(r["frame"]) == frames[idx]
+        assert r["luma_mean"] == round(sum(frames[idx]) / 4.0 / 255.0, 6)
+
+
+def test_spark_sample_y4m_frames_420_means_luma_plane_only(spark):
+    # C420: 6 bytes/frame, luma = first 4; chroma bytes must not leak in
+    frame = bytes([100, 100, 100, 100, 255, 255])
+    df = spark.createDataFrame(
+        [(9, encode_y4m(2, 2, [frame], "420"))], "doc_id long, payload binary"
+    )
+    r = multimodal.sample_y4m_frames(df, every_n=1).collect()[0]
+    assert r["luma_mean"] == round(100 / 255.0, 6)
+    assert bytes(r["frame"]) == frame
