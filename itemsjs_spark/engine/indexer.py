@@ -513,25 +513,44 @@ def _facet_dim_counts(
     docs: DataFrame, facet_fields: Sequence[str]
 ) -> Optional[DataFrame]:
     """(field, key, doc_count, __first=(docid,pos)) per facet value —
-    the unranked facet dimension; None when no facet fields."""
-    fv_parts = []
-    for fld in facet_fields:
-        exploded = docs.select(
-            F.col(DOCID), F.posexplode(FK_PREFIX + fld).alias("__pos", "key")
-        )
-        fv_parts.append(
-            exploded.groupBy("key").agg(
-                F.countDistinct(DOCID).alias("doc_count"),
-                F.min(F.struct(DOCID, "__pos")).alias("__first"),
-            )
-            .withColumn("field", F.lit(fld))
-        )
-    if not fv_parts:
+    the unranked facet dimension; None when no facet fields.
+
+    All fields in ONE corpus pass: each __fk_ array is tagged with its
+    field name via ``transform`` and the concatenated array exploded
+    once, so the dimension costs a single scan + single map-combined
+    shuffle regardless of facet-field count (a per-field
+    posexplode+groupBy union scanned the docs cache once PER FIELD —
+    measured 3x the data movement at 3 fields on a 2M-turn corpus).
+    Null fk columns coalesce to empty arrays (posexplode's skip
+    semantics); the aggregate is unchanged, so the output is
+    row-identical to the per-field plan."""
+    if not facet_fields:
         return None
-    fv = fv_parts[0]
-    for p in fv_parts[1:]:
-        fv = fv.unionByName(p)
-    return fv
+
+    def _tag(fld: str):
+        # closure factory: the HOF lambda must take exactly (x, i)
+        return F.transform(
+            F.coalesce(F.col(FK_PREFIX + fld), F.array()),
+            lambda x, i: F.struct(
+                F.lit(fld).alias("field"),
+                i.alias("__pos"),
+                x.alias("key"),
+            ),
+        )
+
+    tagged = [_tag(fld) for fld in facet_fields]
+    stacked = tagged[0] if len(tagged) == 1 else F.concat(*tagged)
+    exploded = docs.select(
+        F.col(DOCID), F.explode(stacked).alias("__e")
+    ).select(DOCID, "__e.field", "__e.__pos", "__e.key")
+    return (
+        exploded.groupBy("field", "key")
+        .agg(
+            F.countDistinct(DOCID).alias("doc_count"),
+            F.min(F.struct(DOCID, "__pos")).alias("__first"),
+        )
+        .select("key", "doc_count", "__first", "field")
+    )
 
 
 def _rank_facet_dim(fv: DataFrame, old_rank_col: Optional[str] = None) -> DataFrame:
