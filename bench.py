@@ -392,7 +392,11 @@ def main():
         # host); alternate the two levels and take the best of each so
         # both samples see comparable machine conditions
         runs = {n_lo: [], n_hi: []}
-        for cores in (n_lo, n_hi, n_lo, n_hi, n_lo, n_hi):
+        # 4 interleaved pairs (r4: 3 pairs left the vs-ceiling reading a
+        # window coin-flip — 0.51/0.70/0.92 across same-code runs; the
+        # extra pair tightens best-of throughput AND the min-statistic
+        # ceilings toward their true values at ~3 min extra wall clock)
+        for cores in (n_lo, n_hi, n_lo, n_hi, n_lo, n_hi, n_lo, n_hi):
             runs[cores].append(
                 run_suite_subprocess(cores, SCALING_TURNS, include_docs_ops=False)
             )
