@@ -7,7 +7,8 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 IMAGE kernels are REAL: ``fake=False`` decodes/encodes PNG through the
 pure-stdlib codec in ``ops.png`` (zlib inflate + scanline unfilter — no
 PIL/libvips needed), so feature extraction and resizing compute over
-actual pixels. AUDIO is real too: ``decode_wav_features`` parses
+actual pixels; ``decode_jpeg_features`` additionally decodes baseline
+JPEG through ``ops.jpeg`` (Huffman + dequantize + 8x8 IDCT). AUDIO is real too: ``decode_wav_features`` parses
 RIFF/WAVE PCM through ``ops.wav`` and pools actual samples. VIDEO frame
 sampling is real for the uncompressed YUV4MPEG2 interchange format
 (``sample_y4m_frames`` via ``ops.y4m``); compressed containers keep an
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import jpeg as jpegcodec
 from . import png as pngcodec
 from . import wav as wavcodec
 from . import y4m as y4mcodec
@@ -207,6 +209,41 @@ def resize_images(
             yield pd.DataFrame({"doc_id": ids, "resized": blobs, "meta": metas})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def decode_jpeg_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    dims: int = 4,
+) -> DataFrame:
+    """REAL compressed-image decode: baseline JPEG payload -> typed
+    dimensions + pixel-pool features, via the pure-stdlib codec in
+    ``ops.jpeg`` (actual Huffman entropy decode + dequantize + 8x8 IDCT,
+    no image library). Same Arrow batch shape as
+    :func:`decode_png_features`; per-row Python cost is the decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, feats = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, pix = jpegcodec.decode_jpeg(bytes(payload))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                feats.append(_chunk_means(pix, dims))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 WAV_SCHEMA = T.StructType(

@@ -72,6 +72,50 @@ def test_wav_rejects_unsupported_and_corrupt():
         decode_wav(good[:-4])
 
 
+def test_g711_expansion_reference_points():
+    """ITU-T G.711 segment expansion against published table values:
+    silence bytes, positive/negative zero, and both extremes."""
+    from itemsjs_spark.ops.wav import ALAW_TABLE, ULAW_TABLE
+
+    assert ULAW_TABLE[0xFF] == 0  # mu-law silence
+    assert ULAW_TABLE[0x7F] == 0  # negative zero
+    assert ULAW_TABLE[0x00] == -32124  # most negative
+    assert ULAW_TABLE[0x80] == 32124  # most positive
+    assert ALAW_TABLE[0xD5] == 8  # A-law silence (+8)
+    assert ALAW_TABLE[0x55] == -8
+    assert ALAW_TABLE[0xAA] == 32256  # most positive
+    assert ALAW_TABLE[0x2A] == -32256  # most negative
+    # expansion is symmetric: flipping the sign bit negates (mu-law)
+    for b in range(128):
+        assert ULAW_TABLE[b] == -ULAW_TABLE[b | 0x80]
+
+
+def test_g711_container_decode_expands_to_linear16():
+    import struct as _s
+
+    from itemsjs_spark.ops.wav import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_MULAW,
+    )
+
+    comp = bytes([0xFF, 0x00, 0x80, 0x7F])
+    rate, ch, sw, pcm = decode_wav(
+        encode_wav(8000, 1, 1, comp, fmt_tag=WAVE_FORMAT_MULAW)
+    )
+    assert (rate, ch, sw) == (8000, 1, 2)
+    assert list(_s.unpack("<4h", pcm)) == [0, -32124, 32124, 0]
+    rate, ch, sw, pcm = decode_wav(
+        encode_wav(8000, 2, 1, bytes([0xD5, 0xAA]), fmt_tag=WAVE_FORMAT_ALAW)
+    )
+    assert (ch, sw) == (2, 2)
+    assert list(_s.unpack("<2h", pcm)) == [8, 32256]
+    # G.711 must store 8-bit samples
+    with pytest.raises(UnsupportedWAV):
+        bad = bytearray(encode_wav(8000, 1, 2, bytes(4), fmt_tag=1))
+        bad[20] = 7  # rewrite tag to mu-law but leave 16-bit
+        decode_wav(bytes(bad))
+
+
 def test_pcm_to_ints_signedness():
     assert pcm_to_ints(bytes([0, 128, 255]), 1) == [0, 128, 255]
     assert pcm_to_ints(struct.pack("<3h", -1, 0, 32767), 2) == [-1, 0, 32767]
