@@ -1125,6 +1125,58 @@ def _q_multimodal_wav(spark, sf_dir):
     )
 
 
+def _q_multimodal_adpcm(spark, sf_dir):
+    """REAL compressed-audio decode: each doc's md5 bytes become a
+    16-block IMA ADPCM stream (block k holds nine samples of value
+    md5-byte k; a constant block encodes as header predictor + all-zero
+    nibbles, which the adaptive-predictor state machine reconstructs
+    EXACTLY), then `decode_wav_features` runs the genuine per-nibble
+    IMA decode over every block. Chunk-mean k pools blocks 4k..4k+3, so
+    the oracle predicts the decoded features from md5 nibbles on the
+    16-bit scale — any header, nibble-order or state-machine error
+    breaks the hash match."""
+    from itemsjs_spark.ops import multimodal as mm
+    from itemsjs_spark.ops import wav as wavcodec
+
+    ensure_shipped(spark)  # executors unpickle closures importing the codec
+    df = _documents(spark, sf_dir).select(
+        "doc_id", F.unhex(F.md5("text")).alias("pcm")
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["pcm"].map(
+                        lambda b: wavcodec.encode_wav_adpcm(
+                            8000,
+                            1,
+                            [v for v in bytes(b) for _ in range(9)],
+                            block_align=8,
+                        )
+                    ),
+                }
+            )
+
+    payloads = df.mapInPandas(encode, schema=enc_schema)
+    out = mm.decode_wav_features(payloads, dims=4)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        *[F.col("features")[k].alias(f"f{k}") for k in range(4)],
+    )
+
+
 def _q_multimodal_y4m(spark, sf_dir):
     """REAL video frame sampling: each doc's md5 bytes become a 4-frame
     2x2 mono YUV4MPEG2 stream (frame f's luma plane = md5 bytes
@@ -1287,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
+        "multimodal_adpcm_decode": _q_multimodal_adpcm,
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
         "facet_counts_blocks_path": _q_facet_counts_blocks,
@@ -1947,6 +2000,22 @@ FROM t
         f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
         f"SELECT doc_id, 16000::INTEGER AS sample_rate, "
         f"1::INTEGER AS channels, 16::BIGINT AS n_samples, {_pngf} FROM h"
+    )
+
+    # real IMA ADPCM decode: block k of the planted 16-block stream is
+    # nine samples of md5 byte k (constant blocks are header predictor +
+    # all-zero nibbles, which the state machine reconstructs exactly);
+    # chunk-mean k pools blocks 4k..4k+3 on the 16-bit scale (/32768)
+    _adpcmf = ", ".join(
+        "round(("
+        + " + ".join(_byte(4 * k + i) for i in range(4))
+        + f") / 4.0 / 32768.0, 6) AS f{k}"
+        for k in range(4)
+    )
+    sqls["multimodal_adpcm_decode"] = (
+        f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
+        f"SELECT doc_id, 8000::INTEGER AS sample_rate, "
+        f"1::INTEGER AS channels, 144::BIGINT AS n_samples, {_adpcmf} FROM h"
     )
 
     # real y4m frame sampling: 4 planted 2x2 mono frames per doc (frame

@@ -116,6 +116,105 @@ def test_g711_container_decode_expands_to_linear16():
         decode_wav(bytes(bad))
 
 
+def test_ima_adpcm_state_machine_vectors():
+    """Hand-computed IMA nibble decodes + cross-check against CPython's
+    audioop Intel/DVI implementation where available."""
+    from itemsjs_spark.ops.wav import _ima_decode_nibbles
+
+    # nibble 0 at index 0 (step 7): diff = 7>>3 = 0, predictor holds,
+    # index clamps at 0 — the "silent block" invariant the planted
+    # driver payloads rely on
+    out: list = []
+    pred, idx = _ima_decode_nibbles([0, 0, 0, 0], 42, 0, out)
+    assert out == [42, 42, 42, 42] and (pred, idx) == (42, 0)
+    # nibble 7 at index 0: diff = 0 + 1 + 3 + 7 = 11, index 0+8=8
+    out = []
+    pred, idx = _ima_decode_nibbles([7], 0, 0, out)
+    assert out == [11] and (pred, idx) == (11, 8)
+    # sign bit subtracts; index floor clamps at 0
+    out = []
+    pred, idx = _ima_decode_nibbles([0x8 | 7], 0, 0, out)
+    assert out == [-11] and (pred, idx) == (-11, 8)
+
+    try:
+        import audioop  # removed in 3.13; same DVI/IMA state machine
+    except ImportError:
+        return
+    # audioop packs the FIRST sample in the HIGH nibble; feed one byte
+    # at a time and compare full state evolution over a pseudo stream
+    nibs = [(3 * i + (i * i) % 7) % 16 for i in range(64)]
+    out = []
+    pred, idx = _ima_decode_nibbles(nibs, 0, 0, out)
+    state = None
+    ref: list = []
+    for i in range(0, 64, 2):
+        frag, state = audioop.adpcm2lin(
+            bytes([(nibs[i] << 4) | nibs[i + 1]]), 2, state
+        )
+        ref.extend(struct.unpack("<2h", frag))
+    assert out == ref
+    assert (pred, idx) == state
+
+
+def test_ima_adpcm_container_roundtrip():
+    from itemsjs_spark.ops.wav import encode_wav_adpcm
+
+    # constant-per-block signal is exact end-to-end (delta 0 -> code 0)
+    samples = [v for v in (100, -3000, 42) for _ in range(9)]
+    rate, ch, sw, pcm = decode_wav(
+        encode_wav_adpcm(8000, 1, samples, block_align=8)
+    )
+    assert (rate, ch, sw) == (8000, 1, 2)
+    assert list(struct.unpack(f"<{len(samples)}h", pcm)) == samples
+
+    # a smooth wave round-trips with small adaptive-quantizer error and
+    # the fact chunk truncates the padded final block (31 frames, spb 9)
+    import math as _m
+
+    wave = [int(8000 * _m.sin(i / 20.0)) for i in range(31)]
+    rate, ch, sw, pcm = decode_wav(
+        encode_wav_adpcm(16000, 1, wave, block_align=8)
+    )
+    got = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    assert len(got) == 31  # fact truncation, not 36
+    err = [abs(a - b) for a, b in zip(got, wave)]
+    # slope-overload lag while the step adapts from 7, then each block
+    # header re-syncs the predictor exactly (err -> 0 at sample 9)
+    assert sum(err) / len(err) < 350 and max(err) < 1600  # measures 228/1446
+    assert max(err[9:18]) < 300  # adapted by block 2
+
+    # stereo: constant L/R stay exact and interleave correctly
+    st = []
+    for _ in range(17):
+        st += [1234, -77]
+    rate, ch, sw, pcm = decode_wav(encode_wav_adpcm(8000, 2, st))
+    got = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    assert ch == 2 and len(got) == 34
+    assert got[0::2] == [1234] * 17 and got[1::2] == [-77] * 17
+
+
+def test_ima_adpcm_rejects_bad_shapes():
+    from itemsjs_spark.ops.wav import encode_wav_adpcm
+
+    good = encode_wav_adpcm(8000, 1, [0] * 9, block_align=8)
+    # 8-bit IMA is not a thing
+    bad = bytearray(good)
+    bad[34] = 8  # bits-per-sample low byte
+    with pytest.raises(UnsupportedWAV):
+        decode_wav(bytes(bad))
+    # step index out of range in a block header
+    bad = bytearray(good)
+    data_at = bad.index(b"data") + 8
+    bad[data_at + 2] = 89
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+    # block align not a whole number of nibble words
+    bad = bytearray(good)
+    bad[32] = 7  # nBlockAlign low byte
+    with pytest.raises(ValueError, match="block align"):
+        decode_wav(bytes(bad))
+
+
 def test_pcm_to_ints_signedness():
     assert pcm_to_ints(bytes([0, 128, 255]), 1) == [0, 128, 255]
     assert pcm_to_ints(struct.pack("<3h", -1, 0, 32767), 2) == [-1, 0, 32767]
