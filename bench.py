@@ -10,6 +10,7 @@ Env knobs:
   SPARK_GRAFT_CPUS     cores for the main run (default 32)
   SPARK_GRAFT_BENCH_TURNS  transcript corpus size (default 60000)
   SPARK_GRAFT_SCALING  "0" to skip the local[4]-vs-local[16] probe
+  SPARK_GRAFT_SCALING_PAIRS  interleaved (N, 4N) pairs (default 6)
 
 The scaling probe is the sandbox proxy for the north rule's N→4N
 executor criterion (BASELINE.md): the same index-build + query job at
@@ -392,14 +393,21 @@ def main():
         # host); alternate the two levels and take the best of each so
         # both samples see comparable machine conditions
         runs = {n_lo: [], n_hi: []}
-        # 4 interleaved pairs (r4: 3 pairs left the vs-ceiling reading a
-        # window coin-flip — 0.51/0.70/0.92 across same-code runs; the
-        # extra pair tightens best-of throughput AND the min-statistic
-        # ceilings toward their true values at ~3 min extra wall clock)
-        for cores in (n_lo, n_hi, n_lo, n_hi, n_lo, n_hi, n_lo, n_hi):
-            runs[cores].append(
-                run_suite_subprocess(cores, SCALING_TURNS, include_docs_ops=False)
-            )
+        # interleaved pairs (r4: 3 pairs left the vs-ceiling reading a
+        # window coin-flip — 0.51/0.70/0.92 across same-code runs, and 4
+        # still read 0.76 in a mid window). Both throughputs and the
+        # ceilings are max/min statistics — host steal can only SLOW a
+        # run, never fake a fast one — so extra pairs converge every
+        # estimate toward its true machine value; 6 pairs ≈ +6 min wall
+        # clock over 4.
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "6"))
+        for _ in range(n_pairs):
+            for cores in (n_lo, n_hi):
+                runs[cores].append(
+                    run_suite_subprocess(
+                        cores, SCALING_TURNS, include_docs_ops=False
+                    )
+                )
 
         def best(rs):
             b = max(rs, key=lambda r: r["build_turns_per_sec"])
@@ -465,6 +473,31 @@ def main():
             ),
             "query_efficiency_vs_ceiling": round(query_eff / cpu_eff, 3),
         }
+        # per-pair diagnostics: each interleaved (lo, hi) pair ran
+        # back-to-back, so its internal ratio saw comparable host
+        # conditions — the spread across pairs IS the window variance,
+        # recorded so a low aggregate reading can be attributed from
+        # the artifact alone (quiet-window pairs vs steal-hit pairs)
+        per_pair = []
+        for i in range(n_pairs):
+            lo_r, hi_r = runs[n_lo][i], runs[n_hi][i]
+            b = (
+                hi_r["build_turns_per_sec"] / lo_r["build_turns_per_sec"]
+            ) / ratio
+            ql = len(BATCH_QUERIES) / max(lo_r["queries"]["ft_batch32"], 1e-9)
+            qh = len(BATCH_QUERIES) / max(hi_r["queries"]["ft_batch32"], 1e-9)
+            q = (qh / ql) / ratio
+            c = (lo_r["cpu_chain_sec"] / hi_r["cpu_chain_sec"]) / ratio
+            per_pair.append(
+                {
+                    "build_eff": round(b, 3),
+                    "query_eff": round(q, 3),
+                    "cpu_ceiling": round(c, 3),
+                    "build_vs_pair_ceiling": round(b / max(c, 1e-9), 3),
+                    "query_vs_pair_ceiling": round(q / max(c, 1e-9), 3),
+                }
+            )
+        out["scaling"]["per_pair"] = per_pair
 
     print(json.dumps(out))
 

@@ -10,8 +10,9 @@ Compressed containers (mp4/h264/vp9) still need a codec and keep their
 honest ``NotImplementedError`` plug point.
 
 Scope: ``Cmono`` (1 plane, w*h), ``C420``/``C420jpeg``/``C420mpeg2``
-(w*h*3/2) and ``C444`` (w*h*3). Other chroma tags raise
-``UnsupportedY4M``; truncated/corrupt data raises ``ValueError``.
+(w*h*3/2), ``C411`` (w*h*3/2), ``C422`` (w*h*2) and ``C444`` (w*h*3).
+Other chroma tags raise ``UnsupportedY4M``; truncated/corrupt data
+raises ``ValueError``.
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ _FRAME_SIZE = {
     "420": (3, 2),
     "420jpeg": (3, 2),
     "420mpeg2": (3, 2),
+    "411": (3, 2),
+    "422": (2, 1),
     "444": (3, 1),
 }
 

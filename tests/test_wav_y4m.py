@@ -230,6 +230,15 @@ def test_y4m_roundtrip_mono_420_444():
         assert (w, h, c, fr) == (2, 2, chroma, frames)
 
 
+def test_y4m_roundtrip_422_and_411():
+    # 4x2: C422 planes are (w/2 x h) each -> 2*w*h total; C411 planes
+    # are (w/4 x h) each -> 3/2*w*h total
+    for chroma, npix in (("422", 16), ("411", 12)):
+        frames = [bytes((f * 31 + i) % 256 for i in range(npix)) for f in range(2)]
+        w, h, c, fr = decode_y4m(encode_y4m(4, 2, frames, chroma))
+        assert (w, h, c, fr) == (4, 2, chroma, frames)
+
+
 def test_y4m_default_chroma_is_420():
     frame = bytes(range(6))  # 2x2 C420 = 6 bytes
     data = b"YUV4MPEG2 W2 H2 F30:1\nFRAME\n" + frame
