@@ -144,6 +144,50 @@ def _ft_query(qtext: str, k: int):
     return run
 
 
+_PHRASE = "value a table"  # stopword 'a' squeezes out: adjacency is
+# over the analyzed token stream, so this matches "... value table ..."
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query (extension; reference/lunr has no phrase operator):
+    inverted-index conjunction prunes candidates, an Arrow kernel
+    re-analyzes ONLY those rows to verify adjacency and count
+    occurrences — no positional index, no corpus scan."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.phrase_hits(_PHRASE)
+    return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
+
+
+def _phrase_sql(phrase: str) -> str:
+    """The phrase semantics restated independently in DuckDB list
+    algebra: rebuild the analyzed token sequence per doc (split, filter
+    stopwords/empties, stem), then count start positions where every
+    phrase term matches consecutively."""
+    pipeline = build_pipeline()
+    terms = pipeline(tokenize(phrase))
+    m = len(terms)
+    adj = " AND ".join(
+        f"terms[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+WITH seq AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(lower(trim(text)), ' '),
+                       t -> t <> '' AND t NOT IN ({_STOP_SQL})),
+           t -> {_stem_case('t')}) AS terms
+  FROM documents
+),
+hits AS (
+  SELECT doc_id AS _id,
+         len(list_filter(range(1, len(terms) - {m} + 2),
+                         i -> {adj}))::BIGINT AS n_occurrences
+  FROM seq WHERE len(terms) >= {m}
+)
+SELECT _id, n_occurrences FROM hits WHERE n_occurrences > 0
+"""
+
+
 def _ft_sql(
     qtext: str, k: int, extra_ctes: str = "", corpus: str = "documents",
     id_col: str = "doc_id",
@@ -1327,7 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "unigram_logprob": _q_unigram_logprob,
         "charngram_profile_fit": _q_charngram_fit,
-        "langid_multilang": _q_langid_multilang,
+        # phrase search (extension operator family) takes the window slot
+        # of langid_multilang, whose formula langid_learned supersedes
+        "phrase_search": _q_phrase_search,
         "langid_learned": _q_langid_learned,
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -1340,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
         "multimodal_adpcm_decode": _q_multimodal_adpcm,
+        "langid_multilang": _q_langid_multilang,
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
         "facet_counts_blocks_path": _q_facet_counts_blocks,
@@ -1413,6 +1460,7 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     )
 
     sqls["fulltext_single_term"] = _ft_sql("spark", 50)
+    sqls["phrase_search"] = _phrase_sql(_PHRASE)
     # WAND over compressed blocks must reproduce the exact scorer's top-k
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # half-corpus build + snapshot append == full-corpus scores exactly

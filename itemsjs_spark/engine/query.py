@@ -106,6 +106,11 @@ class SearchEngine:
     # array, no term strings in the shuffle) up to this many ranks; wider
     # expansions keep the sorted-struct-array fold (same reduction order)
     WIDE_SUM_MAX_TERMS = 64
+    # phrase candidates up to this count collect to the driver and push
+    # into the corpus scan as an IN filter (point lookups with row-group
+    # pruning); above it the verify stage joins against the candidate
+    # DataFrame instead (bounded driver memory for common phrases)
+    PHRASE_ISIN_MAX = 10_000
     # prefix expansions beyond this never reach the driver: fulltext_hits
     # switches to the fully distributed expansion (a 1-char query against
     # a 10^12-turn vocabulary would otherwise collect millions of rows)
@@ -846,6 +851,114 @@ class SearchEngine:
             .withColumn(SCORE, score)
             .select(DOCID, SCORE)
         )
+
+    def phrase_hits(self, phrase: str, field: Optional[str] = None) -> DataFrame:
+        """DataFrame (_docid, n_occurrences) of docs whose analyzed token
+        stream contains the phrase's analyzed terms CONSECUTIVELY.
+
+        Extension beyond the reference (itemsjs/lunr 1.x has no phrase
+        operator — src/search.ts tokenizes to a bag); transcript corpora
+        need it ("exact error message", "tool invocation string").
+
+        Physical plan for 10^12 turns: (1) the EXISTING inverted index
+        prunes to docs containing ALL phrase terms — ``postings_subset``
+        pushes ``term IN (...)`` into the compressed-block/parquet scan
+        and the conjunctive check is one index-side aggregate; (2) ONLY
+        the candidate rows' text is re-analyzed in an Arrow batch to
+        verify adjacency — fetched as docid point lookups (IN filter,
+        row-group pruning) for rare phrases, or as a two-column
+        projection joined against the candidate set for common ones.
+        No positional index (a 3-5x postings blowup paid by every
+        build, phrase query or not) and no corpus-wide re-analysis:
+        phrase cost scales with the rarest term's document frequency,
+        the right trade when phrase queries are rare relative to corpus
+        size. Adjacency is defined over the FILTERED token sequence
+        (post stopword/stemming) — the standard semantics when the
+        index stores no stopword positions; overlapping occurrences
+        each count.
+        """
+        idx = self.index
+        empty = self.spark.createDataFrame(
+            [], f"{DOCID} long, n_occurrences long"
+        )
+        terms = self.pipeline(tokenize(phrase))
+        if not terms:
+            return empty
+        if field is None:
+            present = [f for f, _ in idx.text_fields if f in idx.docs.columns]
+            if not present:
+                return empty
+            field = present[0]
+        elif field not in idx.docs.columns:
+            raise EngineError(f"unknown phrase field {field!r}")
+
+        self._ensure_fulltext_materialized()
+        distinct = sorted(set(terms))
+        # (term, _docid) is unique in postings, so count(*) == n distinct
+        # terms present; the full-phrase conjunction never leaves the index
+        cand = (
+            idx.postings_subset(distinct)
+            .groupBy(DOCID)
+            .agg(F.count("*").alias("__nt"))
+            .filter(F.col("__nt") == len(distinct))
+            .select(DOCID)
+        )
+        # route by candidate count with ONE bounded job: a rare phrase
+        # (the common case — phrase df ≤ min term df) becomes driver-side
+        # docids pushed INTO the corpus scan as an IN filter (row-group
+        # min/max pruning on the docid-ordered corpus: point lookups,
+        # no corpus-wide read); a common phrase falls back to a join of
+        # the two-column corpus projection against the candidate set
+        # (AQE broadcasts the small side when it fits)
+        probe = cand.limit(self.PHRASE_ISIN_MAX + 1).collect()
+        if len(probe) <= self.PHRASE_ISIN_MAX:
+            if not probe:
+                return empty
+            joined = idx.docs.select(DOCID, field).filter(
+                F.col(DOCID).isin([r[0] for r in probe])
+            )
+        else:
+            joined = idx.docs.select(DOCID, field).join(cand, DOCID)
+
+        flags = dict(
+            is_exact_search=bool(self.configuration.get("isExactSearch")),
+            remove_stop_word_filter=bool(
+                self.configuration.get("removeStopWordFilter")
+            ),
+        )
+        phrase_terms = tuple(terms)
+        fld = field
+        out_schema = T.StructType(
+            [
+                T.StructField(DOCID, T.LongType()),
+                T.StructField("n_occurrences", T.LongType()),
+            ]
+        )
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pipeline = build_pipeline(**flags)
+            m = len(phrase_terms)
+            first = phrase_terms[0]
+            for pdf in batches:
+                ids: List[int] = []
+                occ: List[int] = []
+                for did, v in zip(pdf[DOCID], pdf[fld]):
+                    toks = pipeline(tokenize(v))
+                    n = 0
+                    for i in range(len(toks) - m + 1):
+                        if toks[i] == first and tuple(toks[i : i + m]) == phrase_terms:
+                            n += 1
+                    if n:
+                        ids.append(int(did))
+                        occ.append(n)
+                yield pd.DataFrame(
+                    {
+                        DOCID: pd.Series(ids, dtype="int64"),
+                        "n_occurrences": pd.Series(occ, dtype="int64"),
+                    }
+                )
+
+        return joined.mapInPandas(verify, schema=out_schema)
 
     def _fulltext_hits_distributed_expansion(self, query: str) -> DataFrame:
         """Scale path for prefix expansions too large for the driver
