@@ -197,6 +197,9 @@ def headline_queries(spark, eng):
     qs["ft_conjunctive"] = lambda: eng.fulltext_hits("shuffle partition").count()
     qs["ft_prefix"] = lambda: eng.fulltext_hits("s").count()
     qs["ft_batch32"] = lambda: eng.fulltext_hits_batch(BATCH_QUERIES).count()
+    # phrase = index-conjunction prune + Arrow adjacency verify over
+    # candidates only (~tf^2-rare bigram on the uniform 64-word corpus)
+    qs["phrase_search"] = lambda: eng.phrase_hits("shuffle partition").count()
     qs["facet_counts"] = lambda: eng.bucket_counts_df(
         "role", {"filters": {"tool": ["bash"]}}
     ).count()

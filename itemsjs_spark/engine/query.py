@@ -108,9 +108,12 @@ class SearchEngine:
     WIDE_SUM_MAX_TERMS = 64
     # phrase candidates up to this count collect to the driver and push
     # into the corpus scan as an IN filter (point lookups with row-group
-    # pruning); above it the verify stage joins against the candidate
-    # DataFrame instead (bounded driver memory for common phrases)
-    PHRASE_ISIN_MAX = 10_000
+    # pruning on a disk-backed corpus); above it the verify stage joins
+    # against the candidate DataFrame instead. Measured: a multi-
+    # thousand-literal In expression costs seconds in plan handling
+    # (5.8k ids: 4.3 s vs 0.7 s for the join at 60k turns), so the
+    # pushdown route is reserved for genuinely rare phrases
+    PHRASE_ISIN_MAX = 256
     # prefix expansions beyond this never reach the driver: fulltext_hits
     # switches to the fully distributed expansion (a 1-char query against
     # a 10^12-turn vocabulary would otherwise collect millions of rows)
