@@ -158,6 +158,44 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
 
 
+_NEAR_PHRASE, _NEAR_SLOP = "big window", 2
+
+
+def _q_phrase_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity query: the phrase terms in order with at most ``slop``
+    other tokens between them (same prune+verify plan as phrase_search,
+    wider adjacency window in the Arrow kernel)."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.phrase_hits(_NEAR_PHRASE, slop=_NEAR_SLOP)
+    return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
+
+
+def _phrase_near_sql(phrase: str, slop: int) -> str:
+    """Two-term proximity restated in DuckDB nested list lambdas: count
+    start positions holding term 1 with term 2 within the slop window."""
+    pipeline = build_pipeline()
+    t1, t2 = pipeline(tokenize(phrase))
+    return f"""
+WITH seq AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(lower(trim(text)), ' '),
+                       t -> t <> '' AND t NOT IN ({_STOP_SQL})),
+           t -> {_stem_case('t')}) AS terms
+  FROM documents
+),
+hits AS (
+  SELECT doc_id AS _id,
+         len(list_filter(range(1, len(terms) + 1),
+             i -> terms[i] = '{t1}' AND len(list_filter(
+                      range(i + 1, least(i + 1 + {slop}, len(terms)) + 1),
+                      j -> terms[j] = '{t2}')) > 0))::BIGINT AS n_occurrences
+  FROM seq
+)
+SELECT _id, n_occurrences FROM hits WHERE n_occurrences > 0
+"""
+
+
 def _phrase_sql(phrase: str) -> str:
     """The phrase semantics restated independently in DuckDB list
     algebra: rebuild the analyzed token sequence per doc (split, filter
@@ -1386,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
         "multimodal_adpcm_decode": _q_multimodal_adpcm,
+        "phrase_near_search": _q_phrase_near,
         "langid_multilang": _q_langid_multilang,
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
@@ -1461,6 +1500,7 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
 
     sqls["fulltext_single_term"] = _ft_sql("spark", 50)
     sqls["phrase_search"] = _phrase_sql(_PHRASE)
+    sqls["phrase_near_search"] = _phrase_near_sql(_NEAR_PHRASE, _NEAR_SLOP)
     # WAND over compressed blocks must reproduce the exact scorer's top-k
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # half-corpus build + snapshot append == full-corpus scores exactly

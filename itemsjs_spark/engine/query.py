@@ -855,9 +855,15 @@ class SearchEngine:
             .select(DOCID, SCORE)
         )
 
-    def phrase_hits(self, phrase: str, field: Optional[str] = None) -> DataFrame:
+    def phrase_hits(
+        self, phrase: str, field: Optional[str] = None, slop: int = 0
+    ) -> DataFrame:
         """DataFrame (_docid, n_occurrences) of docs whose analyzed token
-        stream contains the phrase's analyzed terms CONSECUTIVELY.
+        stream contains the phrase's analyzed terms CONSECUTIVELY — or,
+        with ``slop`` > 0, IN ORDER with at most ``slop`` other tokens
+        between consecutive phrase terms (greedy nearest match: each
+        next term binds to its smallest admissible position; an
+        occurrence is counted per start position that completes).
 
         Extension beyond the reference (itemsjs/lunr 1.x has no phrase
         operator — src/search.ts tokenizes to a bag); transcript corpora
@@ -931,6 +937,7 @@ class SearchEngine:
         )
         phrase_terms = tuple(terms)
         fld = field
+        win = int(slop)
         out_schema = T.StructType(
             [
                 T.StructField(DOCID, T.LongType()),
@@ -942,15 +949,41 @@ class SearchEngine:
             pipeline = build_pipeline(**flags)
             m = len(phrase_terms)
             first = phrase_terms[0]
+            rest = phrase_terms[1:]
+
+            def count_occurrences(toks: List[str]) -> int:
+                n = 0
+                if win == 0:
+                    for i in range(len(toks) - m + 1):
+                        if (
+                            toks[i] == first
+                            and tuple(toks[i : i + m]) == phrase_terms
+                        ):
+                            n += 1
+                    return n
+                L = len(toks)
+                for i in range(L - m + 1):
+                    if toks[i] != first:
+                        continue
+                    pos = i
+                    for t in rest:
+                        nxt = -1
+                        for k in range(pos + 1, min(pos + 2 + win, L)):
+                            if toks[k] == t:
+                                nxt = k
+                                break
+                        if nxt < 0:
+                            break
+                        pos = nxt
+                    else:
+                        n += 1
+                return n
+
             for pdf in batches:
                 ids: List[int] = []
                 occ: List[int] = []
                 for did, v in zip(pdf[DOCID], pdf[fld]):
-                    toks = pipeline(tokenize(v))
-                    n = 0
-                    for i in range(len(toks) - m + 1):
-                        if toks[i] == first and tuple(toks[i : i + m]) == phrase_terms:
-                            n += 1
+                    n = count_occurrences(pipeline(tokenize(v)))
                     if n:
                         ids.append(int(did))
                         occ.append(n)

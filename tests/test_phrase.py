@@ -69,6 +69,30 @@ def test_phrase_no_match_and_empty(eng):
     assert _got(eng, "") == {}
 
 
+def test_phrase_slop_widens_the_match_window(eng):
+    # doc 4 "beta gamma alpha": "beta alpha" not adjacent (slop 0) but
+    # within one intervening token (slop 1); doc 2 "beta alpha beta"
+    # matches at slop 0 already
+    # doc 5 "alpha beta alpha beta" also holds "beta alpha" at 2-3
+    assert set(_got(eng, "beta alpha")) == {2, 5}
+    got = _got(eng, "beta alpha", slop=1)
+    assert set(got) == {2, 4, 5} and got[4] == 1
+    # order still matters under slop: "gamma alpha" exists in doc 4,
+    # "alpha gamma" only via doc 1's adjacency
+    assert set(_got(eng, "alpha gamma", slop=1)) == {1}
+
+
+def test_phrase_slop_greedy_counts_per_start(eng):
+    # doc 5 "alpha beta alpha beta": starts at tokens 1 and 3 both
+    # complete under any slop; greedy binds each to the nearest beta
+    assert _got(eng, "alpha beta", slop=2)[5] == 2
+
+
+def test_phrase_slop_zero_equals_consecutive(eng):
+    for q in ("alpha beta", "gamma gamma"):
+        assert _got(eng, q) == _got(eng, q, slop=0)
+
+
 def test_phrase_join_route_matches_isin_route(eng):
     # force the common-phrase fallback (join against the candidate
     # DataFrame) and prove it returns exactly what the point-lookup
