@@ -1207,6 +1207,52 @@ def _q_multimodal_wav(spark, sf_dir):
     )
 
 
+def _q_multimodal_gif(spark, sf_dir):
+    """REAL compressed-image decode #2: each doc's md5 bytes become a
+    4x4 GIF over the identity gray palette (genuine variable-width LZW
+    bitstream from the stdlib encoder), then `decode_gif_features`
+    LZW-decodes and applies the palette. GIF is lossless, so the
+    decoded RGB raster is each planted byte three times and the oracle
+    shares the PNG row's nibble algebra with 4x4x3 metadata."""
+    from itemsjs_spark.ops import gif as gifcodec
+    from itemsjs_spark.ops import multimodal as mm
+
+    ensure_shipped(spark)  # executors unpickle closures importing the codec
+    df = _documents(spark, sf_dir).select(
+        "doc_id", F.unhex(F.md5("text")).alias("pix")
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["pix"].map(
+                        lambda b: gifcodec.encode_gif(
+                            4, 4, bytes(b), gifcodec.GRAY_PALETTE
+                        )
+                    ),
+                }
+            )
+
+    payloads = df.mapInPandas(encode, schema=enc_schema)
+    decoded = mm.decode_gif_features(payloads, dims=4)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        *[F.col("features")[k].alias(f"f{k}") for k in range(4)],
+    )
+
+
 def _q_multimodal_adpcm(spark, sf_dir):
     """REAL compressed-audio decode: each doc's md5 bytes become a
     16-block IMA ADPCM stream (block k holds nine samples of value
@@ -1424,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
         "multimodal_adpcm_decode": _q_multimodal_adpcm,
+        "multimodal_gif_decode": _q_multimodal_gif,
         "phrase_near_search": _q_phrase_near,
         "langid_multilang": _q_langid_multilang,
         "fulltext_conjunctive": _ft_query("spark join", 50),
@@ -2088,6 +2135,17 @@ FROM t
         f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
         f"SELECT doc_id, 16000::INTEGER AS sample_rate, "
         f"1::INTEGER AS channels, 16::BIGINT AS n_samples, {_pngf} FROM h"
+    )
+
+    # real GIF decode: the engine LZW-encodes the md5 bytes as a 4x4
+    # identity-gray-palette GIF and decodes them back through the
+    # variable-width LZW bitstream + palette; the decoded RGB raster is
+    # each planted byte three times, so whole-pixel chunks pool to the
+    # same nibble algebra as the PNG row (with channels=3)
+    sqls["multimodal_gif_decode"] = (
+        f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
+        f"SELECT doc_id, 4::INTEGER AS width, 4::INTEGER AS height, "
+        f"3::INTEGER AS channels, {_pngf} FROM h"
     )
 
     # real IMA ADPCM decode: block k of the planted 16-block stream is
