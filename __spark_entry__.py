@@ -154,11 +154,30 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-analyzes ONLY those rows to verify adjacency and count
     occurrences — no positional index, no corpus scan."""
     eng = _doc_engine(spark, sf_dir)
-    hits = eng.phrase_hits(_PHRASE)
+    # pin the prune+verify route: the shared engine may have a
+    # positional cache built by phrase_search_positional, and this row
+    # documents the default (no-positions) physical plan
+    hits = eng.phrase_hits(_PHRASE, use_positions=False)
     return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
 
 
-_NEAR_PHRASE, _NEAR_SLOP = "big window", 2
+def _q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase contract through the OPT-IN positional-postings
+    route (enable_positions): ONE aggregation over the phrase terms'
+    position lists does the conjunctive prune and gathers per-term
+    positions; a bisect-chain Arrow kernel replays the text verifier's
+    greedy semantics. Index-only — never reads candidate text (runtime-
+    proven by a raise_error poison test). The oracle is the SAME SQL as
+    phrase_search: two physical plans, one contract."""
+    eng = _doc_engine(spark, sf_dir)
+    eng.enable_positions()
+    hits = eng.phrase_hits(_PHRASE, use_positions=True)
+    return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
+
+
+_NEAR_PHRASE, _NEAR_SLOP = "table window table", 2  # m=3 with a
+# repeated term: exercises the greedy chain beyond the pairwise window
+# AND a conjunction prune whose distinct-term count (2) < phrase length
 
 
 def _q_phrase_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,10 +190,32 @@ def _q_phrase_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phrase_near_sql(phrase: str, slop: int) -> str:
-    """Two-term proximity restated in DuckDB nested list lambdas: count
-    start positions holding term 1 with term 2 within the slop window."""
+    """m-term proximity restated in DuckDB nested list lambdas,
+    replicating the engine's greedy nearest binding exactly: each next
+    term binds to the FIRST admissible position in its slop window
+    (``[1:1]`` keeps only the first match of the ascending range), and
+    the chain recurses from there; a start position counts iff the
+    whole chain completes. Cross-validated against the engine kernel on
+    random token streams (m up to 4, duplicate-term phrases included)."""
     pipeline = build_pipeline()
-    t1, t2 = pipeline(tokenize(phrase))
+    terms = pipeline(tokenize(phrase))
+    m = len(terms)
+
+    def rec(ts: list, pos: str, d: int) -> str:
+        window = (
+            f"list_filter(range({pos} + 1, least({pos} + 1 + {slop}, "
+            f"len(terms)) + 1), x{d} -> terms[x{d}] = '{ts[0]}')"
+        )
+        if len(ts) == 1:
+            return f"len({window}) > 0"
+        return (
+            f"len(list_filter({window}[1:1], "
+            f"p{d} -> {rec(ts[1:], f'p{d}', d + 1)})) > 0"
+        )
+
+    body = f"terms[i] = '{terms[0]}'"
+    if m > 1:
+        body += f" AND {rec(terms[1:], 'i', 1)}"
     return f"""
 WITH seq AS (
   SELECT doc_id,
@@ -186,11 +227,9 @@ WITH seq AS (
 ),
 hits AS (
   SELECT doc_id AS _id,
-         len(list_filter(range(1, len(terms) + 1),
-             i -> terms[i] = '{t1}' AND len(list_filter(
-                      range(i + 1, least(i + 1 + {slop}, len(terms)) + 1),
-                      j -> terms[j] = '{t2}')) > 0))::BIGINT AS n_occurrences
-  FROM seq
+         len(list_filter(range(1, len(terms) - {m} + 2),
+                         i -> {body}))::BIGINT AS n_occurrences
+  FROM seq WHERE len(terms) >= {m}
 )
 SELECT _id, n_occurrences FROM hits WHERE n_occurrences > 0
 """
@@ -1472,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_adpcm_decode": _q_multimodal_adpcm,
         "multimodal_gif_decode": _q_multimodal_gif,
         "phrase_near_search": _q_phrase_near,
+        "phrase_search_positional": _q_phrase_positional,
         "langid_multilang": _q_langid_multilang,
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
@@ -1548,6 +1588,8 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["fulltext_single_term"] = _ft_sql("spark", 50)
     sqls["phrase_search"] = _phrase_sql(_PHRASE)
     sqls["phrase_near_search"] = _phrase_near_sql(_NEAR_PHRASE, _NEAR_SLOP)
+    # same contract as phrase_search through the positional plan
+    sqls["phrase_search_positional"] = _phrase_sql(_PHRASE)
     # WAND over compressed blocks must reproduce the exact scorer's top-k
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # half-corpus build + snapshot append == full-corpus scores exactly

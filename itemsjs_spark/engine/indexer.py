@@ -676,6 +676,66 @@ def tokenize_postings(
     )
 
 
+def tokenize_position_postings(
+    docs: DataFrame,
+    field: str,
+    configuration: Dict[str, Any],
+) -> DataFrame:
+    """Positional postings for ONE text field: (term, _docid,
+    positions array<int>) where ``positions`` are the ascending 0-based
+    indices of ``term`` in the field's ANALYZED token stream (same
+    pipeline as ``tokenize_postings``, so stopword squeeze / stemming
+    line up with the bag-of-words index and the phrase verifier).
+
+    Opt-in scale path for phrase-heavy workloads (see
+    ``SearchEngine.enable_positions``): the standard phrase plan
+    re-analyzes candidate rows' TEXT, whose cost scales with candidate
+    document length; this artifact makes phrase matching index-only —
+    cost scales with the phrase terms' posting sizes instead. The
+    positions blowup is paid only by builds that ask for it."""
+    pipeline_flags = dict(
+        is_exact_search=bool(configuration.get("isExactSearch")),
+        remove_stop_word_filter=bool(configuration.get("removeStopWordFilter")),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField(DOCID, T.LongType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def tokenize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pipeline = build_pipeline(**pipeline_flags)
+        for pdf in batches:
+            out_terms: List[str] = []
+            out_ids: List[int] = []
+            out_pos: List[List[int]] = []
+            for did, v in zip(pdf[DOCID].tolist(), pdf[field].tolist()):
+                if v is not None and not isinstance(v, (list, tuple)):
+                    if isinstance(v, np.ndarray):
+                        v = v.tolist()
+                    elif isinstance(v, float) and math.isnan(v):
+                        v = None
+                posmap: Dict[str, List[int]] = {}
+                for i, tok in enumerate(pipeline(tokenize(v))):
+                    posmap.setdefault(tok, []).append(i)
+                did = int(did)
+                for term, positions in posmap.items():
+                    out_terms.append(term)
+                    out_ids.append(did)
+                    out_pos.append(positions)
+            yield pd.DataFrame(
+                {"term": out_terms, DOCID: out_ids, "positions": out_pos}
+            )
+
+    return docs.select(DOCID, field).mapInPandas(
+        tokenize_partition, schema=out_schema
+    )
+
+
 def terms_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
     terms = postings.groupBy("term").agg(F.count("*").alias("df"))
     return terms.withColumn(

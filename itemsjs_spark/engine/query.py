@@ -174,6 +174,11 @@ class SearchEngine:
         # driver-side sorted terms dictionary (see _term_dictionary)
         self._term_dict_data: Optional[Tuple[List[str], List[float]]] = None
         self._term_dict_checked = False
+        # opt-in positional postings (enable_positions): field ->
+        # DataFrame(term, _docid, positions) cached hash-partitioned by
+        # _docid so the phrase conjunction+verify aggregate needs no
+        # exchange
+        self._positions: Dict[str, DataFrame] = {}
 
     def release_expansion_caches(self) -> None:
         """Unpersist the distributed-expansion term-vector caches created
@@ -855,8 +860,135 @@ class SearchEngine:
             .select(DOCID, SCORE)
         )
 
+    def _phrase_field(self, field: Optional[str]) -> Optional[str]:
+        """Resolve the text field a phrase query runs over (first
+        registered searchable field by default, as documented on
+        ``phrase_hits``); None when the index has no text field."""
+        idx = self.index
+        if field is None:
+            present = [f for f, _ in idx.text_fields if f in idx.docs.columns]
+            return present[0] if present else None
+        if field not in idx.docs.columns:
+            raise EngineError(f"unknown phrase field {field!r}")
+        return field
+
+    def enable_positions(self, field: Optional[str] = None) -> DataFrame:
+        """Build (once) and pin the positional posting cache for
+        ``field`` — the opt-in scale path for phrase-HEAVY workloads.
+        The default plan re-analyzes candidate docs' text per phrase
+        query (cost ∝ candidate text bytes, right when phrases are
+        rare); with positions built, phrase cost is ∝ the phrase
+        terms' posting sizes and never touches the corpus. The cache is
+        hash-partitioned by ``_docid`` like the scoring postings, so
+        the phrase aggregate runs exchange-free; in a deployment this
+        is a persisted parquet table partitioned the same way."""
+        field = self._phrase_field(field)
+        if field is None:
+            raise EngineError("index has no text field for positions")
+        cached = self._positions.get(field)
+        if cached is not None:
+            return cached
+        from .indexer import tokenize_position_postings
+
+        n_part = max(self.spark.sparkContext.defaultParallelism, 1)
+        pos = (
+            tokenize_position_postings(
+                self.index.docs, field, self.configuration
+            )
+            .repartition(n_part, F.col(DOCID))
+            .persist()
+        )
+        pos.count()
+        self._positions[field] = pos
+        return pos
+
+    def release_positions(self) -> None:
+        """Unpersist every positional cache built by enable_positions."""
+        for df in self._positions.values():
+            df.unpersist()
+        self._positions.clear()
+
+    def _phrase_hits_positional(
+        self, pos_df: DataFrame, terms: Sequence[str], slop: int
+    ) -> DataFrame:
+        """Index-only phrase matching from positional postings: ONE
+        aggregation over the selected terms' position rows does the
+        conjunctive prune (all distinct terms present) AND gathers each
+        candidate's per-term position lists; a bisect-chain Arrow
+        kernel then replays the exact greedy semantics of the text
+        verifier. No corpus read, no second job — at 10^12 turns the
+        cost is the phrase terms' posting sizes, full stop."""
+        distinct = sorted(set(terms))
+        sel = pos_df.filter(F.col("term").isin(list(distinct)))
+        grouped = (
+            sel.groupBy(DOCID)
+            .agg(F.collect_list(F.struct("term", "positions")).alias("tp"))
+            .filter(F.size("tp") == len(distinct))
+            .select(
+                DOCID,
+                F.col("tp.term").alias("ts"),
+                F.col("tp.positions").alias("ps"),
+            )
+        )
+        phrase_terms = tuple(terms)
+        win = int(slop)
+        out_schema = T.StructType(
+            [
+                T.StructField(DOCID, T.LongType()),
+                T.StructField("n_occurrences", T.LongType()),
+            ]
+        )
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from bisect import bisect_right
+
+            first = phrase_terms[0]
+            rest = phrase_terms[1:]
+            for pdf in batches:
+                ids: List[int] = []
+                occ: List[int] = []
+                for did, ts, ps in zip(pdf[DOCID], pdf["ts"], pdf["ps"]):
+                    posmap = {t: p for t, p in zip(ts, ps)}
+                    starts = posmap.get(first)
+                    if starts is None:
+                        continue
+                    n = 0
+                    for i in starts:
+                        pos = int(i)
+                        complete = True
+                        for t in rest:
+                            lst = posmap.get(t)
+                            if lst is None:
+                                complete = False
+                                break
+                            # greedy nearest binding: smallest position
+                            # strictly after pos, within the slop window
+                            k = bisect_right(lst, pos)
+                            if k < len(lst) and int(lst[k]) <= pos + 1 + win:
+                                pos = int(lst[k])
+                            else:
+                                complete = False
+                                break
+                        if complete:
+                            n += 1
+                    if n:
+                        ids.append(int(did))
+                        occ.append(n)
+                yield pd.DataFrame(
+                    {
+                        DOCID: pd.Series(ids, dtype="int64"),
+                        "n_occurrences": pd.Series(occ, dtype="int64"),
+                    }
+                )
+
+        return grouped.mapInPandas(verify, schema=out_schema)
+
     def phrase_hits(
-        self, phrase: str, field: Optional[str] = None, slop: int = 0
+        self,
+        phrase: str,
+        field: Optional[str] = None,
+        slop: int = 0,
+        use_positions: Optional[bool] = None,
     ) -> DataFrame:
         """DataFrame (_docid, n_occurrences) of docs whose analyzed token
         stream contains the phrase's analyzed terms CONSECUTIVELY — or,
@@ -877,11 +1009,15 @@ class SearchEngine:
         verify adjacency — fetched as docid point lookups (IN filter,
         row-group pruning) for rare phrases, or as a two-column
         projection joined against the candidate set for common ones.
-        No positional index (a 3-5x postings blowup paid by every
-        build, phrase query or not) and no corpus-wide re-analysis:
-        phrase cost scales with the rarest term's document frequency,
-        the right trade when phrase queries are rare relative to corpus
-        size. Adjacency is defined over the FILTERED token sequence
+        No positional index by default (a 3-5x postings blowup paid by
+        every build, phrase query or not) and no corpus-wide
+        re-analysis: phrase cost scales with the rarest term's document
+        frequency, the right trade when phrase queries are rare
+        relative to corpus size. Phrase-HEAVY workloads can opt into
+        ``enable_positions`` instead — then matching is index-only
+        (``_phrase_hits_positional``) and never fetches candidate text.
+        Both routes implement identical semantics (equality-tested).
+        Adjacency is defined over the FILTERED token sequence
         (post stopword/stemming) — the standard semantics when the
         index stores no stopword positions; overlapping occurrences
         each count.
@@ -893,13 +1029,19 @@ class SearchEngine:
         terms = self.pipeline(tokenize(phrase))
         if not terms:
             return empty
+        field = self._phrase_field(field)
         if field is None:
-            present = [f for f, _ in idx.text_fields if f in idx.docs.columns]
-            if not present:
-                return empty
-            field = present[0]
-        elif field not in idx.docs.columns:
-            raise EngineError(f"unknown phrase field {field!r}")
+            return empty
+
+        # positional route: auto when the field's positional cache was
+        # built (enable_positions), forceable either way for tests/A-B
+        pos_df = self._positions.get(field)
+        if use_positions is None:
+            use_positions = pos_df is not None
+        if use_positions:
+            if pos_df is None:
+                pos_df = self.enable_positions(field)
+            return self._phrase_hits_positional(pos_df, terms, slop)
 
         self._ensure_fulltext_materialized()
         distinct = sorted(set(terms))

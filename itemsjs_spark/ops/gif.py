@@ -79,6 +79,16 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         prefix = bytes([b])
     if prefix:
         emit(table[prefix], width)
+        # the decoder adds a table entry after EVERY data code — also
+        # after this final one, whose entry the encoder never uses.
+        # Mirror the width bookkeeping (without storing the entry) so
+        # EOI is emitted at the width the decoder will read it with
+        # when the growth boundary lands exactly on the last code.
+        # (When this code is the first after a clear the decoder skips
+        # the add, but growth can't trigger there for min_code_size>=2.)
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -93,6 +93,40 @@ def test_phrase_slop_zero_equals_consecutive(eng):
         assert _got(eng, q) == _got(eng, q, slop=0)
 
 
+@pytest.fixture(scope="module")
+def eng3(spark):
+    """Corpus for m>2 chains: cases where greedy nearest binding and a
+    lazy (backtracking) binding DISAGREE, pinning the greedy semantics
+    the DuckDB oracle replicates."""
+    items = [
+        # greedy binds beta@1, gamma then misses its slop-1 window
+        # (a lazy binder would pick beta@3 and succeed via gamma@4)
+        {"id": 1, "text": "alpha beta x beta gamma"},
+        # window arithmetic along the chain: beta@2, gamma@6
+        {"id": 2, "text": "alpha x beta x x x gamma"},
+        # duplicate-term m=3 phrase, consecutive
+        {"id": 3, "text": "beta gamma beta"},
+    ]
+    return itemsjs_spark(
+        spark, items, {"searchableFields": ["text"], "custom_id_field": "id"}
+    )
+
+
+def test_phrase_m3_greedy_binding_is_pinned(eng3):
+    # slop 1: greedy fails on doc 1 (no backtracking), nothing else has
+    # the chain within window
+    assert _got(eng3, "alpha beta gamma", slop=1) == {}
+    # slop 2: greedy beta@1 -> gamma@4 completes on doc 1
+    assert _got(eng3, "alpha beta gamma", slop=2) == {1: 1}
+    # slop 3: doc 2's wider gaps come in too
+    assert _got(eng3, "alpha beta gamma", slop=3) == {1: 1, 2: 1}
+
+
+def test_phrase_m3_duplicate_term(eng3):
+    assert _got(eng3, "beta gamma beta") == {3: 1}
+    assert _got(eng3, "beta gamma beta", slop=1) == {3: 1}
+
+
 def test_phrase_join_route_matches_isin_route(eng):
     # force the common-phrase fallback (join against the candidate
     # DataFrame) and prove it returns exactly what the point-lookup
@@ -110,3 +144,103 @@ def test_phrase_unknown_field_raises(eng):
 
     with pytest.raises(EngineError):
         eng.phrase_hits("alpha beta", field="nope")
+
+
+# --- positional route (enable_positions): index-only phrase matching ---
+
+PHRASE_CASES = [
+    ("alpha beta", 0),
+    ("alpha beta", 2),
+    ("beta alpha", 1),
+    ("gamma gamma", 0),
+    ("gamma", 0),
+    ("runs quickly", 0),
+    ("beta delta", 0),
+    ("alpha gamma", 1),
+]
+
+
+def test_positional_route_matches_text_route(eng):
+    eng.enable_positions()
+    try:
+        for phrase, slop in PHRASE_CASES:
+            text = _got(eng, phrase, slop=slop, use_positions=False)
+            positional = _got(eng, phrase, slop=slop, use_positions=True)
+            assert positional == text, (phrase, slop)
+        # auto-routing: once built, the default routes positionally
+        assert _got(eng, "alpha beta") == _got(
+            eng, "alpha beta", use_positions=False
+        )
+    finally:
+        eng.release_positions()
+
+
+def test_positional_route_m3_greedy(eng3):
+    eng3.enable_positions()
+    try:
+        for phrase, slop in [
+            ("alpha beta gamma", 1),
+            ("alpha beta gamma", 2),
+            ("alpha beta gamma", 3),
+            ("beta gamma beta", 0),
+            ("beta gamma beta", 1),
+        ]:
+            assert _got(eng3, phrase, slop=slop, use_positions=True) == _got(
+                eng3, phrase, slop=slop, use_positions=False
+            ), (phrase, slop)
+    finally:
+        eng3.release_positions()
+
+
+def test_positional_route_is_index_only(eng):
+    """Runtime proof the positional plan never touches corpus text:
+    poison the docs text column with raise_error — the positional route
+    still answers (it never evaluates the column), the text route
+    fails."""
+    from pyspark.sql import functions as F
+
+    want = _got(eng, "alpha beta", use_positions=False)
+    eng.enable_positions()
+    real_docs = eng.index.docs
+    eng.index.docs = real_docs.withColumn(
+        "text", F.raise_error(F.lit("corpus text was read")).cast("string")
+    )
+    try:
+        assert _got(eng, "alpha beta", use_positions=True) == want and want
+        with pytest.raises(Exception, match="corpus text was read"):
+            _got(eng, "alpha beta", use_positions=False)
+    finally:
+        eng.index.docs = real_docs
+        eng.release_positions()
+
+
+def test_positional_random_differential(spark):
+    """Random token streams x random phrases: the positional kernel and
+    the text verifier implement one semantics."""
+    import random
+
+    rng = random.Random(31)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    items = [
+        {
+            "id": i + 1,
+            "text": " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(0, 12))
+            ),
+        }
+        for i in range(60)
+    ]
+    e = itemsjs_spark(
+        spark, items, {"searchableFields": ["text"], "custom_id_field": "id"}
+    )
+    e.enable_positions()
+    try:
+        for _ in range(8):
+            m = rng.choice([1, 2, 3, 4])
+            phrase = " ".join(rng.choice(vocab) for _ in range(m))
+            slop = rng.choice([0, 1, 2])
+            assert _got(e, phrase, slop=slop, use_positions=True) == _got(
+                e, phrase, slop=slop, use_positions=False
+            ), (phrase, slop)
+    finally:
+        e.release_positions()
