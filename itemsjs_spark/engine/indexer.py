@@ -331,6 +331,13 @@ class Index:
     # when set, conjunctive facet filters can run as index-side set
     # algebra instead of corpus scans
     facet_posting_blocks: Optional[DataFrame] = None
+    # opt-in positional postings (field, term, _docid, positions) for
+    # phrase-heavy deployments (SearchEngine.enable_positions); written
+    # sorted by (field, term) so phrase-term selection prunes row
+    # groups. positional_fields mirrors the stored fields so readers
+    # know coverage without a job
+    positional: Optional[DataFrame] = None
+    positional_fields: List[str] = dc_field(default_factory=list)
 
     def postings_subset(self, terms: Sequence[str]) -> DataFrame:
         """Row-level postings restricted to ``terms`` — THE read API for
@@ -396,6 +403,17 @@ class Index:
             ).sortWithinPartitions("term").write.mode("overwrite").parquet(
                 os.path.join(path, "terms")
             )
+        if self.positional is not None:
+            (
+                self.positional.repartitionByRange(
+                    max(self.spark.sparkContext.defaultParallelism, 1),
+                    "field",
+                    "term",
+                )
+                .sortWithinPartitions("field", "term", DOCID)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "positional"))
+            )
         self._write_meta(path)
 
     def _write_meta(self, path: str) -> None:
@@ -406,6 +424,7 @@ class Index:
             "facet_fields": self.facet_fields,
             "text_fields": self.text_fields,
             "configuration": _json_safe(self.configuration),
+            "positional_fields": self.positional_fields,
         }
         _HadoopFS(self.spark, path).write_text(
             os.path.join(path, "meta.json"), json.dumps(meta)
@@ -486,6 +505,9 @@ class Index:
             blocks = read_blocks(spark, os.path.join(path, "posting_blocks"))
         if fs.exists(os.path.join(path, "facet_blocks")):
             fblocks = spark.read.parquet(os.path.join(path, "facet_blocks"))
+        positional = None
+        if fs.exists(os.path.join(path, "positional")):
+            positional = spark.read.parquet(os.path.join(path, "positional"))
         return Index(
             spark=spark,
             docs=spark.read.parquet(os.path.join(path, "docs")),
@@ -498,6 +520,8 @@ class Index:
             configuration=meta["configuration"],
             posting_blocks=blocks,
             facet_posting_blocks=fblocks,
+            positional=positional,
+            positional_fields=list(meta.get("positional_fields") or []),
         )
 
 

@@ -888,17 +888,30 @@ class SearchEngine:
         cached = self._positions.get(field)
         if cached is not None:
             return cached
-        from .indexer import tokenize_position_postings
-
+        idx = self.index
         n_part = max(self.spark.sparkContext.defaultParallelism, 1)
-        pos = (
-            tokenize_position_postings(
-                self.index.docs, field, self.configuration
-            )
-            .repartition(n_part, F.col(DOCID))
-            .persist()
-        )
+        if idx.positional is not None and field in idx.positional_fields:
+            # a persisted index already carries the artifact: pin the
+            # field's slice instead of re-tokenizing the corpus
+            pos = idx.positional.filter(F.col("field") == field).drop("field")
+        else:
+            from .indexer import tokenize_position_postings
+
+            pos = tokenize_position_postings(idx.docs, field, self.configuration)
+        pos = pos.repartition(n_part, F.col(DOCID)).persist()
         pos.count()
+        if field not in idx.positional_fields:
+            # attach the MATERIALIZED frame to the index so Index.write
+            # persists positions without re-running the tokenizer
+            tagged = pos.select(
+                F.lit(field).alias("field"), "term", DOCID, "positions"
+            )
+            idx.positional = (
+                tagged
+                if idx.positional is None
+                else idx.positional.unionByName(tagged)
+            )
+            idx.positional_fields = [*idx.positional_fields, field]
         self._positions[field] = pos
         return pos
 
@@ -1034,8 +1047,17 @@ class SearchEngine:
             return empty
 
         # positional route: auto when the field's positional cache was
-        # built (enable_positions), forceable either way for tests/A-B
+        # built (enable_positions) or a persisted index carries the
+        # artifact; forceable either way for tests/A-B
         pos_df = self._positions.get(field)
+        if pos_df is None and idx.positional is not None and (
+            field in idx.positional_fields
+        ):
+            # disk-backed store, used lazily: the term-isin selection
+            # below prunes the (field, term)-sorted parquet row groups
+            pos_df = idx.positional.filter(F.col("field") == field).drop(
+                "field"
+            )
         if use_positions is None:
             use_positions = pos_df is not None
         if use_positions:

@@ -214,6 +214,43 @@ def test_positional_route_is_index_only(eng):
         eng.release_positions()
 
 
+def test_positional_survives_index_write_read(spark, tmp_path):
+    """enable_positions attaches the artifact to the index; write/read
+    round-trips it and phrase queries on the reopened index auto-route
+    positionally — without re-tokenizing (poison-proven) and with
+    results equal to the original engine's."""
+    from pyspark.sql import functions as F
+
+    from itemsjs_spark.engine import SearchEngine
+    from itemsjs_spark.engine.indexer import Index
+
+    items = [
+        {"id": 1, "text": "alpha beta gamma"},
+        {"id": 2, "text": "beta alpha beta"},
+        {"id": 3, "text": "alpha the beta"},
+        {"id": 4, "text": "beta gamma alpha"},
+    ]
+    e = itemsjs_spark(
+        spark, items, {"searchableFields": ["text"], "custom_id_field": "id"}
+    )
+    e.enable_positions()
+    want = _got(e, "alpha beta", use_positions=True)
+    want_slop = _got(e, "beta alpha", slop=1, use_positions=True)
+    path = str(tmp_path / "idx_pos")
+    e.index.write(path)
+    e.release_positions()
+
+    idx2 = Index.read(spark, path)
+    assert idx2.positional_fields == ["text"]
+    e2 = SearchEngine(idx2)
+    # poison the reopened corpus text: auto-routing must go positional
+    idx2.docs = idx2.docs.withColumn(
+        "text", F.raise_error(F.lit("corpus text was read")).cast("string")
+    )
+    assert _got(e2, "alpha beta") == want and want
+    assert _got(e2, "beta alpha", slop=1) == want_slop and want_slop
+
+
 def test_positional_random_differential(spark):
     """Random token streams x random phrases: the positional kernel and
     the text verifier implement one semantics."""
