@@ -175,6 +175,25 @@ def _q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
 
 
+_QUOTED_QUERY = 'fast "value a table"'  # phrase constraint + loose term
+
+
+def _q_search_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search({query}) with the quoted-phrase extension syntax: the
+    quoted segment is a phrase CONSTRAINT (phrase_hits semantics —
+    stopword squeeze applies) while every word, quoted or not, scores
+    in the usual lunr bag. Standard search path: the WAND fast routes
+    decline quoted queries (gate-tested)."""
+    eng = _doc_engine(spark, sf_dir)
+    res = eng.search({"query": _QUOTED_QUERY, "per_page": 12})
+    total = int(res["pagination"]["total"])
+    rows = [
+        (i + 1, int(it["doc_id"]), total)
+        for i, it in enumerate(res["data"]["items"])
+    ]
+    return spark.createDataFrame(rows, "pos long, _id long, total long")
+
+
 _NEAR_PHRASE, _NEAR_SLOP = "table window table", 2  # m=3 with a
 # repeated term: exercises the greedy chain beyond the pairwise window
 # AND a conjunction prune whose distinct-term count (2) < phrase length
@@ -1512,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": _q_multimodal_gif,
         "phrase_near_search": _q_phrase_near,
         "phrase_search_positional": _q_phrase_positional,
+        "search_quoted_phrase": _q_search_quoted,
         "langid_multilang": _q_langid_multilang,
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
@@ -1590,6 +1610,17 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["phrase_near_search"] = _phrase_near_sql(_NEAR_PHRASE, _NEAR_SLOP)
     # same contract as phrase_search through the positional plan
     sqls["phrase_search_positional"] = _phrase_sql(_PHRASE)
+    # quoted-phrase search: lunr bag scoring over the quote-stripped
+    # text, restricted to the phrase matchers, paged like the endpoint
+    sqls["search_quoted_phrase"] = (
+        f"WITH p AS (SELECT _id FROM ({_phrase_sql('value a table')}) x), "
+        f"f AS (SELECT q._id, q.score FROM ({_ft_sql('fast value a table', 10**9)}) q "
+        "JOIN p USING (_id)) "
+        "SELECT row_number() OVER (ORDER BY score DESC, "
+        "CAST(_id AS VARCHAR) ASC) AS pos, _id, "
+        "(SELECT count(*) FROM f)::BIGINT AS total "
+        "FROM f ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT 12"
+    )
     # WAND over compressed blocks must reproduce the exact scorer's top-k
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # half-corpus build + snapshot append == full-corpus scores exactly

@@ -20,6 +20,7 @@ Plan shapes (scale rationale):
 from __future__ import annotations
 
 import math
+import re
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import pandas as pd
@@ -53,6 +54,20 @@ def _js_truthy(v: Any) -> bool:
         or v == ""
         or (isinstance(v, float) and math.isnan(v))
     )
+
+
+_QUOTED_RE = re.compile(r'"([^"]*)"')
+
+
+def parse_quoted_query(query: str) -> Tuple[str, List[str]]:
+    """Extension syntax for ``search({query})``: double-quoted segments
+    are PHRASE CONSTRAINTS (must appear in order/adjacent, phrase_hits
+    semantics) while every word — quoted or not — still scores in the
+    usual lunr bag. Returns (query with the quote characters stripped,
+    list of non-empty quoted segments). An unbalanced trailing quote is
+    lenient: the tail reads as unquoted text."""
+    phrases = [p.strip() for p in _QUOTED_RE.findall(query)]
+    return query.replace('"', " "), [p for p in phrases if p]
 
 
 def _parse_paging(input: Dict[str, Any]) -> Tuple[int, int]:
@@ -1296,7 +1311,17 @@ class SearchEngine:
             )
         if input.get("query") or input.get("filter"):
             if input.get("query"):
-                hits = self.fulltext_hits(input["query"])
+                qtext = str(input["query"])
+                phrases: List[str] = []
+                if '"' in qtext:
+                    qtext, phrases = parse_quoted_query(qtext)
+                hits = self.fulltext_hits(qtext)
+                for ph in phrases:
+                    if not self.pipeline(tokenize(ph)):
+                        continue  # stopword-only quote: vacuous
+                    hits = hits.join(
+                        self.phrase_hits(ph).select(DOCID), DOCID, "left_semi"
+                    )
             else:
                 # filter-only: reference keeps input order (fulltext.search
                 # without query returns items in input order)
@@ -1557,6 +1582,8 @@ class SearchEngine:
         membership count (no per-doc score materialization anywhere)."""
         return bool(
             input.get("query")
+            # quoted segments add phrase constraints WAND can't see
+            and '"' not in str(input.get("query"))
             and self.index.posting_blocks is not None
             and not self.index.facet_fields
             and not input.get("sort")
@@ -1727,6 +1754,8 @@ class SearchEngine:
         filters = input.get("filters") or {}
         if not (
             input.get("query")
+            # quoted segments add phrase constraints WAND can't see
+            and '"' not in str(input.get("query"))
             and filters
             and idx.posting_blocks is not None
             and idx.facet_posting_blocks is not None

@@ -146,6 +146,56 @@ def test_phrase_unknown_field_raises(eng):
         eng.phrase_hits("alpha beta", field="nope")
 
 
+# --- quoted-phrase syntax in search({query}) ---
+
+
+def test_search_quoted_phrase_restricts_and_scores(eng):
+    # pure quoted query: bag (conjunctive, lunr 1.x) over the phrase
+    # words restricted to the actual phrase matchers
+    res = eng.search({"query": '"alpha beta"', "per_page": 10})
+    ids = [it["id"] for it in res["data"]["items"]]
+    assert set(ids) == {1, 2, 3, 5}  # adjacency rejects doc 4
+    assert res["pagination"]["total"] == 4
+    # order equals the plain bag search's order restricted to the set
+    bag = eng.search({"query": "alpha beta", "per_page": 10})
+    keep = [it["id"] for it in bag["data"]["items"] if it["id"] in {1, 2, 3, 5}]
+    assert ids == keep
+    # loose terms still participate in the (conjunctive) bag: adding
+    # gamma narrows to docs holding all three AND the phrase
+    res2 = eng.search({"query": 'gamma "alpha beta"', "per_page": 10})
+    assert [it["id"] for it in res2["data"]["items"]] == [1]
+    assert res2["pagination"]["total"] == 1
+
+
+def test_search_quoted_stopword_only_is_vacuous(eng):
+    got = eng.search({"query": 'alpha "the"', "per_page": 10})
+    want = eng.search({"query": "alpha the", "per_page": 10})
+    assert [i["id"] for i in got["data"]["items"]] == [
+        i["id"] for i in want["data"]["items"]
+    ]
+    assert got["pagination"]["total"] == want["pagination"]["total"]
+
+
+def test_search_quoted_no_match_is_empty(eng):
+    res = eng.search({"query": '"beta delta"', "per_page": 10})
+    assert res["data"]["items"] == []
+    assert res["pagination"]["total"] == 0
+
+
+def test_quoted_query_declines_wand_gate(eng):
+    # a block-backed engine must NOT route quoted queries through WAND
+    # (the phrase constraint lives outside the block scorer)
+    import dataclasses
+
+    from itemsjs_spark.engine import SearchEngine
+
+    e2 = SearchEngine(
+        dataclasses.replace(eng.index, posting_blocks=eng.index.docs)
+    )
+    assert e2._wand_search_applies({"query": "alpha"})
+    assert not e2._wand_search_applies({"query": '"alpha beta"'})
+
+
 # --- positional route (enable_positions): index-only phrase matching ---
 
 PHRASE_CASES = [
