@@ -1061,6 +1061,21 @@ def append_index(
             F.lit(1.0) + F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
         )
 
+    # positional artifact appends the same way the bag index does:
+    # ONLY the delta is position-tokenized (positions are per-document
+    # token indices, so old rows are untouched by new snapshots)
+    positional = index.positional
+    if positional is not None and index.positional_fields:
+        deltas = [
+            tokenize_position_postings(new_docs, fld, configuration).select(
+                F.lit(fld).alias("field"), "term", DOCID, "positions"
+            )
+            for fld in index.positional_fields
+            if fld in new_docs.columns
+        ]
+        for d in deltas:
+            positional = positional.unionByName(d)
+
     return Index(
         spark=spark,
         docs=docs,
@@ -1071,4 +1086,6 @@ def append_index(
         facet_fields=index.facet_fields,
         text_fields=index.text_fields,
         configuration=configuration,
+        positional=positional,
+        positional_fields=list(index.positional_fields),
     )

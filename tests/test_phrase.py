@@ -301,6 +301,33 @@ def test_positional_survives_index_write_read(spark, tmp_path):
     assert _got(e2, "beta alpha", slop=1) == want_slop and want_slop
 
 
+def test_positional_survives_append(spark):
+    """Snapshot append extends the positional artifact by tokenizing
+    ONLY the delta; phrase results on the appended engine (positional
+    auto-route) equal a full rebuild's text route."""
+    base = [
+        {"id": 1, "text": "alpha beta gamma"},
+        {"id": 2, "text": "beta gamma alpha"},
+    ]
+    delta = [
+        {"id": 3, "text": "alpha beta alpha beta"},
+        {"id": 4, "text": "gamma gamma"},
+    ]
+    cfg = {"searchableFields": ["text"], "custom_id_field": "id"}
+    e = itemsjs_spark(spark, base, cfg, docid_col="id")
+    e.enable_positions()
+    delta_df = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in delta], "id long, text string"
+    )
+    appended = e.append(delta_df, docid_col="id")
+    assert appended.index.positional_fields == ["text"]
+    full = itemsjs_spark(spark, base + delta, cfg, docid_col="id")
+    for phrase, slop in [("alpha beta", 0), ("gamma gamma", 0), ("beta alpha", 1)]:
+        got = _got(appended, phrase, slop=slop)  # auto-routes positional
+        want = _got(full, phrase, slop=slop, use_positions=False)
+        assert got == want, (phrase, slop)
+
+
 def test_positional_random_differential(spark):
     """Random token streams x random phrases: the positional kernel and
     the text verifier implement one semantics."""
