@@ -182,6 +182,28 @@ def test_search_quoted_no_match_is_empty(eng):
     assert res["pagination"]["total"] == 0
 
 
+def test_aggregation_quoted_query(spark):
+    """The aggregation endpoint delegates to search(), so quoted-phrase
+    constraints flow into facet bucket counts too."""
+    items = [
+        {"id": 1, "text": "alpha beta", "tag": "x"},
+        {"id": 2, "text": "beta alpha", "tag": "x"},
+        {"id": 3, "text": "alpha beta", "tag": "y"},
+    ]
+    e = itemsjs_spark(
+        spark,
+        items,
+        {
+            "searchableFields": ["text"],
+            "aggregations": {"tag": {"size": 10}},
+            "custom_id_field": "id",
+        },
+    )
+    res = e.aggregation({"name": "tag", "query": '"alpha beta"'})
+    buckets = {b["key"]: b["doc_count"] for b in res["data"]["buckets"]}
+    assert buckets.get("x") == 1 and buckets.get("y") == 1  # doc 2 rejected
+
+
 def test_quoted_query_declines_wand_gate(eng):
     # a block-backed engine must NOT route quoted queries through WAND
     # (the phrase constraint lives outside the block scorer)
