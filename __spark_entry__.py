@@ -175,6 +175,18 @@ def _q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
 
 
+def _q_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phrase_hits(with_positions=True): the matching start token
+    indices per doc — the highlight/snippet primitive (at 10^12 turns
+    you return positions from the verify pass; you never re-scan text
+    to find where a hit was)."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.phrase_hits(_PHRASE, use_positions=False, with_positions=True)
+    return hits.select(
+        F.col(DOCID).alias("_id"), "n_occurrences", "match_positions"
+    )
+
+
 _QUOTED_QUERY = 'fast "value a table"'  # phrase constraint + loose term
 
 
@@ -254,17 +266,27 @@ SELECT _id, n_occurrences FROM hits WHERE n_occurrences > 0
 """
 
 
-def _phrase_sql(phrase: str) -> str:
+def _phrase_sql(phrase: str, with_positions: bool = False) -> str:
     """The phrase semantics restated independently in DuckDB list
     algebra: rebuild the analyzed token sequence per doc (split, filter
     stopwords/empties, stem), then count start positions where every
-    phrase term matches consecutively."""
+    phrase term matches consecutively. With ``with_positions`` the
+    matching start positions themselves come back (0-based, mirroring
+    the engine's token indices — DuckDB lists are 1-based, hence -1)."""
     pipeline = build_pipeline()
     terms = pipeline(tokenize(phrase))
     m = len(terms)
     adj = " AND ".join(
         f"terms[i + {j}] = '{t}'" for j, t in enumerate(terms)
     )
+    extra_col = ""
+    extra_out = ""
+    if with_positions:
+        extra_col = (
+            ",\n         list_transform(list_filter(range(1, len(terms) - "
+            f"{m} + 2), i -> {adj}), i -> (i - 1)::INT) AS match_positions"
+        )
+        extra_out = ", match_positions"
     return f"""
 WITH seq AS (
   SELECT doc_id,
@@ -277,10 +299,10 @@ WITH seq AS (
 hits AS (
   SELECT doc_id AS _id,
          len(list_filter(range(1, len(terms) - {m} + 2),
-                         i -> {adj}))::BIGINT AS n_occurrences
+                         i -> {adj}))::BIGINT AS n_occurrences{extra_col}
   FROM seq WHERE len(terms) >= {m}
 )
-SELECT _id, n_occurrences FROM hits WHERE n_occurrences > 0
+SELECT _id, n_occurrences{extra_out} FROM hits WHERE n_occurrences > 0
 """
 
 
@@ -1532,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_near_search": _q_phrase_near,
         "phrase_search_positional": _q_phrase_positional,
         "search_quoted_phrase": _q_search_quoted,
+        "phrase_match_positions": _q_phrase_positions,
         "langid_multilang": _q_langid_multilang,
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
@@ -1610,6 +1633,7 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["phrase_near_search"] = _phrase_near_sql(_NEAR_PHRASE, _NEAR_SLOP)
     # same contract as phrase_search through the positional plan
     sqls["phrase_search_positional"] = _phrase_sql(_PHRASE)
+    sqls["phrase_match_positions"] = _phrase_sql(_PHRASE, with_positions=True)
     # quoted-phrase search: lunr bag scoring over the quote-stripped
     # text, restricted to the phrase matchers, paged like the endpoint
     sqls["search_quoted_phrase"] = (

@@ -56,6 +56,32 @@ def _js_truthy(v: Any) -> bool:
     )
 
 
+def _phrase_out_schema(with_positions: bool) -> T.StructType:
+    from .indexer import DOCID as _docid
+
+    fields = [
+        T.StructField(_docid, T.LongType()),
+        T.StructField("n_occurrences", T.LongType()),
+    ]
+    if with_positions:
+        fields.append(
+            T.StructField("match_positions", T.ArrayType(T.IntegerType()))
+        )
+    return T.StructType(fields)
+
+
+def _phrase_out_pdf(ids, occ, mp, with_positions: bool) -> pd.DataFrame:
+    from .indexer import DOCID as _docid
+
+    data = {
+        _docid: pd.Series(ids, dtype="int64"),
+        "n_occurrences": pd.Series(occ, dtype="int64"),
+    }
+    if with_positions:
+        data["match_positions"] = pd.Series(mp, dtype="object")
+    return pd.DataFrame(data)
+
+
 _QUOTED_RE = re.compile(r'"([^"]*)"')
 
 
@@ -937,7 +963,11 @@ class SearchEngine:
         self._positions.clear()
 
     def _phrase_hits_positional(
-        self, pos_df: DataFrame, terms: Sequence[str], slop: int
+        self,
+        pos_df: DataFrame,
+        terms: Sequence[str],
+        slop: int,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Index-only phrase matching from positional postings: ONE
         aggregation over the selected terms' position rows does the
@@ -960,12 +990,8 @@ class SearchEngine:
         )
         phrase_terms = tuple(terms)
         win = int(slop)
-        out_schema = T.StructType(
-            [
-                T.StructField(DOCID, T.LongType()),
-                T.StructField("n_occurrences", T.LongType()),
-            ]
-        )
+        with_pos = bool(with_positions)
+        out_schema = _phrase_out_schema(with_pos)
 
         def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bisect import bisect_right
@@ -975,12 +1001,13 @@ class SearchEngine:
             for pdf in batches:
                 ids: List[int] = []
                 occ: List[int] = []
+                mp: List[List[int]] = []
                 for did, ts, ps in zip(pdf[DOCID], pdf["ts"], pdf["ps"]):
                     posmap = {t: p for t, p in zip(ts, ps)}
                     starts = posmap.get(first)
                     if starts is None:
                         continue
-                    n = 0
+                    matched: List[int] = []
                     for i in starts:
                         pos = int(i)
                         complete = True
@@ -998,16 +1025,13 @@ class SearchEngine:
                                 complete = False
                                 break
                         if complete:
-                            n += 1
-                    if n:
+                            matched.append(int(i))
+                    if matched:
                         ids.append(int(did))
-                        occ.append(n)
-                yield pd.DataFrame(
-                    {
-                        DOCID: pd.Series(ids, dtype="int64"),
-                        "n_occurrences": pd.Series(occ, dtype="int64"),
-                    }
-                )
+                        occ.append(len(matched))
+                        if with_pos:
+                            mp.append(matched)
+                yield _phrase_out_pdf(ids, occ, mp, with_pos)
 
         return grouped.mapInPandas(verify, schema=out_schema)
 
@@ -1017,8 +1041,11 @@ class SearchEngine:
         field: Optional[str] = None,
         slop: int = 0,
         use_positions: Optional[bool] = None,
+        with_positions: bool = False,
     ) -> DataFrame:
-        """DataFrame (_docid, n_occurrences) of docs whose analyzed token
+        """DataFrame (_docid, n_occurrences[, match_positions when
+        ``with_positions`` — the ascending 0-based start token indices,
+        the highlight/snippet primitive]) of docs whose analyzed token
         stream contains the phrase's analyzed terms CONSECUTIVELY — or,
         with ``slop`` > 0, IN ORDER with at most ``slop`` other tokens
         between consecutive phrase terms (greedy nearest match: each
@@ -1052,7 +1079,7 @@ class SearchEngine:
         """
         idx = self.index
         empty = self.spark.createDataFrame(
-            [], f"{DOCID} long, n_occurrences long"
+            [], _phrase_out_schema(bool(with_positions))
         )
         terms = self.pipeline(tokenize(phrase))
         if not terms:
@@ -1078,7 +1105,9 @@ class SearchEngine:
         if use_positions:
             if pos_df is None:
                 pos_df = self.enable_positions(field)
-            return self._phrase_hits_positional(pos_df, terms, slop)
+            return self._phrase_hits_positional(
+                pos_df, terms, slop, with_positions=with_positions
+            )
 
         self._ensure_fulltext_materialized()
         distinct = sorted(set(terms))
@@ -1117,12 +1146,8 @@ class SearchEngine:
         phrase_terms = tuple(terms)
         fld = field
         win = int(slop)
-        out_schema = T.StructType(
-            [
-                T.StructField(DOCID, T.LongType()),
-                T.StructField("n_occurrences", T.LongType()),
-            ]
-        )
+        with_pos = bool(with_positions)
+        out_schema = _phrase_out_schema(with_pos)
 
         def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pipeline = build_pipeline(**flags)
@@ -1130,16 +1155,16 @@ class SearchEngine:
             first = phrase_terms[0]
             rest = phrase_terms[1:]
 
-            def count_occurrences(toks: List[str]) -> int:
-                n = 0
+            def occurrence_starts(toks: List[str]) -> List[int]:
+                starts: List[int] = []
                 if win == 0:
                     for i in range(len(toks) - m + 1):
                         if (
                             toks[i] == first
                             and tuple(toks[i : i + m]) == phrase_terms
                         ):
-                            n += 1
-                    return n
+                            starts.append(i)
+                    return starts
                 L = len(toks)
                 for i in range(L - m + 1):
                     if toks[i] != first:
@@ -1155,23 +1180,21 @@ class SearchEngine:
                             break
                         pos = nxt
                     else:
-                        n += 1
-                return n
+                        starts.append(i)
+                return starts
 
             for pdf in batches:
                 ids: List[int] = []
                 occ: List[int] = []
+                mp: List[List[int]] = []
                 for did, v in zip(pdf[DOCID], pdf[fld]):
-                    n = count_occurrences(pipeline(tokenize(v)))
-                    if n:
+                    starts = occurrence_starts(pipeline(tokenize(v)))
+                    if starts:
                         ids.append(int(did))
-                        occ.append(n)
-                yield pd.DataFrame(
-                    {
-                        DOCID: pd.Series(ids, dtype="int64"),
-                        "n_occurrences": pd.Series(occ, dtype="int64"),
-                    }
-                )
+                        occ.append(len(starts))
+                        if with_pos:
+                            mp.append(starts)
+                yield _phrase_out_pdf(ids, occ, mp, with_pos)
 
         return joined.mapInPandas(verify, schema=out_schema)
 

@@ -218,6 +218,37 @@ def test_quoted_query_declines_wand_gate(eng):
     assert not e2._wand_search_applies({"query": '"alpha beta"'})
 
 
+def _got_pos(e, phrase, **kw):
+    return {
+        r["_docid"]: list(r["match_positions"])
+        for r in e.phrase_hits(phrase, with_positions=True, **kw).collect()
+    }
+
+
+def test_phrase_match_positions(eng):
+    # doc 5 "alpha beta alpha beta": starts at analyzed tokens 0 and 2;
+    # doc 3 "alpha the beta": stopword squeezes, start at 0
+    got = _got_pos(eng, "alpha beta", use_positions=False)
+    assert got[5] == [0, 2] and got[3] == [0] and got[1] == [0]
+    assert got[2] == [1]  # "beta alpha beta"
+    # overlap: "gamma gamma" in doc 7 starts at 0 and 1
+    assert _got_pos(eng, "gamma gamma", use_positions=False) == {7: [0, 1]}
+
+
+def test_phrase_match_positions_routes_agree(eng):
+    eng.enable_positions()
+    try:
+        for phrase, slop in PHRASE_CASES:
+            assert _got_pos(
+                eng, phrase, slop=slop, use_positions=True
+            ) == _got_pos(eng, phrase, slop=slop, use_positions=False), (
+                phrase,
+                slop,
+            )
+    finally:
+        eng.release_positions()
+
+
 # --- positional route (enable_positions): index-only phrase matching ---
 
 PHRASE_CASES = [
