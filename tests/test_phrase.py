@@ -204,6 +204,28 @@ def test_aggregation_quoted_query(spark):
     assert buckets.get("x") == 1 and buckets.get("y") == 1  # doc 2 rejected
 
 
+def test_search_quoted_query_composes_with_filters(spark):
+    items = [
+        {"id": 1, "text": "alpha beta", "tag": "x"},
+        {"id": 2, "text": "alpha beta", "tag": "y"},
+        {"id": 3, "text": "beta alpha", "tag": "x"},
+    ]
+    e = itemsjs_spark(
+        spark,
+        items,
+        {
+            "searchableFields": ["text"],
+            "aggregations": {"tag": {"size": 10}},
+            "custom_id_field": "id",
+        },
+    )
+    res = e.search(
+        {"query": '"alpha beta"', "filters": {"tag": ["x"]}, "per_page": 10}
+    )
+    assert [it["id"] for it in res["data"]["items"]] == [1]
+    assert res["pagination"]["total"] == 1
+
+
 def test_quoted_query_declines_wand_gate(eng):
     # a block-backed engine must NOT route quoted queries through WAND
     # (the phrase constraint lives outside the block scorer)
