@@ -206,6 +206,68 @@ def _q_search_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "pos long, _id long, total long")
 
 
+def _q_snippet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight/snippet extraction (extension; search UIs need match
+    context): phrase match in ANALYZED token space, highlight span +
+    context window reported in RAW token space (the stopword 'a' in the
+    corpus text sits INSIDE the returned span). Same prune+verify plan
+    as phrase_search with the snippet assembled in the one Arrow pass
+    over candidate rows."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.snippet_hits(_PHRASE, before=3, after=3)
+    return hits.select(
+        F.col(DOCID).alias("_id"),
+        "n_occurrences", "hl_from", "hl_to", "snippet",
+    )
+
+
+def _snippet_sql(phrase: str, before: int, after: int) -> str:
+    """snippet_hits restated in DuckDB list algebra: rebuild the raw
+    token list AND the raw index of every analyzed token (``rix``), find
+    phrase starts in analyzed space, then map the first occurrence back
+    through ``rix`` to raw-space highlight indices and slice the raw
+    list for the context snippet (DuckDB slices clamp, mirroring the
+    engine's bounds clamping; lists are 1-based, hence the -1s)."""
+    pipeline = build_pipeline()
+    terms = pipeline(tokenize(phrase))
+    m = len(terms)
+    adj = " AND ".join(
+        f"terms[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+WITH seq AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '),
+                     t -> t <> '') AS raw
+  FROM documents
+),
+an AS (
+  SELECT doc_id, raw,
+         list_filter(range(1, len(raw) + 1),
+                     i -> raw[i] NOT IN ({_STOP_SQL})) AS rix
+  FROM seq
+),
+tm AS (
+  SELECT doc_id, raw, rix,
+         list_transform(rix, i -> {_stem_case('raw[i]')}) AS terms
+  FROM an
+),
+hits AS (
+  SELECT doc_id, raw, rix,
+         list_filter(range(1, len(terms) - {m} + 2), i -> {adj}) AS starts
+  FROM tm WHERE len(terms) >= {m}
+)
+SELECT doc_id AS _id,
+       len(starts)::BIGINT AS n_occurrences,
+       (rix[starts[1]] - 1)::INT AS hl_from,
+       (rix[starts[1] + {m - 1}] - 1)::INT AS hl_to,
+       array_to_string(
+         raw[greatest(1, rix[starts[1]] - {before}) :
+             rix[starts[1] + {m - 1}] + {after}], ' ') AS snippet
+FROM hits WHERE len(starts) > 0
+"""
+
+
 _NEAR_PHRASE, _NEAR_SLOP = "table window table", 2  # m=3 with a
 # repeated term: exercises the greedy chain beyond the pairwise window
 # AND a conjunction prune whose distinct-term count (2) < phrase length
@@ -1538,14 +1600,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phrase search (extension operator family) takes the window slot
         # of langid_multilang, whose formula langid_learned supersedes
         "phrase_search": _q_phrase_search,
+        "snippet_search": _q_snippet_search,
         "langid_learned": _q_langid_learned,
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "multimodal_png_decode": _q_multimodal_png,
         "multimodal_jpeg_decode": _q_multimodal_jpeg,
         "multimodal_wav_decode": _q_multimodal_wav,
-        "multimodal_y4m_frames": _q_multimodal_y4m,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
+        # (y4m parked: the multimodal codec family keeps PNG/JPEG/WAV in
+        # the window; snippet_search took this slot)
+        "multimodal_y4m_frames": _q_multimodal_y4m,
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
@@ -1630,6 +1695,7 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
 
     sqls["fulltext_single_term"] = _ft_sql("spark", 50)
     sqls["phrase_search"] = _phrase_sql(_PHRASE)
+    sqls["snippet_search"] = _snippet_sql(_PHRASE, 3, 3)
     sqls["phrase_near_search"] = _phrase_near_sql(_NEAR_PHRASE, _NEAR_SLOP)
     # same contract as phrase_search through the positional plan
     sqls["phrase_search_positional"] = _phrase_sql(_PHRASE)

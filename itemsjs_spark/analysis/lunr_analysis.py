@@ -84,11 +84,13 @@ def stop_word_filter(token: str) -> str | None:
     return None if token in STOP_WORDS else token
 
 
-def build_pipeline(
+def build_token_transform(
     is_exact_search: bool = False, remove_stop_word_filter: bool = False
-) -> Callable[[List[str]], List[str]]:
-    """Return tokens->tokens fn mirroring lunr.Pipeline.run with the
-    itemsjs toggles applied (fulltext.ts:38-49)."""
+) -> Callable[[str], str | None]:
+    """Memoized per-token chain (trim → stopword → stem), the unit the
+    pipeline maps over tokens. Exposed separately so positional
+    consumers (snippets/highlighting) can keep raw-token indices while
+    applying the exact same analysis as the index build."""
     use_stopwords = not (is_exact_search or remove_stop_word_filter)
     use_stemmer = not is_exact_search
 
@@ -98,6 +100,39 @@ def build_pipeline(
     # Arrow tokenizer, one per engine on the driver — and is bounded so a
     # pathological vocabulary can't exhaust executor memory (beyond the
     # cap lookups still hit, new tokens just aren't inserted).
+    memo: dict = {}
+    memo_max = 1 << 20
+    miss = object()
+
+    def transform(t: str) -> str | None:
+        t2 = trimmer(t)
+        if use_stopwords and t2 in STOP_WORDS:
+            return None
+        return stem(t2) if use_stemmer else t2
+
+    def cached(t: str) -> str | None:
+        v = memo.get(t, miss)
+        if v is miss:
+            v = transform(t)
+            if len(memo) < memo_max:
+                memo[t] = v
+        return v
+
+    return cached
+
+
+def build_pipeline(
+    is_exact_search: bool = False, remove_stop_word_filter: bool = False
+) -> Callable[[List[str]], List[str]]:
+    """Return tokens->tokens fn mirroring lunr.Pipeline.run with the
+    itemsjs toggles applied (fulltext.ts:38-49).
+
+    Same memoized per-token chain as ``build_token_transform``, but with
+    the memo lookup inlined in the loop — this is the index build's
+    hottest path (every corpus token flows through it), so the extra
+    function call per token is worth avoiding here."""
+    use_stopwords = not (is_exact_search or remove_stop_word_filter)
+    use_stemmer = not is_exact_search
     memo: dict = {}
     memo_max = 1 << 20
     miss = object()

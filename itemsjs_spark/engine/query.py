@@ -82,6 +82,13 @@ def _phrase_out_pdf(ids, occ, mp, with_positions: bool) -> pd.DataFrame:
     return pd.DataFrame(data)
 
 
+# snippet_hits output: raw-token highlight span + the snippet text
+_SNIPPET_SCHEMA = (
+    f"{DOCID} long, n_occurrences long, hl_from int, hl_to int, "
+    "snippet string"
+)
+
+
 _QUOTED_RE = re.compile(r'"([^"]*)"')
 
 
@@ -1109,33 +1116,9 @@ class SearchEngine:
                 pos_df, terms, slop, with_positions=with_positions
             )
 
-        self._ensure_fulltext_materialized()
-        distinct = sorted(set(terms))
-        # (term, _docid) is unique in postings, so count(*) == n distinct
-        # terms present; the full-phrase conjunction never leaves the index
-        cand = (
-            idx.postings_subset(distinct)
-            .groupBy(DOCID)
-            .agg(F.count("*").alias("__nt"))
-            .filter(F.col("__nt") == len(distinct))
-            .select(DOCID)
-        )
-        # route by candidate count with ONE bounded job: a rare phrase
-        # (the common case — phrase df ≤ min term df) becomes driver-side
-        # docids pushed INTO the corpus scan as an IN filter (row-group
-        # min/max pruning on the docid-ordered corpus: point lookups,
-        # no corpus-wide read); a common phrase falls back to a join of
-        # the two-column corpus projection against the candidate set
-        # (AQE broadcasts the small side when it fits)
-        probe = cand.limit(self.PHRASE_ISIN_MAX + 1).collect()
-        if len(probe) <= self.PHRASE_ISIN_MAX:
-            if not probe:
-                return empty
-            joined = idx.docs.select(DOCID, field).filter(
-                F.col(DOCID).isin([r[0] for r in probe])
-            )
-        else:
-            joined = idx.docs.select(DOCID, field).join(cand, DOCID)
+        joined = self._phrase_candidate_rows(terms, field)
+        if joined is None:
+            return empty
 
         flags = dict(
             is_exact_search=bool(self.configuration.get("isExactSearch")),
@@ -1197,6 +1180,174 @@ class SearchEngine:
                 yield _phrase_out_pdf(ids, occ, mp, with_pos)
 
         return joined.mapInPandas(verify, schema=out_schema)
+
+    def _phrase_candidate_rows(
+        self, terms: Sequence[str], field: str
+    ) -> Optional[DataFrame]:
+        """(docid, field text) rows for docs containing ALL of
+        ``terms`` — the index-conjunction prune + candidate-text fetch
+        shared by ``phrase_hits`` and ``snippet_hits``. None when no doc
+        can match.
+
+        (term, _docid) is unique in postings, so count(*) == n distinct
+        terms present; the full-phrase conjunction never leaves the
+        index. The fetch routes by candidate count with ONE bounded job:
+        a rare phrase (the common case — phrase df ≤ min term df)
+        becomes driver-side docids pushed INTO the corpus scan as an IN
+        filter (row-group min/max pruning on the docid-ordered corpus:
+        point lookups, no corpus-wide read); a common phrase falls back
+        to a join of the two-column corpus projection against the
+        candidate set (AQE broadcasts the small side when it fits)."""
+        idx = self.index
+        self._ensure_fulltext_materialized()
+        distinct = sorted(set(terms))
+        cand = (
+            idx.postings_subset(distinct)
+            .groupBy(DOCID)
+            .agg(F.count("*").alias("__nt"))
+            .filter(F.col("__nt") == len(distinct))
+            .select(DOCID)
+        )
+        probe = cand.limit(self.PHRASE_ISIN_MAX + 1).collect()
+        if len(probe) <= self.PHRASE_ISIN_MAX:
+            if not probe:
+                return None
+            return idx.docs.select(DOCID, field).filter(
+                F.col(DOCID).isin([r[0] for r in probe])
+            )
+        return idx.docs.select(DOCID, field).join(cand, DOCID)
+
+    def snippet_hits(
+        self,
+        phrase: str,
+        field: Optional[str] = None,
+        slop: int = 0,
+        before: int = 3,
+        after: int = 3,
+    ) -> DataFrame:
+        """Highlight/snippet extraction for a phrase query: DataFrame
+        (_docid, n_occurrences, hl_from, hl_to, snippet) where hl_from /
+        hl_to are 0-based indices INTO THE RAW TOKEN STREAM (lunr
+        tokenizer output, before stopword/stem filtering) of the first
+        occurrence's first and last phrase word, and ``snippet`` is the
+        raw tokens from ``before`` tokens left of the match through
+        ``after`` tokens right of it, space-joined. Slop > 0 follows
+        ``phrase_hits``'s greedy proximity semantics; the highlight span
+        then runs to the position the chain's last term bound to.
+
+        Extension beyond the reference (itemsjs returns whole items
+        only); search UIs need match context, and a transcript corpus
+        needs it around tool-call/error strings.
+
+        Physical plan: same two stages as ``phrase_hits``'s prune+verify
+        route — the inverted index prunes to docs containing ALL phrase
+        terms, then ONE Arrow pass over only those rows re-analyzes the
+        text keeping raw-token indices (``build_token_transform``: the
+        exact per-token chain the index build ran) and assembles the
+        snippet in the same pass. Snippets inherently need the matched
+        documents' text, so the positional-postings route cannot serve
+        them; cost at 10^12 turns is bounded by the PHRASE's document
+        frequency, not the corpus (point lookups for rare phrases). No
+        second pass, no driver-side text."""
+        empty = self.spark.createDataFrame([], _SNIPPET_SCHEMA)
+        terms = self.pipeline(tokenize(phrase))
+        if not terms:
+            return empty
+        field = self._phrase_field(field)
+        if field is None:
+            return empty
+        joined = self._phrase_candidate_rows(terms, field)
+        if joined is None:
+            return empty
+
+        flags = dict(
+            is_exact_search=bool(self.configuration.get("isExactSearch")),
+            remove_stop_word_filter=bool(
+                self.configuration.get("removeStopWordFilter")
+            ),
+        )
+        phrase_terms = tuple(terms)
+        fld = field
+        win = int(slop)
+        n_before = max(int(before), 0)
+        n_after = max(int(after), 0)
+
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..analysis.lunr_analysis import build_token_transform
+
+            tr = build_token_transform(**flags)
+            m = len(phrase_terms)
+            first = phrase_terms[0]
+            rest = phrase_terms[1:]
+
+            def occurrences(toks: List[str]) -> List[Tuple[int, int]]:
+                """(start, end) index pairs in analyzed-token space —
+                same greedy nearest-binding semantics as phrase_hits."""
+                out: List[Tuple[int, int]] = []
+                L = len(toks)
+                if win == 0:
+                    for i in range(L - m + 1):
+                        if (
+                            toks[i] == first
+                            and tuple(toks[i : i + m]) == phrase_terms
+                        ):
+                            out.append((i, i + m - 1))
+                    return out
+                for i in range(L - m + 1):
+                    if toks[i] != first:
+                        continue
+                    pos = i
+                    for t in rest:
+                        nxt = -1
+                        for k in range(pos + 1, min(pos + 2 + win, L)):
+                            if toks[k] == t:
+                                nxt = k
+                                break
+                        if nxt < 0:
+                            break
+                        pos = nxt
+                    else:
+                        out.append((i, pos))
+                return out
+
+            for pdf in batches:
+                ids: List[int] = []
+                occ: List[int] = []
+                frm: List[int] = []
+                to: List[int] = []
+                snip: List[str] = []
+                for did, v in zip(pdf[DOCID], pdf[fld]):
+                    raw = tokenize(v)
+                    toks: List[str] = []
+                    rawidx: List[int] = []
+                    for i, t in enumerate(raw):
+                        w = tr(t)
+                        if w is not None:
+                            toks.append(w)
+                            rawidx.append(i)
+                    found = occurrences(toks)
+                    if not found:
+                        continue
+                    s, e = found[0]
+                    rs, re_ = rawidx[s], rawidx[e]
+                    ids.append(int(did))
+                    occ.append(len(found))
+                    frm.append(rs)
+                    to.append(re_)
+                    snip.append(
+                        " ".join(raw[max(0, rs - n_before) : re_ + 1 + n_after])
+                    )
+                yield pd.DataFrame(
+                    {
+                        DOCID: pd.Series(ids, dtype="int64"),
+                        "n_occurrences": pd.Series(occ, dtype="int64"),
+                        "hl_from": pd.Series(frm, dtype="int32"),
+                        "hl_to": pd.Series(to, dtype="int32"),
+                        "snippet": pd.Series(snip, dtype="object"),
+                    }
+                )
+
+        return joined.mapInPandas(extract, schema=_SNIPPET_SCHEMA)
 
     def _fulltext_hits_distributed_expansion(self, query: str) -> DataFrame:
         """Scale path for prefix expansions too large for the driver
