@@ -1491,14 +1491,11 @@ def _q_multimodal_y4m(spark, sf_dir):
     )
 
 
-def _q_transcripts_topk(spark, sf_dir):
-    """North-rule corpus: the full engine pipeline — distributed docid
-    assignment (`assign_docids` via order_by), facet + posting index
-    build, lunr scoring — over the transcript shape (conv_id, turn_idx,
-    role, text, tool, ts). The corpus derives from documents.parquet by
-    pure relational transforms, so the DuckDB oracle can restate BOTH
-    the derivation (incl. the docid = rank(conv_id, turn_idx) contract)
-    and the scoring independently."""
+def _tx_engine(spark, sf_dir):
+    """Shared engine over the transcript-shaped corpus (conv_id,
+    turn_idx, role, text, tool, ts) derived from documents.parquet by
+    pure relational transforms, so every DuckDB oracle can restate the
+    derivation (incl. the docid = rank(conv_id, turn_idx) contract)."""
 
     def build():
         d = _documents(spark, sf_dir)
@@ -1521,7 +1518,14 @@ def _q_transcripts_topk(spark, sf_dir):
         }
         return itemsjs_spark(spark, tdf, cfg, order_by=["conv_id", "turn_idx"])
 
-    eng = _cached(("eng_tx", sf_dir), spark, build)
+    return _cached(("eng_tx", sf_dir), spark, build)
+
+
+def _q_transcripts_topk(spark, sf_dir):
+    """North-rule corpus: the full engine pipeline — distributed docid
+    assignment (`assign_docids` via order_by), facet + posting index
+    build, lunr scoring — over the transcript shape."""
+    eng = _tx_engine(spark, sf_dir)
     hits = eng.fulltext_hits("merge sort")
     s = F.round(F.col("__score"), 6)
     return (
@@ -1529,6 +1533,84 @@ def _q_transcripts_topk(spark, sf_dir):
         .limit(20)
         .select(F.col(DOCID).alias("_id"), s.alias("score"))
     )
+
+
+def _q_transcripts_hit_context(spark, sf_dir):
+    """Context-window retrieval (extension): top-10 hits for the
+    north-rule query, each with the ±2 surrounding turns of its
+    conversation — bounded jobs collect the ≤k hit keys, the context
+    fetch pushes the hit conversations into the corpus scan as an IN
+    filter and broadcast-joins the key literals with the turn range."""
+    eng = _tx_engine(spark, sf_dir)
+    return eng.hit_context(
+        "merge sort", "conv_id", "turn_idx", k=10, before=2, after=2,
+        fields=["conv_id", "turn_idx", "role", "text"],
+    )
+
+
+def _q_transcripts_conv_topk(spark, sf_dir):
+    """Grouped top-k (extension): the best-scoring turn PER
+    conversation, top-8 conversations by that best score — one
+    algebraic max(struct) aggregation (map-side partials; no window),
+    skew-safe for hot conversations."""
+    eng = _tx_engine(spark, sf_dir)
+    return eng.grouped_topk("merge sort", "conv_id", n_groups=8)
+
+
+# transcript-shape corpus derivation restated for the DuckDB oracles;
+# must stay in lockstep with _tx_engine's Spark derivation
+_TX_CORPUS_SQL = """
+  SELECT row_number() OVER (ORDER BY source, doc_id) AS _docid,
+         source AS conv_id,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT
+           AS turn_idx,
+         CASE WHEN doc_id % 3 = 0 THEN 'user'
+              WHEN doc_id % 3 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         text
+  FROM documents
+"""
+
+
+def _tx_hit_context_sql(qtext: str, k: int, before: int, after: int) -> str:
+    ft = _ft_sql(
+        qtext, k,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    return f"""
+WITH h AS (SELECT _id, score FROM ({ft}) q),
+c AS ({_TX_CORPUS_SQL})
+SELECT h._id AS hit_id, h.score AS hit_score,
+       (c.turn_idx - hc.turn_idx)::INT AS offset,
+       c.conv_id, c.turn_idx, c.role, c.text
+FROM h
+JOIN c hc ON hc._docid = h._id
+JOIN c ON c.conv_id = hc.conv_id
+      AND c.turn_idx BETWEEN hc.turn_idx - {before}
+                         AND hc.turn_idx + {after}
+"""
+
+
+def _tx_conv_topk_sql(qtext: str, n_groups: int) -> str:
+    ft = _ft_sql(
+        qtext, 10**9,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    return f"""
+WITH f AS (SELECT _id, score FROM ({ft}) q),
+c AS ({_TX_CORPUS_SQL}),
+j AS (SELECT c.conv_id, f.score, f._id
+      FROM f JOIN c ON c._docid = f._id),
+r AS (SELECT conv_id, score, _id,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY score DESC, _id ASC) AS rn
+      FROM j)
+SELECT conv_id, score AS best_score, _id AS best_id
+FROM r WHERE rn = 1
+ORDER BY best_score DESC, conv_id ASC LIMIT {n_groups}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1554,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # north-rule transcript corpus (full lunr pipeline vs raw SQL oracle)
         "transcripts_fulltext_topk": _q_transcripts_topk,
+        "transcripts_hit_context": _q_transcripts_hit_context,
+        "transcripts_conv_topk": _q_transcripts_conv_topk,
         # itemsjs core operators (SURVEY.md §2)
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
@@ -1591,11 +1675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "deterministic_split": _q_deterministic_split,
         "pack_sequences": _q_pack_sequences,
-        "langid_heuristic": _q_langid,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_fingerprint,
-        "unigram_logprob": _q_unigram_logprob,
         "charngram_profile_fit": _q_charngram_fit,
         # phrase search (extension operator family) takes the window slot
         # of langid_multilang, whose formula langid_learned supersedes
@@ -1609,7 +1691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode": _q_multimodal_wav,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
         # (y4m parked: the multimodal codec family keeps PNG/JPEG/WAV in
-        # the window; snippet_search took this slot)
+        # the window; snippet_search took this slot. langid_heuristic
+        # parked behind langid_learned, unigram_logprob behind the five
+        # other in-window text-signal rows; the transcript context /
+        # grouped-topk family took those slots)
+        "langid_heuristic": _q_langid,
+        "unigram_logprob": _q_unigram_logprob,
         "multimodal_y4m_frames": _q_multimodal_y4m,
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
@@ -2359,4 +2446,6 @@ FROM t
         corpus="corpus",
         id_col="_docid",
     )
+    sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)
+    sqls["transcripts_conv_topk"] = _tx_conv_topk_sql("merge sort", 8)
     return sqls

@@ -1349,6 +1349,145 @@ class SearchEngine:
 
         return joined.mapInPandas(extract, schema=_SNIPPET_SCHEMA)
 
+    def hit_context(
+        self,
+        query: str,
+        group_field: str,
+        order_field: str,
+        k: int = 20,
+        before: int = 1,
+        after: int = 1,
+        fields: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Context-window retrieval around the top-k fulltext hits: for
+        each of the ``k`` best-scoring docs, the rows of the SAME
+        ``group_field`` group (e.g. conversation) whose ``order_field``
+        (e.g. turn index) lies within [hit-before, hit+after] — the
+        "show the surrounding turns" operator a transcript search UI
+        needs. Output: (hit_id, hit_score, offset, *fields) with one row
+        per (hit, context row); offset = ctx order - hit order.
+
+        Physical plan at 10^12 turns: the hit list is top-k —
+        driver-bounded by construction — so its (group, order) keys
+        collect in two bounded jobs (the key fetch pushes a docid IN
+        filter into the docid-ordered corpus scan: point lookups). The
+        context fetch then pushes the ≤k group values into the corpus
+        scan as an IN filter (partition/row-group pruning on the group
+        column) and broadcast-joins the key literals with the order-range
+        predicate — cost scales with k·window, never with corpus size.
+        Extension beyond the reference (itemsjs returns whole items)."""
+        docs = self.index.docs
+        if fields is None:
+            cols = [
+                c for c in docs.columns
+                if c != DOCID and not c.startswith("__")
+            ]
+        else:
+            cols = list(fields)
+        by_name = {f.name: f.dataType for f in docs.schema.fields}
+        out_schema = T.StructType(
+            [
+                T.StructField("hit_id", T.LongType()),
+                T.StructField("hit_score", T.DoubleType()),
+                T.StructField("offset", T.IntegerType()),
+            ]
+            + [T.StructField(c, by_name[c]) for c in cols]
+        )
+        empty = self.spark.createDataFrame([], out_schema)
+
+        hits = self.fulltext_hits(query)
+        s = F.round(F.col(SCORE), 6)
+        top = (
+            hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+            .limit(int(k))
+            .select(F.col(DOCID), s.alias("hit_score"))
+        )
+        trows = top.collect()
+        if not trows:
+            return empty
+        score_by_id = {int(r[DOCID]): float(r["hit_score"]) for r in trows}
+        krows = (
+            docs.select(DOCID, group_field, order_field)
+            .filter(F.col(DOCID).isin(list(score_by_id)))
+            .collect()
+        )
+        key_schema = T.StructType(
+            [
+                T.StructField("hit_id", T.LongType()),
+                T.StructField("hit_score", T.DoubleType()),
+                T.StructField("__g", by_name[group_field]),
+                T.StructField("__o", by_name[order_field]),
+            ]
+        )
+        key_df = self.spark.createDataFrame(
+            [
+                (
+                    int(r[DOCID]),
+                    score_by_id[int(r[DOCID])],
+                    r[group_field],
+                    r[order_field],
+                )
+                for r in krows
+            ],
+            key_schema,
+        )
+        groups = sorted({r[group_field] for r in krows})
+        ctx = docs.filter(F.col(group_field).isin(groups))
+        joined = ctx.join(
+            F.broadcast(key_df),
+            (ctx[group_field] == key_df["__g"])
+            & (ctx[order_field] >= key_df["__o"] - F.lit(int(before)))
+            & (ctx[order_field] <= key_df["__o"] + F.lit(int(after))),
+        )
+        return joined.select(
+            "hit_id",
+            "hit_score",
+            (ctx[order_field] - key_df["__o"]).cast("int").alias("offset"),
+            *[ctx[c] for c in cols],
+        )
+
+    def grouped_topk(
+        self, query: str, group_field: str, n_groups: int = 10
+    ) -> DataFrame:
+        """Best-matching doc PER GROUP (e.g. the best turn of each
+        conversation), then the top ``n_groups`` groups by that best
+        score: (group_field, best_score, best_id). Ties: higher score
+        first, then lower docid within a group; across groups,
+        ``group_field`` ascending.
+
+        Physical plan: one hash join (hits → group key) and ONE
+        aggregation — ``max(struct(score, -docid))`` is an algebraic
+        max, so Spark computes map-side partials before the single
+        group-key shuffle; no window function (windows can't partial-
+        aggregate), so a hot group never concentrates its raw hits on
+        one task beyond the final combine. Extension beyond the
+        reference."""
+        docs = self.index.docs
+        hits = self.fulltext_hits(query)
+        s = F.round(F.col(SCORE), 6)
+        joined = hits.select(F.col(DOCID), s.alias("__s")).join(
+            docs.select(DOCID, group_field), DOCID
+        )
+        agg = joined.groupBy(group_field).agg(
+            F.max(
+                F.struct(
+                    F.col("__s").alias("s"),
+                    (-F.col(DOCID)).alias("nid"),
+                )
+            ).alias("m")
+        )
+        return (
+            agg.select(
+                F.col(group_field),
+                F.col("m.s").alias("best_score"),
+                (-F.col("m.nid")).cast("long").alias("best_id"),
+            )
+            .orderBy(
+                F.col("best_score").desc(), F.col(group_field).asc()
+            )
+            .limit(int(n_groups))
+        )
+
     def _fulltext_hits_distributed_expansion(self, query: str) -> DataFrame:
         """Scale path for prefix expansions too large for the driver
         (e.g. a 1-char query against a 10^12-turn vocabulary): the whole
