@@ -1557,6 +1557,71 @@ def _q_transcripts_conv_topk(spark, sf_dir):
     return eng.grouped_topk("merge sort", "conv_id", n_groups=8)
 
 
+def _q_search_highlight(spark, sf_dir):
+    """search({query, highlight}) extension: page items decorated with
+    raw-token match spans + context snippets — a driver-side post-pass
+    over the already-collected page (zero extra Spark jobs, any search
+    route). Bag queries highlight the first token any analyzed query
+    token prefix-matches (lunr expansion semantics)."""
+    eng = _doc_engine(spark, sf_dir)
+    res = eng.search(
+        {"query": "merge sort", "per_page": 10,
+         "highlight": {"before": 2, "after": 2}}
+    )
+    rows = []
+    for i, it in enumerate(res["data"]["items"]):
+        h = it["_highlight"]["text"]
+        rows.append(
+            (i + 1, int(it["doc_id"]), h["hl_from"], h["hl_to"], h["snippet"])
+        )
+    return spark.createDataFrame(
+        rows, "pos long, _id long, hl_from int, hl_to int, snippet string"
+    )
+
+
+def _search_highlight_sql(qtext: str, k: int, before: int, after: int) -> str:
+    """The highlight decoration restated in DuckDB list algebra over the
+    lunr-in-SQL page: first analyzed token prefix-matched by any query
+    token, mapped back to raw space, ±window snippet."""
+    pipeline = build_pipeline()
+    qtoks = pipeline(tokenize(qtext))
+    pred = " OR ".join(f"starts_with(terms[i], '{t}')" for t in qtoks)
+    ft = _ft_sql(qtext, k)
+    return f"""
+WITH pg AS (
+  SELECT _id, row_number() OVER (ORDER BY score DESC,
+                                 CAST(_id AS VARCHAR) ASC) AS pos
+  FROM ({ft}) q
+),
+seq AS (
+  SELECT pg.pos, pg._id,
+         list_filter(string_split(lower(trim(d.text)), ' '),
+                     t -> t <> '') AS raw
+  FROM pg JOIN documents d ON d.doc_id = pg._id
+),
+an AS (
+  SELECT pos, _id, raw,
+         list_filter(range(1, len(raw) + 1),
+                     i -> raw[i] NOT IN ({_STOP_SQL})) AS rix
+  FROM seq
+),
+tm AS (
+  SELECT pos, _id, raw, rix,
+         list_transform(rix, i -> {_stem_case('raw[i]')}) AS terms
+  FROM an
+),
+hit AS (
+  SELECT pos, _id, raw,
+         rix[list_filter(range(1, len(terms) + 1), i -> ({pred}))[1]] AS rpos
+  FROM tm
+)
+SELECT pos, _id, (rpos - 1)::INT AS hl_from, (rpos - 1)::INT AS hl_to,
+       array_to_string(raw[greatest(1, rpos - {before}) : rpos + {after}],
+                       ' ') AS snippet
+FROM hit
+"""
+
+
 # transcript-shape corpus derivation restated for the DuckDB oracles;
 # must stay in lockstep with _tx_engine's Spark derivation
 _TX_CORPUS_SQL = """
@@ -1698,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": _q_langid,
         "unigram_logprob": _q_unigram_logprob,
         "multimodal_y4m_frames": _q_multimodal_y4m,
+        # highlight family already reported via snippet_search
+        "search_highlight": _q_search_highlight,
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
@@ -2446,6 +2513,7 @@ FROM t
         corpus="corpus",
         id_col="_docid",
     )
+    sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)
     sqls["transcripts_conv_topk"] = _tx_conv_topk_sql("merge sort", 8)
     return sqls

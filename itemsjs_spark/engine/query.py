@@ -1754,11 +1754,96 @@ class SearchEngine:
 
     def search(self, input: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """Full reference response shape (lib.ts:145-168); collects one page
-        of items plus bucket heads."""
+        of items plus bucket heads. With ``highlight`` (extension), the
+        page items are decorated with match spans/snippets — a pure
+        driver-side post-pass over the already-collected page (the items
+        carry the searchable text; zero extra Spark jobs, any route)."""
+        input = input or {}
+        resp = self._search_dispatch(input)
+        if input.get("highlight") and input.get("query"):
+            self._decorate_highlights(resp, input)
+        return resp
+
+    def _decorate_highlights(
+        self, resp: Dict[str, Any], input: Dict[str, Any]
+    ) -> None:
+        """Attach ``_highlight`` to each page item: per searchable field,
+        the first match's raw-token span (same raw-vs-analyzed contract
+        as ``snippet_hits``) plus a ``before``/``after`` context snippet.
+        Quoted query segments highlight their first phrase occurrence;
+        otherwise the first token any analyzed query token prefix-matches
+        (mirroring lunr's prefix expansion). Cost is O(page · doc len) on
+        the driver — the page is bounded and already collected."""
+        from ..analysis.lunr_analysis import build_token_transform
+
+        opts = input.get("highlight")
+        opts = opts if isinstance(opts, dict) else {}
+        before = max(int(opts.get("before", 3)), 0)
+        after = max(int(opts.get("after", 3)), 0)
+        fields = list(
+            opts.get("fields")
+            or self.configuration.get("searchableFields")
+            or []
+        )
+        q = str(input.get("query") or "")
+        tr = build_token_transform(
+            is_exact_search=bool(self.configuration.get("isExactSearch")),
+            remove_stop_word_filter=bool(
+                self.configuration.get("removeStopWordFilter")
+            ),
+        )
+        phrases: List[Tuple[str, ...]] = []
+        for seg in _QUOTED_RE.findall(q):
+            terms = tuple(w for w in (tr(t) for t in tokenize(seg)) if w)
+            if terms:
+                phrases.append(terms)
+        # quoted words still score in the bag (parse_quoted_query), so
+        # they also participate in the bag-token fallback — only the
+        # quote characters drop
+        qtoks = tuple(
+            w for w in (tr(t) for t in tokenize(q.replace('"', " "))) if w
+        )
+
+        def span(raw: List[str]) -> Optional[Tuple[int, int]]:
+            toks: List[str] = []
+            rawidx: List[int] = []
+            for i, t in enumerate(raw):
+                w = tr(t)
+                if w is not None:
+                    toks.append(w)
+                    rawidx.append(i)
+            for ph in phrases:
+                m = len(ph)
+                for i in range(len(toks) - m + 1):
+                    if tuple(toks[i : i + m]) == ph:
+                        return rawidx[i], rawidx[i + m - 1]
+            for i, w in enumerate(toks):
+                if any(w.startswith(qt) for qt in qtoks):
+                    return rawidx[i], rawidx[i]
+            return None
+
+        for it in resp.get("data", {}).get("items") or []:
+            hl: Dict[str, Any] = {}
+            for fld in fields:
+                raw = tokenize(it.get(fld))
+                got = span(raw)
+                if got is None:
+                    continue
+                lo, hi = got
+                hl[fld] = {
+                    "hl_from": lo,
+                    "hl_to": hi,
+                    "snippet": " ".join(
+                        raw[max(0, lo - before) : hi + 1 + after]
+                    ),
+                }
+            if hl:
+                it["_highlight"] = hl
+
+    def _search_dispatch(self, input: Dict[str, Any]) -> Dict[str, Any]:
         import time
 
         t0 = time.time()
-        input = input or {}
         per_page, page = _parse_paging(input)
 
         if self.configuration.get("native_search_enabled") is False and (
