@@ -1632,8 +1632,56 @@ _TX_CORPUS_SQL = """
          CASE WHEN doc_id % 3 = 0 THEN 'user'
               WHEN doc_id % 3 = 1 THEN 'assistant'
               ELSE 'tool' END AS role,
+         (1704067200 + doc_id * 37) AS ts_epoch,
          text
   FROM documents
+"""
+
+
+_TX_TS_LO = 1704067200 + 100 * 37
+_TX_TS_HI = 1704067200 + 350 * 37
+
+
+def _q_transcripts_time_range(spark, sf_dir):
+    """range_filters extension (itemsjs filters are categorical): the
+    north-rule query restricted to a timestamp window — a pure-JVM
+    predicate Catalyst pushes into the corpus scan (min/max row-group
+    pruning on ts), crossed with relevance like the query set."""
+    from datetime import datetime, timezone
+
+    eng = _tx_engine(spark, sf_dir)
+    lo = datetime.fromtimestamp(_TX_TS_LO, tz=timezone.utc)
+    hi = datetime.fromtimestamp(_TX_TS_HI, tz=timezone.utc)
+    res = eng.search(
+        {"query": "merge sort", "per_page": 12,
+         "range_filters": {"ts": [lo, hi]}}
+    )
+    total = int(res["pagination"]["total"])
+    rows = [
+        (i + 1, int(it["_id"]), total)
+        for i, it in enumerate(res["data"]["items"])
+    ]
+    return spark.createDataFrame(rows, "pos long, _id long, total long")
+
+
+def _tx_time_range_sql(qtext: str, k: int, lo: int, hi: int) -> str:
+    """Scoring over the FULL corpus (idf/tf are corpus-global), hits
+    then intersected with the epoch window — the oracle never touches
+    timestamp types, only epoch arithmetic, so it is timezone-proof."""
+    ft = _ft_sql(
+        qtext, 10**9,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    return f"""
+WITH f AS (SELECT _id, score FROM ({ft}) q),
+c AS ({_TX_CORPUS_SQL}),
+g AS (SELECT f._id, f.score FROM f JOIN c ON c._docid = f._id
+      WHERE c.ts_epoch BETWEEN {lo} AND {hi})
+SELECT row_number() OVER (ORDER BY score DESC,
+                          CAST(_id AS VARCHAR) ASC) AS pos,
+       _id, (SELECT count(*) FROM g)::BIGINT AS total
+FROM g ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT {k}
 """
 
 
@@ -1703,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_fulltext_topk": _q_transcripts_topk,
         "transcripts_hit_context": _q_transcripts_hit_context,
         "transcripts_conv_topk": _q_transcripts_conv_topk,
+        "transcripts_time_range": _q_transcripts_time_range,
         # itemsjs core operators (SURVEY.md §2)
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
@@ -1713,7 +1762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_heads_topn": _q_bucket_heads,
         "fulltext_single_term": _ft_query("spark", 50),
         "fulltext_prefix_expand": _ft_query("s", 50),
-        "fulltext_plus_facet": _q_query_plus_filter,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "append_fulltext_topk": _q_append_fulltext_topk,
@@ -1765,6 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_y4m_frames": _q_multimodal_y4m,
         # highlight family already reported via snippet_search
         "search_highlight": _q_search_highlight,
+        # query∩facet crossing stays reported via search_wand_filtered_page
+        "fulltext_plus_facet": _q_query_plus_filter,
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
@@ -2516,4 +2566,7 @@ FROM t
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)
     sqls["transcripts_conv_topk"] = _tx_conv_topk_sql("merge sort", 8)
+    sqls["transcripts_time_range"] = _tx_time_range_sql(
+        "merge sort", 12, _TX_TS_LO, _TX_TS_HI
+    )
     return sqls

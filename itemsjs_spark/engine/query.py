@@ -1622,7 +1622,8 @@ class SearchEngine:
             raise EngineError(
                 '"query" and "filter" options are not working once native search is disabled'
             )
-        if input.get("query") or input.get("filter"):
+        rf = input.get("range_filters") or None
+        if input.get("query") or input.get("filter") or rf:
             if input.get("query"):
                 qtext = str(input["query"])
                 phrases: List[str] = []
@@ -1635,10 +1636,26 @@ class SearchEngine:
                     hits = hits.join(
                         self.phrase_hits(ph).select(DOCID), DOCID, "left_semi"
                     )
+                if rf:
+                    # pure-JVM predicate, pushed into the docs scan
+                    # (partition/row-group pruning on e.g. a ts column)
+                    hits = hits.join(
+                        idx.docs.filter(
+                            self._range_filter_pred(rf)
+                        ).select(DOCID),
+                        DOCID,
+                        "left_semi",
+                    )
             else:
                 # filter-only: reference keeps input order (fulltext.search
-                # without query returns items in input order)
-                hits = idx.docs.select(DOCID).withColumn(
+                # without query returns items in input order). A pure
+                # range filter folds into the same scan — no self-join.
+                base_docs = idx.docs
+                if rf:
+                    base_docs = base_docs.filter(
+                        self._range_filter_pred(rf)
+                    )
+                hits = base_docs.select(DOCID).withColumn(
                     QRANK, F.col(DOCID)
                 )
             if callable(input.get("filter")):
@@ -1647,6 +1664,41 @@ class SearchEngine:
                 hits = hits.join(passing, DOCID, "left_semi")
             return hits, True
         return None, False
+
+    def _range_filter_pred(self, rf: Dict[str, Any]) -> Column:
+        """``range_filters`` (extension; itemsjs filters are categorical):
+        per-field inclusive ``[lo, hi]`` bounds (None = open end) or a
+        ``{"gt"|"gte"|"lt"|"lte": value}`` dict, conjoined across fields.
+        Pure Column expressions — Catalyst pushes them into the corpus
+        scan (min/max row-group pruning on ordered columns like ts), and
+        they compose with facets exactly like the query set (the range
+        predicate restricts every bucket)."""
+        docs = self.index.docs
+        pred = F.lit(True)
+        for fld, spec in rf.items():
+            if fld not in docs.columns:
+                raise EngineError(f"unknown range filter field {fld!r}")
+            c = F.col(fld)
+            if isinstance(spec, dict):
+                ops = {
+                    "gte": lambda v, c=c: c >= F.lit(v),
+                    "gt": lambda v, c=c: c > F.lit(v),
+                    "lte": lambda v, c=c: c <= F.lit(v),
+                    "lt": lambda v, c=c: c < F.lit(v),
+                }
+                for k, v in spec.items():
+                    if k not in ops:
+                        raise EngineError(
+                            f"unknown range filter op {k!r} for {fld!r}"
+                        )
+                    pred = pred & ops[k](v)
+            else:
+                lo, hi = spec
+                if lo is not None:
+                    pred = pred & (c >= F.lit(lo))
+                if hi is not None:
+                    pred = pred & (c <= F.lit(hi))
+        return pred
 
     def _callback_filter_docids(self, flt: Callable) -> DataFrame:
         cols = [c for c in self.index.docs.columns if not c.startswith(FK_PREFIX)]
@@ -1991,6 +2043,7 @@ class SearchEngine:
             and not input.get("filters")
             and not input.get("not_filters")
             and not input.get("filters_query")
+            and not input.get("range_filters")
             and not input.get("is_all_filtered_items")
         )
 
@@ -2166,6 +2219,7 @@ class SearchEngine:
             or input.get("ids") is not None
             or input.get("not_filters")
             or input.get("filters_query")
+            or input.get("range_filters")
             or input.get("is_all_filtered_items")
         ):
             return False
@@ -2326,6 +2380,7 @@ class SearchEngine:
             or input.get("_ids") is not None
             or input.get("ids") is not None
             or callable(input.get("filter"))
+            or input.get("range_filters")
         ):
             return False
         # the driver-side dim cache backs exists-probes and bucket
