@@ -1557,6 +1557,75 @@ def _q_transcripts_conv_topk(spark, sf_dir):
     return eng.grouped_topk("merge sort", "conv_id", n_groups=8)
 
 
+_MLT_SRC, _MLT_K, _MLT_M = 7, 15, 8
+
+
+def _q_more_like_this(spark, sf_dir):
+    """Content-based similar items (extension; the reference's similar
+    is attribute-overlap): the source doc's top-m tf·idf terms become a
+    disjunctive weighted query — one term-pruned postings aggregation."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.more_like_this(_MLT_SRC, k=_MLT_K, max_terms=_MLT_M)
+    return hits.select(F.col(DOCID).alias("_id"), F.col("__score").alias("score"))
+
+
+def _mlt_sql(src: int, k: int, m: int) -> str:
+    """more_like_this restated: same tok/tf/idf derivation as _ft_sql,
+    the source row's top-m (tf·idf, term)-ranked vector as weights, a
+    disjunctive weighted sum, source excluded."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id, tok.term, count(*)::DOUBLE / max(doclen.n) AS tf
+  FROM tok JOIN doclen USING (doc_id) GROUP BY tok.doc_id, tok.term
+),
+idf AS (
+  SELECT term,
+         1.0 + ln((SELECT count(*)::DOUBLE FROM documents)
+                  / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tok GROUP BY term
+),
+w AS (
+  SELECT t.term, t.tf * i.idf AS qw, i.idf
+  FROM tf t JOIN idf i USING (term) WHERE t.doc_id = {src}
+  ORDER BY qw DESC, term ASC LIMIT {m}
+),
+scored AS (
+  SELECT tf.doc_id AS _id, sum(w.qw * w.idf * tf.tf) AS score
+  FROM tf JOIN w USING (term) WHERE tf.doc_id <> {src}
+  GROUP BY tf.doc_id
+)
+SELECT _id, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC LIMIT {k}
+"""
+
+
+def _q_index_stats(spark, sf_dir):
+    """Index introspection: corpus size / vocabulary / posting count
+    from the dimension-sized terms table (n_postings = Σ df; never
+    decodes the postings store)."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.index_stats()
+
+
+_INDEX_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+pt AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM pt)::BIGINT AS n_terms,
+       (SELECT count(*) FROM pt)::BIGINT AS n_postings
+"""
+
+
 def _q_search_highlight(spark, sf_dir):
     """search({query, highlight}) extension: page items decorated with
     raw-token match spans + context snippets — a driver-side post-pass
@@ -1768,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
         "similar_items": _q_similar,
+        "more_like_this": _q_more_like_this,
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
         "ids_lookup": _q_ids_lookup,
@@ -1783,7 +1853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_upsample": _q_mixture_upsample,
         "repetition_signals": _q_repetition_signals,
         "embedding_topk_cosine": _q_embedding_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "deterministic_split": _q_deterministic_split,
@@ -1815,6 +1884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": _q_search_highlight,
         # query∩facet crossing stays reported via search_wand_filtered_page
         "fulltext_plus_facet": _q_query_plus_filter,
+        # ANN family stays reported via ann_ivf_topk
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "index_stats": _q_index_stats,
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
@@ -2563,6 +2635,8 @@ FROM t
         corpus="corpus",
         id_col="_docid",
     )
+    sqls["more_like_this"] = _mlt_sql(_MLT_SRC, _MLT_K, _MLT_M)
+    sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)
     sqls["transcripts_conv_topk"] = _tx_conv_topk_sql("merge sort", 8)

@@ -200,6 +200,31 @@ def headline_queries(spark, eng):
     # phrase = index-conjunction prune + Arrow adjacency verify over
     # candidates only (~tf^2-rare bigram on the uniform 64-word corpus)
     qs["phrase_search"] = lambda: eng.phrase_hits("shuffle partition").count()
+    # transcript-native retrieval extensions (round 4): context windows
+    # around top-k hits (cost ∝ k·window), best-turn-per-conversation
+    # (one algebraic max(struct) agg), snippet assembly over phrase
+    # candidates, and a ts-window search (predicate pushed into the scan)
+    qs["hit_context"] = lambda: eng.hit_context(
+        "shuffle partition", "conv_id", "turn_idx", k=10, before=2, after=2
+    ).count()
+    qs["grouped_topk"] = lambda: eng.grouped_topk(
+        "shuffle partition", "conv_id", n_groups=10
+    ).count()
+    qs["snippet_search"] = lambda: eng.snippet_hits(
+        "shuffle partition"
+    ).count()
+    from datetime import datetime, timezone
+
+    _ts_lo = datetime.fromtimestamp(
+        1704067200 + 37 * (N_TURNS // 4), tz=timezone.utc
+    )
+    _ts_hi = datetime.fromtimestamp(
+        1704067200 + 37 * (3 * N_TURNS // 4), tz=timezone.utc
+    )
+    qs["search_time_range"] = lambda: eng.search(
+        {"query": "broadcast", "range_filters": {"ts": [_ts_lo, _ts_hi]},
+         "per_page": 12}
+    )
     qs["facet_counts"] = lambda: eng.bucket_counts_df(
         "role", {"filters": {"tool": ["bash"]}}
     ).count()

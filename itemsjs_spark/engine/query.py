@@ -1488,6 +1488,93 @@ class SearchEngine:
             .limit(int(n_groups))
         )
 
+    def more_like_this(
+        self, id: Any, k: int = 10, max_terms: int = 25
+    ) -> DataFrame:
+        """Content-based similar items (extension; the reference's
+        ``similar`` is attribute-overlap — lib.ts similar): the source
+        doc's top ``max_terms`` terms by tf·idf become a DISJUNCTIVE
+        query weighted by that tf·idf, scored as
+        score(d) = Σ_t qw(t) · idf(t) · tf_d(t), source excluded,
+        relevance-ordered top-k as (_docid, __score).
+
+        Physical plan: the source doc's term vector comes from
+        re-tokenizing ITS row alone with the index build's exact Arrow
+        closure (one docid point lookup + a 1-row Arrow pass — never a
+        postings scan by docid); idf for that bounded vocabulary is one
+        `isin`-pruned terms lookup; scoring is a postings_subset over
+        ≤max_terms terms (term-pruned scan / block decode) with weights
+        as map literals, one groupBy(_docid) sum — the same shape as
+        fulltext_hits, disjunctive instead of conjunctive."""
+        from .indexer import tokenize_postings
+
+        idx = self.index
+        self._ensure_fulltext_materialized()
+        empty = self.spark.createDataFrame(
+            [], f"{DOCID} long, {SCORE} double"
+        )
+        src_rows = tokenize_postings(
+            idx.docs.filter(F.col(DOCID) == id),
+            idx.text_fields,
+            self.configuration,
+        ).collect()
+        if not src_rows:
+            return empty
+        tfs = {r["term"]: float(r["tf"]) for r in src_rows}
+        idf = {
+            r["term"]: float(r["idf"])
+            for r in idx.terms.filter(
+                F.col("term").isin(list(tfs))
+            ).collect()
+        }
+        ranked = sorted(
+            ((tfs[t] * idf[t], t) for t in tfs if t in idf),
+            key=lambda x: (-x[0], x[1]),
+        )[: max(int(max_terms), 1)]
+        if not ranked:
+            return empty
+        wmap = F.create_map(
+            *[x for qw, t in ranked for x in (F.lit(t), F.lit(float(qw)))]
+        )
+        imap = F.create_map(
+            *[x for _qw, t in ranked for x in (F.lit(t), F.lit(idf[t]))]
+        )
+        sub = idx.postings_subset([t for _qw, t in ranked]).filter(
+            F.col(DOCID) != id
+        )
+        scored = (
+            sub.withColumn(
+                "__c", wmap[F.col("term")] * imap[F.col("term")] * F.col("tf")
+            )
+            .groupBy(DOCID)
+            .agg(F.sum("__c").alias(SCORE))
+        )
+        s = F.round(F.col(SCORE), 6)
+        return (
+            scored.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+            .limit(int(k))
+            .select(F.col(DOCID), s.alias(SCORE))
+        )
+
+    def index_stats(self) -> DataFrame:
+        """One-row index introspection: (n_docs, n_terms, n_postings) —
+        corpus size, distinct vocabulary, inverted-index entries.
+        n_postings = Σ df over the terms table ((term, _docid) is unique
+        in postings), so the stats never touch the postings/blocks store
+        — two dimension-sized aggregates crossJoined."""
+        idx = self.index
+        d = idx.docs.agg(F.count("*").alias("n_docs"))
+        if idx.terms is not None:
+            p = idx.terms.agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").cast("long").alias("n_postings"),
+            )
+        else:
+            p = self.spark.createDataFrame(
+                [(0, 0)], "n_terms long, n_postings long"
+            )
+        return d.crossJoin(p).select("n_docs", "n_terms", "n_postings")
+
     def _fulltext_hits_distributed_expansion(self, query: str) -> DataFrame:
         """Scale path for prefix expansions too large for the driver
         (e.g. a 1-char query against a 10^12-turn vocabulary): the whole

@@ -1,0 +1,72 @@
+"""more_like_this (content-based similar, disjunctive tf·idf query) and
+index_stats (corpus/vocabulary/posting counts from the terms table)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from itemsjs_spark.engine import itemsjs_spark
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    items = [
+        {"id": 1, "text": "zebra yak zebra"},     # source: rare terms
+        {"id": 2, "text": "zebra yak walrus"},    # shares both rares
+        {"id": 3, "text": "zebra lion lion"},     # shares one
+        {"id": 4, "text": "lion tiger puma"},     # shares none
+        {"id": 5, "text": "yak yak yak"},         # one rare, high tf
+    ]
+    return itemsjs_spark(
+        spark, items, {"searchableFields": ["text"], "custom_id_field": "id"}
+    )
+
+
+def _mlt(eng, src, **kw):
+    return [
+        (r["_docid"], r["__score"])
+        for r in eng.more_like_this(src, **kw).collect()
+    ]
+
+
+def test_mlt_excludes_source_and_ranks_overlap(eng):
+    got = _mlt(eng, 1, k=10)
+    ids = [d for d, _ in got]
+    assert 1 not in ids
+    assert 4 not in ids  # no shared term -> no score at all
+    assert set(ids) == {2, 3, 5}
+    # doc 2 shares both source terms; it must outrank single-term docs
+    assert ids[0] == 2
+    # scores strictly descending (rounded ordering with docid tie-break)
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_mlt_score_formula(eng):
+    # hand-check doc 5 for source 1: score = qw(yak)*idf(yak)*tf_5(yak)
+    # tf_1(yak)=1/3, idf(yak)=1+ln(5/3), tf_5(yak)=1
+    idf_yak = 1.0 + math.log(5 / 3)
+    want = round((1 / 3) * idf_yak * idf_yak * 1.0, 6)
+    got = dict(_mlt(eng, 1, k=10))
+    assert got[5] == pytest.approx(want, abs=1e-6)
+
+
+def test_mlt_max_terms_cut(eng):
+    # source 1 vector ranked by tf*idf: zebra (2/3 * idf(3/5-df)) vs yak
+    # (1/3). With max_terms=1 only the top term (zebra) queries: doc 5
+    # (yak-only) drops out
+    got = dict(_mlt(eng, 1, k=10, max_terms=1))
+    assert 5 not in got and set(got) == {2, 3}
+
+
+def test_mlt_missing_source_is_empty(eng):
+    assert _mlt(eng, 999) == []
+
+
+def test_index_stats_counts(eng):
+    row = eng.index_stats().collect()[0]
+    # 5 docs; vocabulary: zebra yak walrus lion tiger puma = 6;
+    # postings = distinct (doc, term): 2+3+2+3+1 = 11
+    assert (row["n_docs"], row["n_terms"], row["n_postings"]) == (5, 6, 11)
