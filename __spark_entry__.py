@@ -1754,6 +1754,33 @@ FROM g ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT {k}
 """
 
 
+def _q_transcripts_histogram(spark, sf_dir):
+    """Date-histogram facet (extension; itemsjs buckets are
+    categorical): hourly counts of the turns matching the north-rule
+    query AND a role filter — the same result set the search would
+    page, binned by epoch hour in ONE map-side-combined groupBy."""
+    eng = _tx_engine(spark, sf_dir)
+    return eng.facet_histogram(
+        "ts", 3600,
+        {"query": "merge sort", "filters": {"role": ["assistant"]}},
+    )
+
+
+def _tx_histogram_sql(qtext: str, interval: int, role: str) -> str:
+    ft = _ft_sql(
+        qtext, 10**9,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    return f"""
+WITH f AS (SELECT _id FROM ({ft}) q),
+c AS ({_TX_CORPUS_SQL}),
+j AS (SELECT (floor(c.ts_epoch / {interval}.0) * {interval})::BIGINT AS bucket
+      FROM f JOIN c ON c._docid = f._id WHERE c.role = '{role}')
+SELECT bucket, count(*)::BIGINT AS doc_count FROM j GROUP BY bucket
+"""
+
+
 def _tx_hit_context_sql(qtext: str, k: int, before: int, after: int) -> str:
     ft = _ft_sql(
         qtext, k,
@@ -1821,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_hit_context": _q_transcripts_hit_context,
         "transcripts_conv_topk": _q_transcripts_conv_topk,
         "transcripts_time_range": _q_transcripts_time_range,
+        "transcripts_histogram": _q_transcripts_histogram,
         # itemsjs core operators (SURVEY.md §2)
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
@@ -1829,7 +1857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_query_dnf": _q_filters_query,
         "sort_paginate": _q_sort_paginate,
         "bucket_heads_topn": _q_bucket_heads,
-        "fulltext_single_term": _ft_query("spark", 50),
         "fulltext_prefix_expand": _ft_query("s", 50),
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
@@ -1887,6 +1914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN family stays reported via ann_ivf_topk
         "ann_lsh_topk": _q_ann_lsh_topk,
         "index_stats": _q_index_stats,
+        # plain lunr top-k stays reported via transcripts_fulltext_topk
+        # and fulltext_wand_topk (same scores, WAND route)
+        "fulltext_single_term": _ft_query("spark", 50),
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
@@ -2642,5 +2672,8 @@ FROM t
     sqls["transcripts_conv_topk"] = _tx_conv_topk_sql("merge sort", 8)
     sqls["transcripts_time_range"] = _tx_time_range_sql(
         "merge sort", 12, _TX_TS_LO, _TX_TS_HI
+    )
+    sqls["transcripts_histogram"] = _tx_histogram_sql(
+        "merge sort", 3600, "assistant"
     )
     return sqls

@@ -1556,6 +1556,61 @@ class SearchEngine:
             .select(F.col(DOCID), s.alias(SCORE))
         )
 
+    def facet_histogram(
+        self,
+        field: str,
+        interval: float,
+        input: Optional[Dict[str, Any]] = None,
+        origin: float = 0,
+    ) -> DataFrame:
+        """Date/numeric histogram facet (extension; itemsjs buckets are
+        categorical): (bucket, doc_count) where bucket is the inclusive
+        lower bound of each ``interval``-wide bin (anchored at
+        ``origin``), counting the docs of the SAME result set a search
+        with this ``input`` would page — query, categorical filters,
+        range_filters and filters_query all compose. Timestamp fields
+        bin by epoch seconds. Empty bins are omitted (sparse histogram
+        — at 10^12 turns a dense fill would materialize the time axis).
+
+        Physical plan: the standard candidates/compile machinery derives
+        the result-set predicate, then ONE groupBy on the computed bin
+        key with map-side partial counts; the bin expression is pure JVM
+        so the corpus scan stays pruned by the same pushed filters."""
+        input = input or {}
+        if field not in self.index.docs.columns:
+            raise EngineError(f"unknown histogram field {field!r}")
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        flt = base.filter(
+            ir_to_column(compiled.final_pred, hits is not None)
+        )
+        col = F.col(field)
+        dt = dict(self.index.docs.dtypes).get(field, "")
+        if dt.startswith("timestamp") or dt == "date":
+            col = col.cast("timestamp").cast("long")  # epoch seconds
+        elif not any(
+            dt.startswith(p)
+            for p in ("int", "bigint", "smallint", "tinyint",
+                      "float", "double", "decimal", "long")
+        ):
+            raise EngineError(
+                f"histogram field {field!r} must be numeric/timestamp/"
+                f"date (got {dt}; items-built engines coerce mixed "
+                "values to strings — index a typed DataFrame column)"
+            )
+        bucket = (
+            F.floor((col - F.lit(origin)) / F.lit(interval))
+            * F.lit(interval)
+            + F.lit(origin)
+        ).cast("long" if float(interval).is_integer() else "double")
+        return (
+            flt.select(bucket.alias("bucket"))
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").alias("doc_count"))
+        )
+
     def index_stats(self) -> DataFrame:
         """One-row index introspection: (n_docs, n_terms, n_postings) —
         corpus size, distinct vocabulary, inverted-index entries.

@@ -1,0 +1,83 @@
+"""facet_histogram: date/numeric histogram over the search result set
+(query + categorical + range filters compose), sparse buckets."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from itemsjs_spark.engine import EngineError, itemsjs_spark
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    rows = [
+        (0, 3, "x", "alpha", datetime.fromtimestamp(1000, tz=timezone.utc)),
+        (1, 9, "y", "alpha", datetime.fromtimestamp(1050, tz=timezone.utc)),
+        (2, 10, "x", "alpha", datetime.fromtimestamp(1100, tz=timezone.utc)),
+        (3, 19, "x", "beta", datetime.fromtimestamp(1210, tz=timezone.utc)),
+        (4, 40, "x", "alpha", datetime.fromtimestamp(5000, tz=timezone.utc)),
+    ]
+    # typed DataFrame input: histogram needs real numeric/timestamp
+    # columns (the items path JS-coerces mixed values to strings)
+    df = spark.createDataFrame(
+        rows, "id long, n long, kind string, text string, ts timestamp"
+    )
+    return itemsjs_spark(
+        df.sparkSession,
+        df,
+        {
+            "searchableFields": ["text"],
+            "aggregations": {"kind": {"size": 10}},
+            "custom_id_field": "id",
+        },
+        docid_col="id",
+    )
+
+
+def _h(df):
+    return {r["bucket"]: r["doc_count"] for r in df.collect()}
+
+
+def test_numeric_bins_inclusive_lower(eng):
+    got = _h(eng.facet_histogram("n", 10))
+    # bins [0,10): n=3,9 | [10,20): 10,19 | [40,50): 40 — sparse gaps
+    assert got == {0: 2, 10: 2, 40: 1}
+
+
+def test_origin_shifts_bins(eng):
+    got = _h(eng.facet_histogram("n", 10, origin=5))
+    # anchored at 5: [-5,5): 3 | [5,15): 9,10 | [15,25): 19 | [35,45): 40
+    assert got == {-5: 1, 5: 2, 15: 1, 35: 1}
+
+
+def test_timestamp_bins_epoch_seconds(eng):
+    got = _h(eng.facet_histogram("ts", 100))
+    assert got == {1000: 2, 1100: 1, 1200: 1, 5000: 1}
+
+
+def test_composes_with_query_filters_and_ranges(eng):
+    got = _h(eng.facet_histogram("ts", 100, {"query": "alpha"}))
+    assert got == {1000: 2, 1100: 1, 5000: 1}  # beta doc 3 drops
+    got2 = _h(eng.facet_histogram(
+        "ts", 100, {"query": "alpha", "filters": {"kind": ["x"]}}
+    ))
+    assert got2 == {1000: 1, 1100: 1, 5000: 1}  # y doc 1 drops
+    got3 = _h(eng.facet_histogram(
+        "ts", 100, {"query": "alpha", "range_filters": {"n": [5, 30]}}
+    ))
+    assert got3 == {1000: 1, 1100: 1}  # n=3 and n=40 drop
+
+
+def test_unknown_field_raises(eng):
+    with pytest.raises(EngineError, match="unknown histogram field"):
+        eng.facet_histogram("nope", 10)
+    with pytest.raises(EngineError, match="must be numeric/timestamp"):
+        eng.facet_histogram("kind", 10)
+
+
+def test_float_interval_buckets(eng):
+    got = _h(eng.facet_histogram("n", 2.5))
+    assert got[2.5] == 1 and got[7.5] == 1 and got[10.0] == 1
+    assert sum(got.values()) == 5
