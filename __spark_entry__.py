@@ -1605,6 +1605,26 @@ ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC LIMIT {k}
 """
 
 
+def _q_suggest(spark, sf_dir):
+    """Autocomplete (extension): top analyzed terms completing a prefix
+    by document frequency — one filter + top-k on the dimension-sized
+    terms table (StartsWith row-group pruning on the sorted store)."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.suggest("s", k=8)
+
+
+_SUGGEST_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+      WHERE term LIKE 's%' GROUP BY term)
+SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 8
+"""
+
+
 def _q_index_stats(spark, sf_dir):
     """Index introspection: corpus size / vocabulary / posting count
     from the dimension-sized terms table (n_postings = Σ df; never
@@ -1858,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_paginate": _q_sort_paginate,
         "bucket_heads_topn": _q_bucket_heads,
         "fulltext_prefix_expand": _ft_query("s", 50),
+        "suggest_prefix": _q_suggest,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "append_fulltext_topk": _q_append_fulltext_topk,
@@ -1896,7 +1917,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "multimodal_png_decode": _q_multimodal_png,
-        "multimodal_jpeg_decode": _q_multimodal_jpeg,
         "multimodal_wav_decode": _q_multimodal_wav,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
         # (y4m parked: the multimodal codec family keeps PNG/JPEG/WAV in
@@ -1917,6 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain lunr top-k stays reported via transcripts_fulltext_topk
         # and fulltext_wand_topk (same scores, WAND route)
         "fulltext_single_term": _ft_query("spark", 50),
+        # image codec family stays reported via multimodal_png_decode
+        "multimodal_jpeg_decode": _q_multimodal_jpeg,
         # (multimodal_features is the fake-kernel plumbing row; the four
         # REAL codec rows above supersede it in the report window)
         "multimodal_features": _q_multimodal_features,
@@ -2666,6 +2688,7 @@ FROM t
         id_col="_docid",
     )
     sqls["more_like_this"] = _mlt_sql(_MLT_SRC, _MLT_K, _MLT_M)
+    sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)

@@ -1611,6 +1611,30 @@ class SearchEngine:
             .agg(F.count("*").alias("doc_count"))
         )
 
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Autocomplete (extension): the top-k ANALYZED index terms
+        completing ``prefix``, ordered by document frequency desc then
+        term asc — (term, df). The prefix is analyzed like a query token
+        (lunr pipeline), so 'Runn' suggests completions of 'runn'.
+
+        Physical plan: one filter + top-k over the dimension-sized terms
+        table; on a term-sorted persisted store the StartsWith predicate
+        prunes row groups. Never touches postings or the corpus."""
+        idx = self.index
+        empty = self.spark.createDataFrame([], "term string, df long")
+        if idx.terms is None:
+            return empty
+        toks = self.pipeline(tokenize(prefix))
+        if not toks:
+            return empty
+        p = toks[0]
+        return (
+            idx.terms.filter(F.col("term").startswith(p))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(int(k))
+            .select("term", F.col("df").cast("long").alias("df"))
+        )
+
     def index_stats(self) -> DataFrame:
         """One-row index introspection: (n_docs, n_terms, n_postings) —
         corpus size, distinct vocabulary, inverted-index entries.

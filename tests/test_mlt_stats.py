@@ -65,6 +65,19 @@ def test_mlt_missing_source_is_empty(eng):
     assert _mlt(eng, 999) == []
 
 
+def test_suggest_prefix_df_order(eng):
+    got = [(r["term"], r["df"]) for r in eng.suggest("z").collect()]
+    assert got == [("zebra", 3)]
+    # case-insensitive (query analysis), df desc then term asc
+    got2 = [(r["term"], r["df"]) for r in eng.suggest("L").collect()]
+    assert got2 == [("lion", 2)]
+    # k cuts deterministically; no-match and stopword prefixes are empty
+    all_terms = [r["term"] for r in eng.suggest("", k=3).collect()]
+    assert all_terms == []  # empty prefix tokenizes to nothing
+    assert eng.suggest("q").count() == 0
+    assert eng.suggest("the").count() == 0  # stopword analyzes away
+
+
 def test_index_stats_counts(eng):
     row = eng.index_stats().collect()[0]
     # 5 docs; vocabulary: zebra yak walrus lion tiger puma = 6;
