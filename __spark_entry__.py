@@ -1625,6 +1625,35 @@ SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 8
 """
 
 
+_DYM_WORD, _DYM_K, _DYM_E = "star", 8, 2
+# the engine analyzes the input like a query token; the oracle needs the
+# same literal — computed through the SAME pipeline so parity is by
+# construction, not by hand-stemming
+_DYM_ANALYZED = build_pipeline()(tokenize(_DYM_WORD))[0]
+
+
+def _q_did_you_mean(spark, sf_dir):
+    """Spelling suggestion (extension): top-k analyzed terms within
+    max_edits Levenshtein edits of a misspelled word — one length-banded
+    + threshold-banded-DP scan of the dimension-sized terms table,
+    TakeOrderedAndProject top-k; never touches postings or corpus."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.did_you_mean(_DYM_WORD, k=_DYM_K, max_edits=_DYM_E)
+
+
+_DYM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+c AS (SELECT term, df, levenshtein(term, '{_DYM_ANALYZED}')::INT AS dist FROM d)
+SELECT term, df, dist FROM c WHERE dist <= {_DYM_E}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {_DYM_K}
+"""
+
+
 def _q_index_stats(spark, sf_dir):
     """Index introspection: corpus size / vocabulary / posting count
     from the dimension-sized terms table (n_postings = Σ df; never
@@ -1879,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_heads_topn": _q_bucket_heads,
         "fulltext_prefix_expand": _ft_query("s", 50),
         "suggest_prefix": _q_suggest,
+        "spellcheck_didyoumean": _q_did_you_mean,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "append_fulltext_topk": _q_append_fulltext_topk,
@@ -2689,6 +2719,7 @@ FROM t
     )
     sqls["more_like_this"] = _mlt_sql(_MLT_SRC, _MLT_K, _MLT_M)
     sqls["suggest_prefix"] = _SUGGEST_SQL
+    sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)

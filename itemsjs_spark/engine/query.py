@@ -1635,6 +1635,52 @@ class SearchEngine:
             .select("term", F.col("df").cast("long").alias("df"))
         )
 
+    def did_you_mean(
+        self, word: str, k: int = 5, max_edits: int = 2
+    ) -> DataFrame:
+        """Spelling suggestion (extension; the reference's lunr 0.7 has
+        no fuzzy matching): the top-k ANALYZED index terms within
+        ``max_edits`` Levenshtein edits of ``word``, ordered by
+        (distance asc, document frequency desc, term asc) —
+        (term, df, dist). The word is analyzed like a query token
+        first, so an exact vocabulary word suggests itself at dist 0.
+
+        Physical plan: ONE dimension-sized scan of the terms table —
+        a cheap length band ``|len(term) - len(w)| <= max_edits``
+        prunes most of the vocabulary before the threshold-banded
+        Levenshtein (`F.levenshtein(..., threshold)` runs the banded
+        DP, O(len·max_edits) per term instead of O(len²)), then a
+        TakeOrderedAndProject top-k. Never touches postings or the
+        corpus; at a 10^12-turn vocabulary this stays bounded by
+        distinct-term count, not corpus size."""
+        idx = self.index
+        empty = self.spark.createDataFrame(
+            [], "term string, df long, dist int"
+        )
+        if idx.terms is None:
+            return empty
+        toks = self.pipeline(tokenize(word))
+        if not toks:
+            return empty
+        w = toks[0]
+        e = int(max_edits)
+        dist = F.levenshtein(F.col("term"), F.lit(w), e)
+        return (
+            idx.terms.filter(
+                F.abs(F.length("term") - F.lit(len(w))) <= F.lit(e)
+            )
+            .select(
+                "term",
+                F.col("df").cast("long").alias("df"),
+                dist.alias("dist"),
+            )
+            .filter(F.col("dist") >= 0)  # threshold form returns -1 over e
+            .orderBy(
+                F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+            )
+            .limit(int(k))
+        )
+
     def index_stats(self) -> DataFrame:
         """One-row index introspection: (n_docs, n_terms, n_postings) —
         corpus size, distinct vocabulary, inverted-index entries.

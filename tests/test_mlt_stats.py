@@ -78,6 +78,38 @@ def test_suggest_prefix_df_order(eng):
     assert eng.suggest("the").count() == 0  # stopword analyzes away
 
 
+def _dym(eng, word, **kw):
+    return [
+        (r["term"], r["df"], r["dist"])
+        for r in eng.did_you_mean(word, **kw).collect()
+    ]
+
+
+def test_did_you_mean_orders_by_distance_then_df(eng):
+    # vocabulary: zebra(3) yak(3) walrus(1) lion(2) tiger(1) puma(1)
+    # "zebr" -> dist 1 to zebra only (others > 2 edits away at e=1)
+    assert _dym(eng, "zebr", max_edits=1) == [("zebra", 3, 1)]
+    # exact vocabulary word suggests itself first at dist 0
+    got = _dym(eng, "lion", max_edits=2)
+    assert got[0] == ("lion", 2, 0)
+    # ties on distance break by df desc then term asc: "yaks" analyzes
+    # (stems) to "yak" -> dist 0; nothing else within 2 of "yak" except...
+    got2 = _dym(eng, "yak", max_edits=2)
+    assert got2[0] == ("yak", 3, 0)
+    assert all(d <= 2 for _, _, d in got2)
+
+
+def test_did_you_mean_bounds_and_edges(eng):
+    # k cuts after the (dist, df desc, term) order
+    got = _dym(eng, "lions", max_edits=2, k=1)
+    assert len(got) == 1
+    # no term within the edit budget -> empty
+    assert _dym(eng, "qqqqqqqq", max_edits=1) == []
+    # stopwords analyze away -> empty; empty input -> empty
+    assert _dym(eng, "the") == []
+    assert _dym(eng, "   ") == []
+
+
 def test_index_stats_counts(eng):
     row = eng.index_stats().collect()[0]
     # 5 docs; vocabulary: zebra yak walrus lion tiger puma = 6;
