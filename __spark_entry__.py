@@ -31,6 +31,7 @@ from itemsjs_spark.analysis.lunr_analysis import STOP_WORDS, build_pipeline, tok
 from itemsjs_spark.analysis.porter import stem
 from itemsjs_spark.engine.indexer import DOCID
 from itemsjs_spark.engine.packaging import ensure_shipped
+from itemsjs_spark.ops import conversations as conv_ops
 from itemsjs_spark.ops import dedup as dedup_ops
 from itemsjs_spark.ops import embeddings as emb_ops
 from itemsjs_spark.ops import text as text_ops
@@ -1491,6 +1492,27 @@ def _q_multimodal_y4m(spark, sf_dir):
     )
 
 
+def _tx_df(spark, sf_dir):
+    """Transcript-shaped corpus (BASELINE.json input_hint: conv_id,
+    turn_idx, role, text, tool, ts) derived from documents.parquet by
+    pure relational transforms, so every DuckDB oracle can restate the
+    derivation."""
+    d = _documents(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("user"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool")).alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("bash")).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id").cast("long") * 37
+        ).alias("ts"),
+    )
+
+
 def _tx_engine(spark, sf_dir):
     """Shared engine over the transcript-shaped corpus (conv_id,
     turn_idx, role, text, tool, ts) derived from documents.parquet by
@@ -1498,20 +1520,7 @@ def _tx_engine(spark, sf_dir):
     derivation (incl. the docid = rank(conv_id, turn_idx) contract)."""
 
     def build():
-        d = _documents(spark, sf_dir)
-        w = Window.partitionBy("source").orderBy("doc_id")
-        tdf = d.select(
-            F.col("source").alias("conv_id"),
-            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-            F.when(F.col("doc_id") % 3 == 0, F.lit("user"))
-            .when(F.col("doc_id") % 3 == 1, F.lit("assistant"))
-            .otherwise(F.lit("tool")).alias("role"),
-            F.col("text"),
-            F.when(F.col("doc_id") % 3 == 2, F.lit("bash")).alias("tool"),
-            F.timestamp_seconds(
-                F.lit(1704067200) + F.col("doc_id").cast("long") * 37
-            ).alias("ts"),
-        )
+        tdf = _tx_df(spark, sf_dir)
         cfg = {
             "aggregations": {"role": {"size": 10}, "tool": {"size": 10}},
             "searchableFields": ["text"],
@@ -1555,6 +1564,51 @@ def _q_transcripts_conv_topk(spark, sf_dir):
     skew-safe for hot conversations."""
     eng = _tx_engine(spark, sf_dir)
     return eng.grouped_topk("merge sort", "conv_id", n_groups=8)
+
+
+def _q_conversation_stats(spark, sf_dir):
+    """Per-conversation shape/quality signals (extension; transcript
+    payload): ONE window pass partitioned by conversation (lag for the
+    role-switch flag) feeding ONE map-side-combined groupBy — per-conv
+    state bounded by the conversation's own length, never corpus size."""
+    return conv_ops.conversation_stats(_tx_df(spark, sf_dir))
+
+
+_CONV_STATS_SQL = r"""
+WITH c AS (
+  SELECT source AS conv_id,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT
+           AS turn_idx,
+         CASE WHEN doc_id % 3 = 0 THEN 'user'
+              WHEN doc_id % 3 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE WHEN doc_id % 3 = 2 THEN 'bash' END AS tool,
+         (1704067200 + doc_id * 37)::BIGINT AS ts_epoch,
+         text
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   IS DISTINCT FROM role
+               AND lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   IS NOT NULL
+              THEN 1 ELSE 0 END AS sw
+  FROM c
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS user_turns,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+         AS assistant_turns,
+       count(tool)::BIGINT AS tool_calls,
+       sum(length(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+         AS n_words,
+       round(avg(length(text)), 6) AS avg_turn_chars,
+       (max(ts_epoch) - min(ts_epoch))::BIGINT AS duration_s,
+       sum(sw)::BIGINT AS role_switches
+FROM s GROUP BY conv_id
+"""
 
 
 _MLT_SRC, _MLT_K, _MLT_M = 7, 15, 8
@@ -1898,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_conv_topk": _q_transcripts_conv_topk,
         "transcripts_time_range": _q_transcripts_time_range,
         "transcripts_histogram": _q_transcripts_histogram,
+        "conversation_stats": _q_conversation_stats,
         # itemsjs core operators (SURVEY.md §2)
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
@@ -1928,7 +1983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "decontaminate_vs_holdout": _q_decontaminate,
         "domain_mixture_sample": _q_mixture_sample,
-        "domain_mixture_upsample": _q_mixture_upsample,
         "repetition_signals": _q_repetition_signals,
         "embedding_topk_cosine": _q_embedding_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1949,6 +2003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": _q_multimodal_png,
         "multimodal_wav_decode": _q_multimodal_wav,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
+        # mixture family stays reported via domain_mixture_sample; the
+        # upsample variant's slot went to the new conversation-analytics
+        # and fuzzy-suggest families
+        "domain_mixture_upsample": _q_mixture_upsample,
         # (y4m parked: the multimodal codec family keeps PNG/JPEG/WAV in
         # the window; snippet_search took this slot. langid_heuristic
         # parked behind langid_learned, unigram_logprob behind the five
@@ -2720,6 +2778,7 @@ FROM t
     sqls["more_like_this"] = _mlt_sql(_MLT_SRC, _MLT_K, _MLT_M)
     sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["spellcheck_didyoumean"] = _DYM_SQL
+    sqls["conversation_stats"] = _CONV_STATS_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)

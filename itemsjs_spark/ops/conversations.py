@@ -1,0 +1,114 @@
+"""Conversation-level operators over transcript corpora.
+
+The engine's corpus shape (BASELINE.json input_hint) is an Iceberg table
+of multi-turn transcripts ``(conv_id, turn_idx, role, text, tool, ts)``;
+training-data pipelines need per-CONVERSATION signals next to the
+per-turn ones (`ops/text.py`). Everything here is pure DataFrame
+expressions — one map-side-combined groupBy per operator, or a window
+partitioned by conversation where turn order matters (state bounded by
+conversation length, the inherent unit of work; a 10^12-turn corpus has
+~10^9 conversations, so per-conv aggregation parallelizes on conv_id —
+power-law-hot conversations stay single-partition-bounded by their OWN
+length only, never by corpus size).
+
+Verified against independent DuckDB oracles through ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation shape/quality signals:
+
+    (conv_id, n_turns, user_turns, assistant_turns, tool_calls,
+    n_words, avg_turn_chars, duration_s, role_switches)
+
+    - ``tool_calls``: turns with a non-null tool column.
+    - ``n_words``: whitespace tokens across all turns.
+    - ``duration_s``: last-minus-first timestamp, seconds.
+    - ``role_switches``: adjacent turn pairs (by ``order_col``) whose
+      role differs — the turn-taking signal that separates dialogues
+      from monologue dumps.
+
+    Physical plan: ONE window pass partitioned by conversation (lag for
+    the switch flag — partition state bounded by conv length) feeding
+    ONE groupBy with algebraic aggregates (map-side partials). No
+    corpus-sized shuffle beyond the by-conversation exchange the window
+    already needs; the groupBy reuses that clustering.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    switch = F.when(
+        prev_role.isNotNull() & (prev_role != F.col(role_col)), 1
+    ).otherwise(0)
+    words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return (
+        df.withColumn("__switch", switch)
+        .groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum((F.col(role_col) == "user").cast("long"))
+            .cast("long")
+            .alias("user_turns"),
+            F.sum((F.col(role_col) == "assistant").cast("long"))
+            .cast("long")
+            .alias("assistant_turns"),
+            F.count(tool_col).cast("long").alias("tool_calls"),
+            F.sum(words).cast("long").alias("n_words"),
+            F.round(F.avg(F.length(text_col)), 6).alias("avg_turn_chars"),
+            (
+                F.unix_timestamp(F.max(ts_col))
+                - F.unix_timestamp(F.min(ts_col))
+            )
+            .cast("long")
+            .alias("duration_s"),
+            F.sum("__switch").cast("long").alias("role_switches"),
+        )
+    )
+
+
+def conversation_text(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(conv_id, text): each conversation's turns concatenated in turn
+    order — the canonical unit for conversation-level dedup (feed the
+    result to ``ops.dedup``'s exact/minhash/simhash operators).
+
+    Deterministic ordering without a window: ``sort_array`` over
+    (order_col, text) structs collected per conversation — an algebraic
+    aggregate with map-side partials; per-group state is bounded by the
+    conversation's own length."""
+    return (
+        df.groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col).alias("o"),
+                                F.col(text_col).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )

@@ -1,0 +1,76 @@
+"""Conversation-level operators (ops/conversations.py): per-conv shape
+signals and turn-ordered text concatenation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from itemsjs_spark.ops import conversations as conv
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        # conv a: user/assistant alternation, one tool call, 4 turns
+        ("a", 0, "user", "hello there", None, _ts(0)),
+        ("a", 1, "assistant", "hi", None, _ts(10)),
+        ("a", 2, "user", "run it", None, _ts(20)),
+        ("a", 3, "tool", "ok done", "bash", _ts(30)),
+        # conv b: monologue (no switches), 2 turns
+        ("b", 0, "assistant", "one two three", None, _ts(5)),
+        ("b", 1, "assistant", "four", None, _ts(6)),
+        # conv c: single turn
+        ("c", 0, "user", "solo", None, _ts(7)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+
+def test_conversation_stats_values(tdf):
+    got = {r["conv_id"]: r.asDict() for r in conv.conversation_stats(tdf).collect()}
+    a = got["a"]
+    assert a["n_turns"] == 4
+    assert a["user_turns"] == 2
+    assert a["assistant_turns"] == 1
+    assert a["tool_calls"] == 1
+    assert a["n_words"] == 2 + 1 + 2 + 2
+    assert a["avg_turn_chars"] == pytest.approx(
+        (len("hello there") + 2 + len("run it") + len("ok done")) / 4, abs=1e-6
+    )
+    assert a["duration_s"] == 30
+    assert a["role_switches"] == 3  # u->a, a->u, u->tool
+    b = got["b"]
+    assert (b["role_switches"], b["n_turns"], b["duration_s"]) == (0, 2, 1)
+    c = got["c"]
+    assert (c["role_switches"], c["n_turns"], c["duration_s"]) == (0, 1, 0)
+
+
+def test_conversation_stats_word_count_squeezes_whitespace(spark):
+    df = spark.createDataFrame(
+        [("x", 0, "user", "  a   b  ", None, _ts(0))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    row = conv.conversation_stats(df).collect()[0]
+    assert row["n_words"] == 2  # trim + \s+ split, not single-space split
+
+
+def test_conversation_text_orders_by_turn(tdf):
+    got = {r["conv_id"]: r["text"] for r in conv.conversation_text(tdf).collect()}
+    assert got["a"] == "hello there\nhi\nrun it\nok done"
+    assert got["b"] == "one two three\nfour"
+    assert got["c"] == "solo"
+    # custom separator
+    got2 = {
+        r["conv_id"]: r["text"]
+        for r in conv.conversation_text(tdf, sep=" | ").collect()
+    }
+    assert got2["b"] == "one two three | four"
