@@ -1611,6 +1611,45 @@ FROM s GROUP BY conv_id
 """
 
 
+_PACK_CONV_BUDGET = 60
+
+
+def _q_pack_conversations(spark, sf_dir):
+    """Conversation-aware greedy packing (extension of the packing
+    family): chunks never span conversations and never reorder turns —
+    one per-conversation Arrow fold, state bounded by conv length."""
+    tdf = _tx_df(spark, sf_dir).withColumn(
+        "n_tokens",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
+    )
+    packed = conv_ops.pack_conversations(
+        tdf, budget=_PACK_CONV_BUDGET, token_col="n_tokens"
+    )
+    return packed.select("conv_id", "turn_idx", "n_tokens", "chunk")
+
+
+_PACK_CONV_SQL = rf"""
+WITH RECURSIVE c AS (
+  SELECT source AS conv_id,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT
+           AS turn_idx,
+         length(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS tok
+  FROM documents
+), r AS (
+  SELECT conv_id, turn_idx, tok, tok AS fill, 0::BIGINT AS chunk
+  FROM c WHERE turn_idx = 0
+  UNION ALL
+  SELECT c.conv_id, c.turn_idx, c.tok,
+         CASE WHEN r.fill + c.tok > {_PACK_CONV_BUDGET}
+              THEN c.tok ELSE r.fill + c.tok END,
+         CASE WHEN r.fill + c.tok > {_PACK_CONV_BUDGET}
+              THEN r.chunk + 1 ELSE r.chunk END
+  FROM c JOIN r ON c.conv_id = r.conv_id AND c.turn_idx = r.turn_idx + 1
+)
+SELECT conv_id, turn_idx, tok AS n_tokens, chunk FROM r
+"""
+
+
 _MLT_SRC, _MLT_K, _MLT_M = 7, 15, 8
 
 
@@ -2007,6 +2046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upsample variant's slot went to the new conversation-analytics
         # and fuzzy-suggest families
         "domain_mixture_upsample": _q_mixture_upsample,
+        # packing family stays reported via pack_sequences; this is the
+        # conversation-aware variant
+        "pack_conversations": _q_pack_conversations,
         # (y4m parked: the multimodal codec family keeps PNG/JPEG/WAV in
         # the window; snippet_search took this slot. langid_heuristic
         # parked behind langid_learned, unigram_logprob behind the five
@@ -2779,6 +2821,7 @@ FROM t
     sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["conversation_stats"] = _CONV_STATS_SQL
+    sqls["pack_conversations"] = _PACK_CONV_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)

@@ -78,6 +78,56 @@ def conversation_stats(
     )
 
 
+def pack_conversations(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Conversation-aware greedy packing: within each conversation, in
+    turn order, cut the turns into training chunks whose token sum
+    stays ≤ ``budget`` (a turn longer than the budget gets a chunk of
+    its own). Adds ``chunk`` (0-based, per-conversation). Unlike
+    ``ops.sampling.pack_sequences`` (which packs unrelated documents
+    into shard-local bins), chunks here NEVER span conversations and
+    never reorder turns — the context-window chunking a transcript
+    training pipeline needs.
+
+    Chunk id = number of cuts strictly before the turn; a cut falls
+    whenever the running total since the last cut would exceed the
+    budget. The fold carries (fill, chunk) state, so it runs as ONE
+    per-conversation Arrow scan — state bounded by the conversation's
+    own length (the inherent unit of work), never corpus size."""
+    import pandas as pd
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", chunk long"
+    cap = int(budget)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        chunks = []
+        fill = 0
+        c = 0
+        first = True
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            if not first and fill + t > cap:
+                c += 1
+                fill = 0
+            first = False
+            fill += t
+            chunks.append(c)
+        pdf["chunk"] = pd.Series(chunks, dtype="int64")
+        return pdf
+
+    return df.groupBy(conv_col).applyInPandas(assign, schema=schema)
+
+
 def conversation_text(
     df: DataFrame,
     conv_col: str = "conv_id",

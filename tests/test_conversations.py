@@ -63,6 +63,43 @@ def test_conversation_stats_word_count_squeezes_whitespace(spark):
     assert row["n_words"] == 2  # trim + \s+ split, not single-space split
 
 
+def _toks(spark, rows):
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens long")
+    out = conv.pack_conversations(df, budget=10)
+    return {
+        (r["conv_id"], r["turn_idx"]): r["chunk"] for r in out.collect()
+    }
+
+
+def test_pack_conversations_greedy_cuts(spark):
+    got = _toks(spark, [
+        ("a", 0, 4), ("a", 1, 5),   # 9 <= 10 -> chunk 0
+        ("a", 2, 3),                # would be 12 -> cut -> chunk 1
+        ("a", 3, 7),                # 10 <= 10 -> chunk 1
+        ("a", 4, 1),                # would be 11 -> chunk 2
+    ])
+    assert [got[("a", i)] for i in range(5)] == [0, 0, 1, 1, 2]
+
+
+def test_pack_conversations_overlong_turn_gets_own_chunk(spark):
+    got = _toks(spark, [
+        ("a", 0, 25),               # > budget but first -> chunk 0 alone
+        ("a", 1, 2),                # cut after the giant -> chunk 1
+        ("a", 2, 30),               # giant mid-stream -> chunk 2 alone
+        ("a", 3, 1),                # cut again -> chunk 3
+    ])
+    assert [got[("a", i)] for i in range(4)] == [0, 1, 2, 3]
+
+
+def test_pack_conversations_never_spans_conversations(spark):
+    got = _toks(spark, [
+        ("a", 0, 1), ("b", 0, 1), ("b", 1, 2), ("c", 0, 11),
+    ])
+    # every conversation restarts at chunk 0 regardless of the others
+    assert got[("a", 0)] == 0 and got[("b", 0)] == 0 and got[("c", 0)] == 0
+    assert got[("b", 1)] == 0  # 3 <= 10 packs with its predecessor
+
+
 def test_conversation_text_orders_by_turn(tdf):
     got = {r["conv_id"]: r["text"] for r in conv.conversation_text(tdf).collect()}
     assert got["a"] == "hello there\nhi\nrun it\nok done"
