@@ -24,7 +24,7 @@ import re
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1680,6 +1680,49 @@ class SearchEngine:
             )
             .limit(int(k))
         )
+
+    def top_terms(self, group_field: str, k: int = 5) -> DataFrame:
+        """Keyword extraction (extension): the top-k terms per group
+        (e.g. per conversation) by summed tf·idf over the group's docs —
+        (group_field, term, weight). The weight is Σ_docs tf(doc, term)
+        · idf(term) with the index's own lunr tf/idf, so keywords are
+        corpus-contrastive (stopword-ish terms sink via idf).
+
+        Physical plan: postings ⨝ docs' slim (docid, group) projection
+        on _docid (the postings cache is already hash-partitioned by
+        _docid, so only the slim projection shuffles), ONE
+        map-side-combined groupBy (group, term), a broadcast join
+        against the dimension-sized terms table for idf, then a per-
+        group top-k window — partition state bounded by the group's own
+        vocabulary, never corpus size."""
+        idx = self.index
+        if idx.postings is None:
+            raise EngineError(
+                "top_terms needs row-level postings (blocks-only indexes "
+                "would decode the full store; reopen with postings)"
+            )
+        if group_field not in idx.docs.columns:
+            raise EngineError(f"unknown group field {group_field!r}")
+        self._ensure_fulltext_materialized()
+        groups = idx.docs.select(DOCID, F.col(group_field))
+        g = (
+            idx.postings.join(groups, DOCID)
+            .groupBy(group_field, "term")
+            .agg(F.sum("tf").alias("__tf_sum"))
+        )
+        w = g.join(F.broadcast(idx.terms.select("term", "idf")), "term")
+        weight = F.round(F.col("__tf_sum") * F.col("idf"), 6)
+        ranked = w.select(
+            group_field, "term", weight.alias("weight")
+        ).withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(group_field).orderBy(
+                    F.col("weight").desc(), F.col("term").asc()
+                )
+            ),
+        )
+        return ranked.filter(F.col("__rn") <= int(k)).drop("__rn")
 
     def index_stats(self) -> DataFrame:
         """One-row index introspection: (n_docs, n_terms, n_postings) —

@@ -110,6 +110,47 @@ def test_did_you_mean_bounds_and_edges(eng):
     assert _dym(eng, "   ") == []
 
 
+def test_top_terms_weights_and_cut(spark):
+    from itemsjs_spark.engine.query import EngineError
+
+    items = [
+        {"id": 1, "grp": "g1", "text": "zebra zebra yak"},
+        {"id": 2, "grp": "g1", "text": "zebra lion"},
+        {"id": 3, "grp": "g2", "text": "lion lion lion"},
+    ]
+    eng2 = itemsjs_spark(
+        spark,
+        items,
+        {
+            "searchableFields": ["text"],
+            "custom_id_field": "id",
+            "aggregations": {"grp": {}},
+        },
+    )
+    got = {
+        (r["grp"], r["term"]): r["weight"]
+        for r in eng2.top_terms("grp", k=2).collect()
+    }
+    # idf: zebra df2 -> 1+ln(3/2); yak df1 -> 1+ln(3); lion df2 -> 1+ln(3/2)
+    idf_z, idf_y = 1 + math.log(3 / 2), 1 + math.log(3)
+    # g1 zebra: tf 2/3 + 1/2; g1 yak: 1/3; g1 lion: 1/2
+    assert got[("g1", "zebra")] == pytest.approx(
+        round((2 / 3 + 1 / 2) * idf_z, 6), abs=1e-6
+    )
+    # k=2 cut: g1 weights are zebra 1.639, lion 0.5·idf_z≈0.7027,
+    # yak (1/3)·idf_y≈0.6997 — lion edges out yak by 0.003
+    assert got[("g1", "lion")] == pytest.approx(
+        round((1 / 2) * idf_z, 6), abs=1e-6
+    )
+    g1_terms = {t for (g, t) in got if g == "g1"}
+    assert g1_terms == {"zebra", "lion"}
+    assert idf_y > 0  # (kept for the hand-math above)
+    # g2 is pure lion: tf 1 * idf_z
+    assert got[("g2", "lion")] == pytest.approx(round(idf_z, 6), abs=1e-6)
+    with pytest.raises(EngineError):
+        eng2.top_terms("nope")
+
+
 def test_index_stats_counts(eng):
     row = eng.index_stats().collect()[0]
     # 5 docs; vocabulary: zebra yak walrus lion tiger puma = 6;
