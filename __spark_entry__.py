@@ -1611,6 +1611,41 @@ FROM s GROUP BY conv_id
 """
 
 
+_REL_WORD, _REL_K, _REL_MIN = "merge", 10, 2
+_REL_ANALYZED = build_pipeline()(tokenize(_REL_WORD))[0]
+
+
+def _q_related_terms(spark, sf_dir):
+    """Related searches (extension): PMI co-occurrence with a seed term
+    — term-pruned seed postings drive a docid join back into postings
+    (exchange-free on the _docid-partitioned cache), one groupBy."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.related_terms(_REL_WORD, k=_REL_K, min_co_df=_REL_MIN)
+
+
+_REL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+pt AS (SELECT DISTINCT doc_id, term FROM tok),
+d AS (SELECT term, count(*)::BIGINT AS df FROM pt GROUP BY term),
+seed AS (SELECT doc_id FROM pt WHERE term = '{_REL_ANALYZED}'),
+co AS (SELECT pt.term, count(*)::BIGINT AS co_df
+       FROM pt JOIN seed USING (doc_id) GROUP BY pt.term),
+j AS (SELECT co.term, co.co_df,
+             round(ln(co.co_df::DOUBLE
+                      * (SELECT count(*)::DOUBLE FROM documents)
+                      / ((SELECT df FROM d WHERE term = '{_REL_ANALYZED}')::DOUBLE
+                         * d.df::DOUBLE)), 6) AS pmi
+      FROM co JOIN d USING (term))
+SELECT term, co_df, pmi FROM j
+WHERE term <> '{_REL_ANALYZED}' AND co_df >= {_REL_MIN}
+ORDER BY pmi DESC, term ASC LIMIT {_REL_K}
+"""
+
+
 _TOP_TERMS_K = 3
 
 
@@ -2032,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_histogram": _q_transcripts_histogram,
         "conversation_stats": _q_conversation_stats,
         "top_terms_per_group": _q_top_terms,
+        "related_terms_pmi": _q_related_terms,
         # itemsjs core operators (SURVEY.md §2)
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
@@ -2052,7 +2088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
         "ids_lookup": _q_ids_lookup,
-        "callback_filter": _q_callback_filter,
         # training-data pipeline operators
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash_signatures,
@@ -2088,6 +2123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
+        # O6 callback filter: green in CORRECTNESS_r01-r03; its slot went
+        # to the never-reported related_terms_pmi family
+        "callback_filter": _q_callback_filter,
         # (y4m parked: the multimodal codec family keeps PNG/JPEG/WAV in
         # the window; snippet_search took this slot. langid_heuristic
         # parked behind langid_learned, unigram_logprob behind the five
@@ -2865,6 +2903,7 @@ FROM t
     sqls["conversation_stats"] = _CONV_STATS_SQL
     sqls["pack_conversations"] = _PACK_CONV_SQL
     sqls["top_terms_per_group"] = _TOP_TERMS_SQL
+    sqls["related_terms_pmi"] = _REL_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)

@@ -1681,6 +1681,72 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def related_terms(
+        self, word: str, k: int = 10, min_co_df: int = 2
+    ) -> DataFrame:
+        """Related searches (extension): terms co-occurring with
+        ``word`` across documents, ranked by pointwise mutual
+        information — (term, co_df, pmi) where
+        pmi = ln(co_df · N / (df_word · df_term)). High-pmi terms
+        appear together far more than chance; ``min_co_df`` suppresses
+        one-off noise pairs.
+
+        Physical plan: the seed term's postings (term-pruned scan —
+        isin pushdown on the postings/blocks store) semi-drive a join
+        back into postings on _docid (the postings cache is hash-
+        partitioned by _docid, so the co-occurrence pass is exchange-
+        free on the big side), ONE map-side-combined groupBy(term), a
+        dimension-sized join for df, a broadcast 1-row crossJoin for
+        df_word, then top-k. Cost is proportional to the postings of
+        the seed term's documents — never all-pairs, never corpus-
+        squared."""
+        idx = self.index
+        empty = self.spark.createDataFrame(
+            [], "term string, co_df long, pmi double"
+        )
+        if idx.terms is None:
+            return empty
+        toks = self.pipeline(tokenize(word))
+        if not toks:
+            return empty
+        t = toks[0]
+        if idx.postings is None:
+            raise EngineError(
+                "related_terms needs row-level postings (blocks-only "
+                "indexes would decode the full store; reopen with postings)"
+            )
+        self._ensure_fulltext_materialized()
+        seed_docs = idx.postings_subset([t]).select(DOCID)
+        co = (
+            idx.postings.join(seed_docs, DOCID)
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("co_df"))
+        )
+        dt = F.broadcast(
+            idx.terms.filter(F.col("term") == t).select(
+                F.col("df").alias("__df_t")
+            )
+        )
+        n = float(max(idx.n_docs, 1))
+        pmi = F.round(
+            F.log(
+                F.col("co_df").cast("double")
+                * F.lit(n)
+                / (F.col("__df_t").cast("double") * F.col("df").cast("double"))
+            ),
+            6,
+        )
+        return (
+            co.join(idx.terms.select("term", "df"), "term")
+            .crossJoin(dt)
+            .filter(
+                (F.col("term") != t) & (F.col("co_df") >= int(min_co_df))
+            )
+            .select("term", "co_df", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), F.col("term").asc())
+            .limit(int(k))
+        )
+
     def top_terms(self, group_field: str, k: int = 5) -> DataFrame:
         """Keyword extraction (extension): the top-k terms per group
         (e.g. per conversation) by summed tf·idf over the group's docs —

@@ -151,6 +151,29 @@ def test_top_terms_weights_and_cut(spark):
         eng2.top_terms("nope")
 
 
+def test_related_terms_pmi(eng):
+    # corpus (5 docs): zebra in {1,2,3}; yak in {1,2,5}; walrus {2};
+    # lion {3,4}; tiger {4}; puma {4}
+    got = {
+        r["term"]: (r["co_df"], r["pmi"])
+        for r in eng.related_terms("zebra", k=10, min_co_df=1).collect()
+    }
+    assert "zebra" not in got  # seed excluded
+    # yak co-occurs in docs 1,2 -> pmi = ln(2*5/(3*3))
+    assert got["yak"] == (2, pytest.approx(round(math.log(10 / 9), 6)))
+    # walrus stems to "walru"; co {2} -> ln(1*5/(3*1)); lion co {3} ->
+    # ln(1*5/(3*2))
+    assert got["walru"] == (1, pytest.approx(round(math.log(5 / 3), 6)))
+    assert got["lion"] == (1, pytest.approx(round(math.log(5 / 6), 6)))
+    assert "tiger" not in got and "puma" not in got  # never co-occur
+    # min_co_df suppresses one-off pairs
+    only = [r["term"] for r in eng.related_terms("zebra", min_co_df=2).collect()]
+    assert only == ["yak"]
+    # unknown / stopword seeds are empty
+    assert eng.related_terms("qqqq").count() == 0
+    assert eng.related_terms("the").count() == 0
+
+
 def test_index_stats_counts(eng):
     row = eng.index_stats().collect()[0]
     # 5 docs; vocabulary: zebra yak walrus lion tiger puma = 6;
