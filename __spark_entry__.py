@@ -951,6 +951,16 @@ def _q_simhash(spark, sf_dir):
     return dedup_ops.simhash(_documents(spark, sf_dir), "doc_id", bits=32)
 
 
+def _q_conversation_simhash(spark, sf_dir):
+    """Conversation-level near-dup fingerprint: conversation_text
+    (turn-ordered concat, one algebraic aggregate) feeding the SAME
+    pure-JVM simhash as the per-doc row — the composition that dedups
+    whole conversations rather than turns."""
+    tdf = _tx_df(spark, sf_dir)
+    conv = conv_ops.conversation_text(tdf, sep=" ")
+    return dedup_ops.simhash(conv, "conv_id", bits=32)
+
+
 def _q_embedding_topk(spark, sf_dir):
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return emb_ops.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
@@ -2126,6 +2136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # O6 callback filter: green in CORRECTNESS_r01-r03; its slot went
         # to the never-reported related_terms_pmi family
         "callback_filter": _q_callback_filter,
+        # dedup family stays reported via the per-doc rows; this is the
+        # conversation-level composition
+        "conversation_simhash": _q_conversation_simhash,
         # (y4m parked: the multimodal codec family keeps PNG/JPEG/WAV in
         # the window; snippet_search took this slot. langid_heuristic
         # parked behind langid_learned, unigram_logprob behind the five
@@ -2607,6 +2620,23 @@ WITH t AS (
 ),
 s AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
 SELECT doc_id, ({bits})::BIGINT AS simhash FROM s
+"""
+
+    # conversation-level near-dup: the SAME simhash formula over the
+    # turn-ordered concatenation of each conversation's text
+    sqls["conversation_simhash"] = f"""
+WITH conv AS (
+  SELECT source AS conv_id,
+         string_agg(text, ' ' ORDER BY doc_id) AS text
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT conv_id, u.t AS tok, count(*) AS cnt, md5(u.t) AS h
+  FROM conv, LATERAL unnest(string_split(text, ' ')) u(t)
+  GROUP BY conv_id, u.t
+),
+s AS (SELECT conv_id, {sums} FROM t GROUP BY conv_id)
+SELECT conv_id, ({bits})::BIGINT AS simhash FROM s
 """
 
     sqls["embedding_topk_cosine"] = """
