@@ -145,6 +145,26 @@ def _ft_query(qtext: str, k: int):
     return run
 
 
+_FUZZY_Q, _FUZZY_K = "mergee vectr", 20
+
+
+def _q_fulltext_fuzzy(spark, sf_dir):
+    """Fuzzy full-text search (extension; lunr 0.7 has no fuzzy):
+    dictionary-missing analyzed tokens rewrite to their nearest term
+    (levenshtein ≤2, df-weighted tie-break) before the standard
+    conjunctive lunr scoring — 'mergee vectr' scores like 'merg vector'.
+    Known-checks hit the driver-cached dictionary (zero jobs); each
+    unknown token costs one bounded terms-dimension scan."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.fulltext_hits(_FUZZY_Q, fuzzy=True)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(_FUZZY_K)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 _PHRASE = "value a table"  # stopword 'a' squeezes out: adjacency is
 # over the analyzed token stream, so this matches "... value table ..."
 
@@ -371,14 +391,39 @@ SELECT _id, n_occurrences{extra_out} FROM hits WHERE n_occurrences > 0
 
 def _ft_sql(
     qtext: str, k: int, extra_ctes: str = "", corpus: str = "documents",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", fuzzy: bool = False,
 ) -> str:
     """lunr-1.0.0 scoring restated in ANSI SQL over ``corpus`` (a table
-    or a CTE defined by ``extra_ctes``) keyed by ``id_col``."""
+    or a CTE defined by ``extra_ctes``) keyed by ``id_col``. ``fuzzy``
+    restates the engine's fuzzy rewrite IN SQL: tokens with no prefix
+    completion in the dictionary are replaced by their nearest term
+    (levenshtein asc, df desc, term asc, ≤2 edits) before scoring."""
     pipeline = build_pipeline()
     tokens = pipeline(tokenize(qtext))
     values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
     n = len(tokens)
+    if fuzzy:
+        q_cte = """
+q0(tok_idx, tok) AS (VALUES {values}),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+known AS (SELECT DISTINCT q0.tok_idx
+          FROM q0 JOIN dfs ON dfs.term LIKE q0.tok || '%'),
+corr AS (
+  SELECT tok_idx, term FROM (
+    SELECT q0.tok_idx, dfs.term,
+           row_number() OVER (PARTITION BY q0.tok_idx
+             ORDER BY levenshtein(dfs.term, q0.tok), dfs.df DESC, dfs.term
+           ) AS rn
+    FROM q0 JOIN dfs ON levenshtein(dfs.term, q0.tok) <= 2
+    WHERE q0.tok_idx NOT IN (SELECT tok_idx FROM known)
+  ) WHERE rn = 1
+),
+q(tok_idx, tok) AS (
+  SELECT q0.tok_idx, coalesce(corr.term, q0.tok)
+  FROM q0 LEFT JOIN corr USING (tok_idx)
+),""".replace("{values}", values)
+    else:
+        q_cte = f"q(tok_idx, tok) AS (VALUES {values}),"
     return f"""
 WITH {extra_ctes} tok AS (
   SELECT {id_col} AS doc_id, {_stem_case('u.t')} AS term
@@ -395,7 +440,7 @@ idf AS (
          1.0 + ln((SELECT count(*)::DOUBLE FROM {corpus}) / count(DISTINCT doc_id)::DOUBLE) AS idf
   FROM tok GROUP BY term
 ),
-q(tok_idx, tok) AS (VALUES {values}),
+{q_cte}
 qw AS (
   SELECT q.tok_idx, q.tok, i.term, i.idf,
          i.idf * (CASE WHEN i.term = q.tok THEN 1.0
@@ -2088,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_heads_topn": _q_bucket_heads,
         "suggest_prefix": _q_suggest,
         "spellcheck_didyoumean": _q_did_you_mean,
+        "fulltext_fuzzy": _q_fulltext_fuzzy,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "append_fulltext_topk": _q_append_fulltext_topk,
@@ -2097,7 +2143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
-        "ids_lookup": _q_ids_lookup,
         # training-data pipeline operators
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash_signatures,
@@ -2133,8 +2178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
-        # O6 callback filter: green in CORRECTNESS_r01-r03; its slot went
-        # to the never-reported related_terms_pmi family
+        # O3/O6 rows: green in CORRECTNESS_r01-r03; their slots went to
+        # the never-reported related_terms_pmi / fulltext_fuzzy families
+        "ids_lookup": _q_ids_lookup,
         "callback_filter": _q_callback_filter,
         # dedup family stays reported via the per-doc rows; this is the
         # conversation-level composition
@@ -2930,6 +2976,7 @@ FROM t
     sqls["more_like_this"] = _mlt_sql(_MLT_SRC, _MLT_K, _MLT_M)
     sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["spellcheck_didyoumean"] = _DYM_SQL
+    sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
     sqls["conversation_stats"] = _CONV_STATS_SQL
     sqls["pack_conversations"] = _PACK_CONV_SQL
     sqls["top_terms_per_group"] = _TOP_TERMS_SQL

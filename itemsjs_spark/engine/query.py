@@ -475,12 +475,14 @@ class SearchEngine:
         return idf_map, by_token
 
     def _query_vector(
-        self, query: str
+        self, query: str, fuzzy: bool = False
     ) -> Optional[Tuple[scoring.QueryVector, Dict[str, float]]]:
         """Analyze a query against the terms dictionary: tokenize →
         pipeline → prefix-expand → lunr query vector. Driver-side and
         tiny (|expanded terms| rows); shared by the exact scorer and the
-        block-max WAND path. Returns None when the query can't match."""
+        block-max WAND path. Returns None when the query can't match.
+        ``fuzzy`` rewrites dictionary-missing tokens to their nearest
+        term first (`_fuzzy_rewrite`)."""
         idx = self.index
         if idx.terms is None:
             return None
@@ -488,6 +490,8 @@ class SearchEngine:
         tokens = self.pipeline(tokenize(query))
         if not tokens:
             return None
+        if fuzzy:
+            tokens = self._fuzzy_rewrite(tokens)
 
         distinct_tokens = sorted(set(tokens))
         exp = self._expand_tokens_driver(distinct_tokens)
@@ -813,13 +817,17 @@ class SearchEngine:
             .select("qid", DOCID, SCORE)
         )
 
-    def fulltext_hits(self, query: str) -> DataFrame:
+    def fulltext_hits(self, query: str, fuzzy: bool = False) -> DataFrame:
         """DataFrame (_docid, __score) of lunr-ranked hits; ordering is a
-        property of the consumer (ORDER BY __score DESC, str(_docid) ASC)."""
+        property of the consumer (ORDER BY __score DESC, str(_docid) ASC).
+        ``fuzzy`` corrects dictionary-missing tokens before scoring
+        (driver-vector path only: an expansion too large for the driver
+        means every token already matches plenty, so the distributed
+        fallback has nothing to correct)."""
         idx = self.index
         empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
         try:
-            analyzed = self._query_vector(query)
+            analyzed = self._query_vector(query, fuzzy=fuzzy)
         except _ExpansionTooLarge:
             return self._fulltext_hits_distributed_expansion(query)
         if analyzed is None:
@@ -1662,8 +1670,14 @@ class SearchEngine:
         toks = self.pipeline(tokenize(word))
         if not toks:
             return empty
-        w = toks[0]
-        e = int(max_edits)
+        return self._nearest_terms_df(toks[0], int(k), int(max_edits))
+
+    def _nearest_terms_df(self, w: str, k: int, e: int) -> DataFrame:
+        """Top-k ANALYZED terms within ``e`` edits of the ANALYZED token
+        ``w`` — the shared plan behind ``did_you_mean`` and the fuzzy
+        query rewrite (one length-banded scan of the dimension-sized
+        terms table, threshold-banded Levenshtein DP, top-k)."""
+        idx = self.index
         dist = F.levenshtein(F.col("term"), F.lit(w), e)
         return (
             idx.terms.filter(
@@ -1680,6 +1694,52 @@ class SearchEngine:
             )
             .limit(int(k))
         )
+
+    def _token_known(self, tok: str) -> bool:
+        """Does the ANALYZED token reach any dictionary term as a prefix
+        (lunr's trie-walk semantics — an exact term is the trivial
+        case)? Driver-dictionary bisect when cached (zero jobs), else
+        one row-bounded scan job."""
+        d = self._term_dictionary()
+        if d is not None:
+            import bisect
+
+            terms, _ = d
+            i = bisect.bisect_left(terms, tok)
+            return i < len(terms) and terms[i].startswith(tok)
+        self._ensure_fulltext_materialized()
+        return (
+            len(
+                self.index.terms.filter(F.col("term").startswith(tok))
+                .select("term")
+                .take(1)
+            )
+            > 0
+        )
+
+    def _fuzzy_rewrite(
+        self, tokens: List[str], max_edits: int = 2
+    ) -> List[str]:
+        """Fuzzy query rewrite (extension; lunr 0.7 has no fuzzy
+        matching): every analyzed token that matches NOTHING in the
+        dictionary (no prefix completion) is replaced by its nearest
+        term — (edit distance asc, df desc, term asc), ``max_edits``
+        budget. Known tokens are never touched, so fuzzy search scores
+        exactly like the plain query whenever the user spelled every
+        word right; an uncorrectable token stays and empties the
+        conjunctive intersection (honest zero-hit response).
+
+        Cost: known-checks are driver-side against the cached
+        dictionary; each UNKNOWN token (rare) costs one bounded
+        dimension-table scan job (`_nearest_terms_df`)."""
+        corr: Dict[str, str] = {}
+        for tok in dict.fromkeys(tokens):
+            if self._token_known(tok):
+                continue
+            rows = self._nearest_terms_df(tok, 1, int(max_edits)).collect()
+            if rows:
+                corr[tok] = rows[0]["term"]
+        return [corr.get(t, t) for t in tokens]
 
     def related_terms(
         self, word: str, k: int = 10, min_co_df: int = 2
@@ -1950,7 +2010,9 @@ class SearchEngine:
                 phrases: List[str] = []
                 if '"' in qtext:
                     qtext, phrases = parse_quoted_query(qtext)
-                hits = self.fulltext_hits(qtext)
+                hits = self.fulltext_hits(
+                    qtext, fuzzy=bool(input.get("fuzzy"))
+                )
                 for ph in phrases:
                     if not self.pipeline(tokenize(ph)):
                         continue  # stopword-only quote: vacuous
@@ -2355,6 +2417,8 @@ class SearchEngine:
             input.get("query")
             # quoted segments add phrase constraints WAND can't see
             and '"' not in str(input.get("query"))
+            # fuzzy rewrite happens in the standard scoring path
+            and not input.get("fuzzy")
             and self.index.posting_blocks is not None
             and not self.index.facet_fields
             and not input.get("sort")
@@ -2528,6 +2592,8 @@ class SearchEngine:
             input.get("query")
             # quoted segments add phrase constraints WAND can't see
             and '"' not in str(input.get("query"))
+            # fuzzy rewrite happens in the standard scoring path
+            and not input.get("fuzzy")
             and filters
             and idx.posting_blocks is not None
             and idx.facet_posting_blocks is not None
