@@ -1740,6 +1740,43 @@ SELECT source, term, weight FROM r WHERE rn <= {_TOP_TERMS_K}
 """
 
 
+_PAIR_CTX = 3
+
+
+def _q_training_pairs(spark, sf_dir):
+    """SFT pair extraction (extension; transcript payload): one bounded
+    ROWS-frame window renders each assistant turn's preceding context —
+    state bounded by the context budget, never conversation length."""
+    return conv_ops.training_pairs(
+        _tx_df(spark, sf_dir), max_context_turns=_PAIR_CTX
+    )
+
+
+_TRAINING_PAIRS_SQL = f"""
+WITH c AS (
+  SELECT source AS conv_id,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT
+           AS turn_idx,
+         CASE WHEN doc_id % 3 = 0 THEN 'user'
+              WHEN doc_id % 3 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         text
+  FROM documents
+),
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         array_to_string(
+           list(role || ': ' || text) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN {_PAIR_CTX} PRECEDING AND 1 PRECEDING
+           ), chr(10)) AS context
+  FROM c
+)
+SELECT conv_id, turn_idx, context, text AS target
+FROM r WHERE role = 'assistant' AND length(context) > 0
+"""
+
+
 _PACK_CONV_BUDGET = 60
 
 
@@ -2121,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_time_range": _q_transcripts_time_range,
         "transcripts_histogram": _q_transcripts_histogram,
         "conversation_stats": _q_conversation_stats,
+        "training_pairs": _q_training_pairs,
         "top_terms_per_group": _q_top_terms,
         "related_terms_pmi": _q_related_terms,
         # itemsjs core operators (SURVEY.md §2)
@@ -2129,7 +2167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_bucket_counts": _q_disjunctive_counts,
         "negative_bucket_counts": _q_negative_counts,
         "filters_query_dnf": _q_filters_query,
-        "sort_paginate": _q_sort_paginate,
         "bucket_heads_topn": _q_bucket_heads,
         "suggest_prefix": _q_suggest,
         "spellcheck_didyoumean": _q_did_you_mean,
@@ -2178,10 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
-        # O3/O6 rows: green in CORRECTNESS_r01-r03; their slots went to
-        # the never-reported related_terms_pmi / fulltext_fuzzy families
+        # O3/O6/O19-20 rows: green in CORRECTNESS_r01-r03; their slots
+        # went to the never-reported related_terms_pmi / fulltext_fuzzy /
+        # training_pairs families (sort/paginate family also runs below
+        # via events_/orders_sort_paginate)
         "ids_lookup": _q_ids_lookup,
         "callback_filter": _q_callback_filter,
+        "sort_paginate": _q_sort_paginate,
         # dedup family stays reported via the per-doc rows; this is the
         # conversation-level composition
         "conversation_simhash": _q_conversation_simhash,
@@ -2978,6 +3018,7 @@ FROM t
     sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
     sqls["conversation_stats"] = _CONV_STATS_SQL
+    sqls["training_pairs"] = _TRAINING_PAIRS_SQL
     sqls["pack_conversations"] = _PACK_CONV_SQL
     sqls["top_terms_per_group"] = _TOP_TERMS_SQL
     sqls["related_terms_pmi"] = _REL_SQL

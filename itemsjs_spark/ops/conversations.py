@@ -128,6 +128,49 @@ def pack_conversations(
     return df.groupBy(conv_col).applyInPandas(assign, schema=schema)
 
 
+def training_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+    max_context_turns: int = 4,
+    sep: str = "\n",
+) -> DataFrame:
+    """SFT pair extraction: for every turn spoken by ``target_role``,
+    emit (conv_id, turn_idx, context, target) where ``context`` is the
+    up-to-``max_context_turns`` preceding turns rendered as
+    ``role: text`` joined by ``sep``, and ``target`` is the turn's own
+    text. Turns with NO preceding context are dropped (nothing to
+    condition on).
+
+    Physical plan: ONE window pass partitioned by conversation with a
+    bounded ROWS frame (``max_context_turns`` PRECEDING .. 1 PRECEDING)
+    — per-row state is the frame, so memory is bounded by the context
+    budget regardless of conversation or corpus size; no self-join, no
+    explode."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(-int(max_context_turns), -1)
+    )
+    rendered = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+    ctx = F.array_join(F.collect_list(rendered).over(w), sep)
+    return (
+        df.withColumn("context", ctx)
+        .filter(
+            (F.col(role_col) == target_role) & (F.length("context") > 0)
+        )
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(order_col).alias("turn_idx"),
+            "context",
+            F.col(text_col).alias("target"),
+        )
+    )
+
+
 def conversation_text(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -100,6 +100,38 @@ def test_pack_conversations_never_spans_conversations(spark):
     assert got[("b", 1)] == 0  # 3 <= 10 packs with its predecessor
 
 
+def test_training_pairs_context_window(tdf):
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["context"], r["target"])
+        for r in conv.training_pairs(tdf, max_context_turns=2).collect()
+    }
+    # conv a turn 1 is the only assistant turn with context
+    assert got[("a", 1)] == ("user: hello there", "hi")
+    # conv b turn 1: assistant preceded by assistant — still a pair
+    assert got[("b", 1)] == ("assistant: one two three", "four")
+    # conv b turn 0 has no context -> dropped; non-assistant turns never emit
+    assert ("b", 0) not in got and ("a", 2) not in got
+    assert len(got) == 2
+
+
+def test_training_pairs_clips_context_budget(spark):
+    rows = [
+        ("x", i, "user" if i % 2 == 0 else "assistant", f"t{i}", None, _ts(i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {
+        r["turn_idx"]: r["context"]
+        for r in conv.training_pairs(df, max_context_turns=2).collect()
+    }
+    # turn 5 sees exactly turns 3,4 — not the whole history
+    assert got[5] == "assistant: t3\nuser: t4"
+    assert got[1] == "user: t0"
+
+
 def test_conversation_text_orders_by_turn(tdf):
     got = {r["conv_id"]: r["text"] for r in conv.conversation_text(tdf).collect()}
     assert got["a"] == "hello there\nhi\nrun it\nok done"
