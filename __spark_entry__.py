@@ -145,6 +145,40 @@ def _ft_query(qtext: str, k: int):
     return run
 
 
+def _q_search_after(spark, sf_dir):
+    """Keyset pagination (extension): page 2 of 'spark' resumed from
+    page 1's last (_score, _id) cursor — a pure filter predicate below
+    the top-k instead of offset-scan-and-discard, so page 10^6 costs
+    the same as page 1 at 10^12 turns. Both pages ride the cursor
+    ordering (round(score,6) DESC, str(_id) ASC)."""
+    eng = _doc_engine(spark, sf_dir)
+    r1 = eng.search(
+        {"query": "spark", "search_after": [1e9, ""], "per_page": 5}
+    )
+    last = r1["data"]["items"][-1]
+    r2 = eng.search(
+        {
+            "query": "spark",
+            "search_after": [last["_score"], str(last["_id"])],
+            "per_page": 5,
+        }
+    )
+    rows = [
+        (i + 6, int(it["_id"]), float(it["_score"]))
+        for i, it in enumerate(r2["data"]["items"])
+    ]
+    return spark.createDataFrame(rows, "pos long, _id long, score double")
+
+
+_SEARCH_AFTER_SQL = f"""
+SELECT pos, _id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, CAST(_id AS VARCHAR) ASC)
+           AS pos, _id, score
+  FROM ({{inner}}) q
+) WHERE pos > 5
+""".replace("{inner}", "__INNER__")
+
+
 _FUZZY_Q, _FUZZY_K = "mergee vectr", 20
 
 
@@ -2164,9 +2198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # itemsjs core operators (SURVEY.md §2)
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
+        "search_after_page": _q_search_after,
         "disjunctive_bucket_counts": _q_disjunctive_counts,
         "negative_bucket_counts": _q_negative_counts,
-        "filters_query_dnf": _q_filters_query,
         "bucket_heads_topn": _q_bucket_heads,
         "suggest_prefix": _q_suggest,
         "spellcheck_didyoumean": _q_did_you_mean,
@@ -2222,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ids_lookup": _q_ids_lookup,
         "callback_filter": _q_callback_filter,
         "sort_paginate": _q_sort_paginate,
+        "filters_query_dnf": _q_filters_query,
         # dedup family stays reported via the per-doc rows; this is the
         # conversation-level composition
         "conversation_simhash": _q_conversation_simhash,
@@ -3017,6 +3052,9 @@ FROM t
     sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
+    sqls["search_after_page"] = _SEARCH_AFTER_SQL.replace(
+        "__INNER__", _ft_sql("spark", 10)
+    )
     sqls["conversation_stats"] = _CONV_STATS_SQL
     sqls["training_pairs"] = _TRAINING_PAIRS_SQL
     sqls["pack_conversations"] = _PACK_CONV_SQL

@@ -2356,8 +2356,46 @@ class SearchEngine:
                 input, compiled, base, hits is not None, with_total=True
             )
 
-        ordered = self._order(flt, input, hits)
-        page_df = ordered.offset((page - 1) * per_page).limit(per_page)
+        sa = input.get("search_after")
+        if sa is not None:
+            # keyset ("cursor") pagination — the scale-native alternative
+            # to deep offset paging (offset N scans and discards N rows;
+            # the keyset predicate is a pure filter Catalyst pushes below
+            # the top-k, so page 10^6 costs the same as page 1).
+            # Contract (extension): relevance mode only; pages are ordered
+            # by (round(score, 6) DESC, str(_id) ASC) — the rounded score
+            # IS the cursor key, so the (score, _id) pair each item
+            # carries back in ``_score`` resumes exactly after itself.
+            if input.get("sort") or hits is None or SCORE not in hits.columns:
+                raise EngineError(
+                    "search_after requires a relevance-ordered query "
+                    "(query present, no sort, no _ids/ids)"
+                )
+            try:
+                s_cur, id_cur = round(float(sa[0]), 6), str(sa[1])
+            except (TypeError, ValueError, IndexError):
+                raise EngineError(
+                    "search_after must be [last_score, last_id]"
+                )
+            sc = F.round(F.col(SCORE), 6)
+            pred = (sc < F.lit(s_cur)) | (
+                (sc == F.lit(s_cur))
+                & (F.col(DOCID).cast("string") > F.lit(id_cur))
+            )
+            ordered = (
+                flt.join(hits.select(DOCID, SCORE), DOCID)
+                .filter(pred)
+                .withColumn("_score", sc)
+                .orderBy(
+                    F.col("_score").desc(),
+                    F.col(DOCID).cast("string").asc(),
+                )
+                .drop(SCORE)
+            )
+            page_df = ordered.limit(per_page)  # page number is moot
+        else:
+            ordered = self._order(flt, input, hits)
+            page_df = ordered.offset((page - 1) * per_page).limit(per_page)
         keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)
                 and c not in (IN_QUERY, QRANK, SCORE)]
 
@@ -2417,8 +2455,9 @@ class SearchEngine:
             input.get("query")
             # quoted segments add phrase constraints WAND can't see
             and '"' not in str(input.get("query"))
-            # fuzzy rewrite happens in the standard scoring path
+            # fuzzy rewrite / keyset cursors live in the standard path
             and not input.get("fuzzy")
+            and input.get("search_after") is None
             and self.index.posting_blocks is not None
             and not self.index.facet_fields
             and not input.get("sort")
@@ -2592,8 +2631,9 @@ class SearchEngine:
             input.get("query")
             # quoted segments add phrase constraints WAND can't see
             and '"' not in str(input.get("query"))
-            # fuzzy rewrite happens in the standard scoring path
+            # fuzzy rewrite / keyset cursors live in the standard path
             and not input.get("fuzzy")
+            and input.get("search_after") is None
             and filters
             and idx.posting_blocks is not None
             and idx.facet_posting_blocks is not None

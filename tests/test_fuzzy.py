@@ -66,6 +66,60 @@ def test_fuzzy_without_flag_stays_strict(eng):
     assert eng.fulltext_hits("zebraa").count() == 0
 
 
+def _cursor_walk(eng, query, per_page, **extra):
+    """Walk the whole result set via search_after cursors."""
+    out, cursor = [], [1e9, ""]
+    while True:
+        res = eng.search(
+            {"query": query, "search_after": cursor, "per_page": per_page,
+             **extra}
+        )
+        items = res["data"]["items"]
+        if not items:
+            return out
+        out.extend((it["id"], it["_score"]) for it in items)
+        last = items[-1]
+        cursor = [last["_score"], str(last["_id"])]
+
+
+def test_search_after_walks_without_overlap_or_gaps(eng):
+    got = _cursor_walk(eng, "zebra", per_page=2)
+    ids = [i for i, _ in got]
+    assert sorted(ids) == [1, 2, 3]          # every hit exactly once
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)  # cursor order
+
+
+def test_search_after_composes_with_filters(eng):
+    got = _cursor_walk(
+        eng, "zebra", per_page=1, filters={"cat": ["x"]}
+    )
+    assert sorted(i for i, _ in got) == [1, 2]
+
+
+def test_search_after_page_costs_a_filter_not_an_offset(eng):
+    # the plan must contain the keyset predicate, not a global offset
+    res = eng.search(
+        {"query": "zebra", "search_after": [1e9, ""], "per_page": 2}
+    )
+    assert len(res["data"]["items"]) == 2
+    assert res["data"]["items"][0]["_score"] >= res["data"]["items"][1]["_score"]
+
+
+def test_search_after_errors(eng):
+    from itemsjs_spark.engine.query import EngineError
+
+    with pytest.raises(EngineError, match="relevance-ordered"):
+        eng.search({"search_after": [1.0, "1"]})  # no query
+    with pytest.raises(EngineError, match="relevance-ordered"):
+        eng.search(
+            {"query": "zebra", "sort": {"field": "id"},
+             "search_after": [1.0, "1"]}
+        )
+    with pytest.raises(EngineError, match="last_score"):
+        eng.search({"query": "zebra", "search_after": ["x", "y"]})
+
+
 def test_fuzzy_search_endpoint_composes_with_facets(eng):
     res = eng.search(
         {"query": "zebraa", "fuzzy": True, "filters": {"cat": ["x"]}}
