@@ -199,6 +199,46 @@ def _q_fulltext_fuzzy(spark, sf_dir):
     )
 
 
+def _deleted_engine(spark, sf_dir):
+    """Tombstoned copy of the shared documents engine: every doc_id
+    divisible by 7 bulk-deleted (Lucene live-docs semantics —
+    engine/query.py delete_where/_live). reconfigured() hands back a
+    fresh engine over the SAME cached index artifacts, so the shared
+    _doc_engine stays untouched."""
+
+    def build():
+        eng = _doc_engine(spark, sf_dir).reconfigured(DOC_CONFIG)
+        eng.delete_where("doc_id % 7 = 0")
+        return eng
+
+    return _cached(("eng_del", sf_dir), spark, build)
+
+
+def _q_delete_search(spark, sf_dir):
+    """Tombstone delete (extension; the reference has no delete — at
+    10^12 turns a rebuild per deletion is prohibitive): bulk
+    delete_where, then relevance top-k. Surviving docs keep
+    bit-identical STALE-idf scores (index artifacts untouched until
+    purge_deleted); the oracle computes tf/idf over the FULL corpus and
+    filters only the scored set."""
+    eng = _deleted_engine(spark, sf_dir)
+    hits = eng.fulltext_hits("spark")
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(50)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
+def _q_delete_facet_counts(spark, sf_dir):
+    """Facet counts after a bulk delete: live counts assembled under the
+    STALE facet dimension — keys whose documents are all deleted stay as
+    zero-count buckets until purge_deleted()."""
+    eng = _deleted_engine(spark, sf_dir)
+    return eng.bucket_counts_df("source").select("key", "doc_count")
+
+
 _PHRASE = "value a table"  # stopword 'a' squeezes out: adjacency is
 # over the analyzed token stream, so this matches "... value table ..."
 
@@ -425,13 +465,17 @@ SELECT _id, n_occurrences{extra_out} FROM hits WHERE n_occurrences > 0
 
 def _ft_sql(
     qtext: str, k: int, extra_ctes: str = "", corpus: str = "documents",
-    id_col: str = "doc_id", fuzzy: bool = False,
+    id_col: str = "doc_id", fuzzy: bool = False, where_scored: str = "",
 ) -> str:
     """lunr-1.0.0 scoring restated in ANSI SQL over ``corpus`` (a table
     or a CTE defined by ``extra_ctes``) keyed by ``id_col``. ``fuzzy``
     restates the engine's fuzzy rewrite IN SQL: tokens with no prefix
     completion in the dictionary are replaced by their nearest term
-    (levenshtein asc, df desc, term asc, ≤2 edits) before scoring."""
+    (levenshtein asc, df desc, term asc, ≤2 edits) before scoring.
+    ``where_scored`` (e.g. ``WHERE _id % 7 <> 0``) filters the SCORED
+    set before ordering — the tombstone-delete restatement: tf/idf stay
+    computed over the FULL corpus (stale-idf Lucene semantics), only the
+    result set shrinks."""
     pipeline = build_pipeline()
     tokens = pipeline(tokenize(qtext))
     values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
@@ -496,7 +540,7 @@ scored AS (
   FROM tf JOIN qw1 ON tf.term = qw1.term JOIN cand ON cand.doc_id = tf.doc_id, mag
   GROUP BY tf.doc_id
 )
-SELECT _id, round(score, 6) AS score FROM scored
+SELECT _id, round(score, 6) AS score FROM scored {where_scored}
 ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
 LIMIT {k}
 """
@@ -1224,6 +1268,19 @@ def _q_deterministic_split(spark, sf_dir):
     return sampling.deterministic_split(
         _documents(spark, sf_dir), "doc_id", _SPLIT_WEIGHTS
     ).select("doc_id", "split")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """EXACT n-per-group deterministic sample (take the n smallest
+    hash-fraction rows per source). The engine runs the salted
+    two-phase top-n — hot groups never rank on a single task; the
+    oracle is ONE plain window row_number, equal because a group's
+    top-n is invariant under the salt decomposition."""
+    from itemsjs_spark.ops import sampling
+
+    return sampling.stratified_sample(
+        _documents(spark, sf_dir), "doc_id", "source", n=5
+    ).select("doc_id", "source")
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -2208,6 +2265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "append_fulltext_topk": _q_append_fulltext_topk,
+        # tombstone-delete family (Lucene live-docs semantics) — takes
+        # the window slot of dedup_minhash_signatures, whose pipeline
+        # neardup_jaccard_pairs already proves end-to-end
+        "delete_search": _q_delete_search,
         "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
         "similar_items": _q_similar,
@@ -2216,7 +2277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats": _q_facet_stats,
         # training-data pipeline operators
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_signatures": _q_minhash_signatures,
         "neardup_jaccard_pairs": _q_neardup_pairs,
         "neardup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
@@ -2242,10 +2302,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": _q_multimodal_png,
         "multimodal_wav_decode": _q_multimodal_wav,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
+        # minhash signatures are the first stage of the (reported)
+        # neardup_jaccard_pairs pipeline; its slot went to delete_search
+        "dedup_minhash_signatures": _q_minhash_signatures,
+        # second delete-family row: stale-dimension zero-kept buckets
+        "delete_facet_counts": _q_delete_facet_counts,
         # mixture family stays reported via domain_mixture_sample; the
         # upsample variant's slot went to the new conversation-analytics
         # and fuzzy-suggest families
         "domain_mixture_upsample": _q_mixture_upsample,
+        # sampling family also reported via deterministic_split; this is
+        # the exact-n-per-group (salted two-phase top-n) variant
+        "stratified_sample_per_group": _q_stratified_sample,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -2384,6 +2452,19 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
         "FROM f ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT 12"
     )
     # WAND over compressed blocks must reproduce the exact scorer's top-k
+    # tombstone delete: tf/idf over the FULL corpus (stale-idf Lucene
+    # semantics), only the scored result set excludes deleted docs
+    sqls["delete_search"] = _ft_sql(
+        "spark", 50, where_scored="WHERE _id % 7 <> 0"
+    )
+    sqls["delete_facet_counts"] = """
+WITH dim AS (SELECT DISTINCT source AS key FROM documents),
+cnt AS (SELECT source AS key, count(*) AS c FROM documents
+        WHERE doc_id % 7 <> 0 GROUP BY source)
+SELECT dim.key, coalesce(cnt.c, 0)::BIGINT AS doc_count
+FROM dim LEFT JOIN cnt USING (key)
+"""
+
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # half-corpus build + snapshot append == full-corpus scores exactly
     sqls["append_fulltext_topk"] = _ft_sql("spark", 50)
@@ -2565,6 +2646,16 @@ SELECT query_id, neighbor_id, cosine FROM (
     sqls["deterministic_split"] = (
         f"SELECT doc_id, {_case} AS split FROM documents"
     )
+
+    # stratified n-per-group: the engine's salted two-phase top-n equals
+    # one plain window (a group's top-n survives the salt decomposition)
+    sqls["stratified_sample_per_group"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY {_frac}, doc_id::VARCHAR) AS rn
+  FROM documents) WHERE rn <= 5
+"""
 
     # domain mixture: same rate formula text as ops.sampling
     # (t / (n_g / n), scaled so the most over-demanded source keeps all)

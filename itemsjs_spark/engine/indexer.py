@@ -338,6 +338,11 @@ class Index:
     # know coverage without a job
     positional: Optional[DataFrame] = None
     positional_fields: List[str] = dc_field(default_factory=list)
+    # durable tombstones (SearchEngine.save_tombstones): a (_docid)
+    # table of deleted docs — Lucene's persisted live-docs analog. A
+    # reopened engine adopts it, so deletes survive restarts without
+    # rewriting any index artifact
+    tombstones: Optional[DataFrame] = None
 
     def postings_subset(self, terms: Sequence[str]) -> DataFrame:
         """Row-level postings restricted to ``terms`` — THE read API for
@@ -414,6 +419,10 @@ class Index:
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, "positional"))
             )
+        if self.tombstones is not None:
+            self.tombstones.write.mode("overwrite").parquet(
+                os.path.join(path, "tombstones")
+            )
         self._write_meta(path)
 
     def _write_meta(self, path: str) -> None:
@@ -485,6 +494,10 @@ class Index:
             ).sortWithinPartitions("term").write.mode("overwrite").parquet(
                 os.path.join(path, "facet_blocks")
             )
+        if self.tombstones is not None:
+            self.tombstones.write.mode("overwrite").parquet(
+                os.path.join(path, "tombstones")
+            )
         self._write_meta(path)
         return report
 
@@ -508,6 +521,14 @@ class Index:
         positional = None
         if fs.exists(os.path.join(path, "positional")):
             positional = spark.read.parquet(os.path.join(path, "positional"))
+        tombstones = None
+        # "tombstones.new": a save_tombstones crash between delete and
+        # rename leaves only the completed .new dir — adopt it (same
+        # recovery rule as the control files' .tmp)
+        for cand in ("tombstones", "tombstones.new"):
+            if fs.exists(os.path.join(path, cand)):
+                tombstones = spark.read.parquet(os.path.join(path, cand))
+                break
         return Index(
             spark=spark,
             docs=spark.read.parquet(os.path.join(path, "docs")),
@@ -522,6 +543,7 @@ class Index:
             facet_posting_blocks=fblocks,
             positional=positional,
             positional_fields=list(meta.get("positional_fields") or []),
+            tombstones=tombstones,
         )
 
 

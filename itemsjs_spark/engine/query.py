@@ -196,6 +196,14 @@ class SearchEngine:
     ROUTER_BLOCK_ROWS_PER_SEC = 250_000.0
     # tests / operators may pin the route: "blocks" | "scan" | None
     ROUTER_FORCE: Optional[str] = None
+    # tombstone sets up to this size filter as a NOT IN literal (cheap
+    # plan, row-group pruning stays intact); larger driver-side sets
+    # become a broadcast anti-join (large In literals cost seconds in
+    # plan handling — same measurement as PHRASE_ISIN_MAX)
+    TOMBSTONE_ISIN_MAX = 256
+    # delete_where matches beyond this count never collect: the
+    # tombstones stay a DataFrame and every live filter is an anti-join
+    TOMBSTONE_DRIVER_MAX = 100_000
 
     def __init__(self, index: Index):
         self.index = index
@@ -227,6 +235,17 @@ class SearchEngine:
         # _docid so the phrase conjunction+verify aggregate needs no
         # exchange
         self._positions: Dict[str, DataFrame] = {}
+        # tombstoned (deleted) docids — Lucene live-docs semantics: the
+        # index artifacts (postings/terms/blocks/facet dim) stay STALE
+        # until purge_deleted(); every document-returning path filters
+        # through _live(). Small sets stay driver-side; delete_where
+        # bulk deletes beyond TOMBSTONE_DRIVER_MAX keep a DataFrame.
+        self._tombstone_docids: set = set()
+        self._tombstone_setdf: Optional[DataFrame] = None  # lazy, keyed to set
+        self._tombstone_setdf_n: int = 0
+        # a persisted store's live-docs table (Index.read) is adopted:
+        # deletes saved by save_tombstones survive restarts
+        self._tombstone_df: Optional[DataFrame] = index.tombstones
 
     def release_expansion_caches(self) -> None:
         """Unpersist the distributed-expansion term-vector caches created
@@ -312,9 +331,12 @@ class SearchEngine:
         indexer.append_index for the merge semantics."""
         from .indexer import append_index
 
-        return SearchEngine(
+        eng = SearchEngine(
             append_index(self.index, new_df, docid_col=docid_col, order_by=order_by)
         )
+        # appended docids extend past the old max — tombstones stay valid
+        self._copy_tombstones_into(eng)
+        return eng
 
     def reconfigured(self, configuration: Dict[str, Any]) -> "SearchEngine":
         """New engine over the SAME index artifacts with different
@@ -330,6 +352,173 @@ class SearchEngine:
         eng._ft_materialized = self._ft_materialized
         eng._term_dict_data = self._term_dict_data
         eng._term_dict_checked = self._term_dict_checked
+        self._copy_tombstones_into(eng)
+        return eng
+
+    # ------------------------------------------------------------------
+    # deletes (extension — Lucene live-docs semantics)
+    # ------------------------------------------------------------------
+    # The reference has no delete; at 10^12 turns a full rebuild per
+    # deletion is prohibitive, so deletes are TOMBSTONES: the index
+    # artifacts (postings, terms/idf, blocks, facet dimension) stay
+    # untouched and every document-returning path — search/aggregation
+    # pages, totals and bucket counts, fulltext/phrase/snippet hits,
+    # similar, more_like_this, hit_context, grouped_topk, histograms,
+    # callback filters, ids lookups — filters deleted docs out via
+    # _live(). Scores of surviving docs are UNCHANGED (stale idf, like
+    # Lucene before a merge). Store-level introspection (suggest,
+    # did_you_mean, related_terms, top_terms, index_stats) reads the
+    # store and reflects deletes only after purge_deleted(), which
+    # physically rebuilds from the live corpus (recomputing idf) while
+    # keeping docids stable.
+
+    def _tombstones_active(self) -> bool:
+        return bool(self._tombstone_docids) or self._tombstone_df is not None
+
+    def _wand_k_with_tombstones(self, k: int) -> int:
+        """WAND under driver-side tombstones: over-fetch k + |deleted|
+        (removing tombstoned hits only promotes lower ranks, so the
+        filtered over-fetch IS the live top-k). DataFrame tombstones
+        have no driver-known bound — purge first."""
+        if not self._tombstone_docids and self._tombstone_df is None:
+            return k
+        if self._tombstone_df is not None:
+            raise EngineError(
+                "WAND top-k with bulk (DataFrame) tombstones is not "
+                "supported — purge_deleted() first or use fulltext_hits"
+            )
+        return k + len(self._tombstone_docids)
+
+    def _copy_tombstones_into(self, eng: "SearchEngine") -> None:
+        eng._tombstone_docids = set(self._tombstone_docids)
+        eng._tombstone_setdf = self._tombstone_setdf
+        eng._tombstone_setdf_n = self._tombstone_setdf_n
+        eng._tombstone_df = self._tombstone_df
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Filter a docid-bearing DataFrame down to live (undeleted)
+        rows. No-op when nothing is deleted."""
+        t = self._tombstone_docids
+        if t:
+            if len(t) <= self.TOMBSTONE_ISIN_MAX:
+                df = df.filter(~F.col(DOCID).isin(sorted(t)))
+            else:
+                if (
+                    self._tombstone_setdf is None
+                    or self._tombstone_setdf_n != len(t)
+                ):
+                    self._tombstone_setdf = self.spark.createDataFrame(
+                        [(int(d),) for d in sorted(t)], f"{DOCID} long"
+                    )
+                    self._tombstone_setdf_n = len(t)
+                df = df.join(
+                    F.broadcast(self._tombstone_setdf), DOCID, "left_anti"
+                )
+        if self._tombstone_df is not None:
+            df = df.join(self._tombstone_df, DOCID, "left_anti")
+        return df
+
+    def delete(self, ids: Sequence[Any]) -> int:
+        """Tombstone documents by EXTERNAL id (``custom_id_field``,
+        default ``id``). Returns how many documents were newly deleted
+        (already-deleted and unknown ids are ignored). One bounded job:
+        the id list is driver-provided, so the docid resolution is an
+        isin-pruned point lookup."""
+        id_field = self.configuration.get("custom_id_field", "id")
+        if id_field not in self.index.docs.columns:
+            raise EngineError(f"delete needs an {id_field!r} column")
+        keys = [k for k in (js_key(v) for v in ids) if k is not None]
+        if not keys:
+            return 0
+        rows = (
+            self._live(self.index.docs)
+            .select(DOCID, F.col(id_field).cast("string").alias("k"))
+            .filter(F.col("k").isin(keys))
+            .collect()
+        )
+        return self.delete_docids([r[DOCID] for r in rows])
+
+    def delete_docids(self, docids: Sequence[int]) -> int:
+        """Tombstone documents by internal ``_docid``. Returns the count
+        of newly deleted docids."""
+        new = {int(d) for d in docids} - self._tombstone_docids
+        self._tombstone_docids |= new
+        return len(new)
+
+    def delete_where(self, predicate) -> None:
+        """Bulk tombstone: delete every live document matching
+        ``predicate`` (a Column, or a SQL string passed to
+        ``F.expr``). Small match sets (≤ TOMBSTONE_DRIVER_MAX) collect
+        to the driver set; larger ones stay a persisted docid DataFrame
+        and every live filter becomes an anti-join — the 100 TB path
+        never materializes the tombstones on the driver."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        matched = self._live(self.index.docs).filter(pred).select(DOCID)
+        probe = matched.limit(self.TOMBSTONE_DRIVER_MAX + 1).collect()
+        if len(probe) <= self.TOMBSTONE_DRIVER_MAX:
+            self.delete_docids([r[0] for r in probe])
+            return
+        tomb = matched.persist()
+        tomb.count()
+        if self._tombstone_df is not None:
+            old = self._tombstone_df
+            tomb = old.unionByName(tomb).distinct().persist()
+            tomb.count()
+            old.unpersist()
+        self._tombstone_df = tomb
+
+    def save_tombstones(self, path: str) -> None:
+        """Make the current tombstones DURABLE next to a persisted index
+        (the Lucene live-docs file analog): the full deleted-docid set —
+        driver set ∪ any bulk DataFrame — is written as one parquet
+        table and swapped in (write to ``tombstones.new``, delete the
+        old dir, rename). ``Index.read`` adopts it, so a reopened engine
+        starts with the deletes applied and NO index artifact needed
+        rewriting. Crash windows leave either the old ``tombstones`` or
+        the completed ``.new`` (Index.read checks both). With nothing
+        deleted, any stored live-docs table is removed."""
+        import os as _os
+
+        from .checkpoint import _HadoopFS
+
+        fs = _HadoopFS(self.spark, path)
+        final = _os.path.join(path, "tombstones")
+        tmp = final + ".new"
+        if not self._tombstones_active():
+            fs.delete(final)
+            fs.delete(tmp)
+            return
+        tomb = self.spark.createDataFrame(
+            [(int(d),) for d in sorted(self._tombstone_docids)],
+            f"{DOCID} long",
+        )
+        if self._tombstone_df is not None:
+            tomb = tomb.unionByName(
+                self._tombstone_df.select(DOCID)
+            ).distinct()
+        tomb.write.mode("overwrite").parquet(tmp)
+        fs.rename(tmp, final)  # deletes the old dir, then moves
+
+    def deleted_count(self) -> int:
+        """Number of tombstoned documents (one count job only when a
+        DataFrame tombstone set exists)."""
+        n = len(self._tombstone_docids)
+        if self._tombstone_df is not None:
+            n += self._tombstone_df.count()
+        return n
+
+    def purge_deleted(self) -> "SearchEngine":
+        """Physically rebuild the index from the live corpus — the
+        Lucene merge analog. Docids stay STABLE (the rebuild keys on the
+        existing ``_docid``), external ids unchanged; idf/df and the
+        facet dimension are recomputed, so scores may change. Returns a
+        new engine with no tombstones; resumable at scale via
+        checkpoint.build_blocks_checkpointed over the same live frame."""
+        live = self._live(self.index.docs)
+        drop = [c for c in live.columns if c.startswith(FK_PREFIX)]
+        base = live.drop(*drop).withColumnRenamed(DOCID, "__keep_docid")
+        eng = self.reindex(base, docid_col="__keep_docid")
+        eng.index.docs = eng.index.docs.drop("__keep_docid")
         return eng
 
     def _facet_dim_cache(self) -> Optional[Dict[str, List[Tuple[str, int]]]]:
@@ -567,16 +756,28 @@ class SearchEngine:
             t: sum(1 << i for i in qv.term_tokens[t]) for t in qv.weights
         }
         full_mask = (1 << qv.n_tokens) - 1
-        return wand_topk(
+        k_eff = self._wand_k_with_tombstones(k)
+        out = wand_topk(
             self.spark,
             blocks,
             term_weights,
             term_masks,
             full_mask,
             qv.magnitude,
-            k,
+            k_eff,
             batch_ranges=batch_ranges,
         ).withColumnRenamed("_docid", DOCID).withColumnRenamed("__score", SCORE)
+        if k_eff != k:
+            # removing tombstoned hits only promotes lower ranks, so the
+            # live top-k is exactly the filtered over-fetched top-k_eff
+            out = (
+                self._live(out)
+                .orderBy(
+                    F.col(SCORE).desc(), F.col(DOCID).cast("string").asc()
+                )
+                .limit(k)
+            )
+        return out
 
     def fulltext_topk_filtered(
         self,
@@ -633,19 +834,29 @@ class SearchEngine:
                 fld: [x for x in (js_key(v) for v in vals or []) if x is not None]
                 for fld, vals in (filters or {}).items()
             }
-        return wand_topk(
+        k_eff = self._wand_k_with_tombstones(k)
+        out = wand_topk(
             self.spark,
             blocks,
             term_weights,
             term_masks,
             (1 << qv.n_tokens) - 1,
             qv.magnitude,
-            k,
+            k_eff,
             batch_ranges=batch_ranges,
             filter_blocks=facet_blocks,
             filter_fields=filter_fields,
             filter_groups=filter_groups,
         ).withColumnRenamed("_docid", DOCID).withColumnRenamed("__score", SCORE)
+        if k_eff != k:
+            out = (
+                self._live(out)
+                .orderBy(
+                    F.col(SCORE).desc(), F.col(DOCID).cast("string").asc()
+                )
+                .limit(k)
+            )
+        return out
 
     def fulltext_hits_batch(self, queries: Sequence[str]) -> DataFrame:
         """Score MANY queries in ONE Spark job: (qid, _docid, __score).
@@ -811,7 +1022,7 @@ class SearchEngine:
         score = F.aggregate(
             "contribs", F.lit(0.0), lambda acc, x: acc + x["c"]
         ) / F.col("mag")
-        return (
+        return self._live(
             per.filter(F.col("mask") == F.col("fmask"))
             .withColumn(SCORE, score)
             .select("qid", DOCID, SCORE)
@@ -829,7 +1040,9 @@ class SearchEngine:
         try:
             analyzed = self._query_vector(query, fuzzy=fuzzy)
         except _ExpansionTooLarge:
-            return self._fulltext_hits_distributed_expansion(query)
+            return self._live(
+                self._fulltext_hits_distributed_expansion(query)
+            )
         if analyzed is None:
             return empty
         qv, idf_map = analyzed
@@ -910,7 +1123,7 @@ class SearchEngine:
                 F.lit(0.0),
                 lambda acc, x: acc + x["c"],
             ) / F.lit(qv.magnitude)
-        return (
+        return self._live(
             per_doc.filter(F.col("mask") == full_mask)
             .withColumn(SCORE, score)
             .select(DOCID, SCORE)
@@ -992,7 +1205,7 @@ class SearchEngine:
         verifier. No corpus read, no second job — at 10^12 turns the
         cost is the phrase terms' posting sizes, full stop."""
         distinct = sorted(set(terms))
-        sel = pos_df.filter(F.col("term").isin(list(distinct)))
+        sel = self._live(pos_df.filter(F.col("term").isin(list(distinct))))
         grouped = (
             sel.groupBy(DOCID)
             .agg(F.collect_list(F.struct("term", "positions")).alias("tp"))
@@ -1220,10 +1433,10 @@ class SearchEngine:
         if len(probe) <= self.PHRASE_ISIN_MAX:
             if not probe:
                 return None
-            return idx.docs.select(DOCID, field).filter(
+            return self._live(idx.docs).select(DOCID, field).filter(
                 F.col(DOCID).isin([r[0] for r in probe])
             )
-        return idx.docs.select(DOCID, field).join(cand, DOCID)
+        return self._live(idx.docs).select(DOCID, field).join(cand, DOCID)
 
     def snippet_hits(
         self,
@@ -1384,7 +1597,7 @@ class SearchEngine:
         column) and broadcast-joins the key literals with the order-range
         predicate — cost scales with k·window, never with corpus size.
         Extension beyond the reference (itemsjs returns whole items)."""
-        docs = self.index.docs
+        docs = self._live(self.index.docs)
         if fields is None:
             cols = [
                 c for c in docs.columns
@@ -1470,7 +1683,7 @@ class SearchEngine:
         aggregate), so a hot group never concentrates its raw hits on
         one task beyond the final combine. Extension beyond the
         reference."""
-        docs = self.index.docs
+        docs = self._live(self.index.docs)
         hits = self.fulltext_hits(query)
         s = F.round(F.col(SCORE), 6)
         joined = hits.select(F.col(DOCID), s.alias("__s")).join(
@@ -1522,7 +1735,7 @@ class SearchEngine:
             [], f"{DOCID} long, {SCORE} double"
         )
         src_rows = tokenize_postings(
-            idx.docs.filter(F.col(DOCID) == id),
+            self._live(idx.docs).filter(F.col(DOCID) == id),
             idx.text_fields,
             self.configuration,
         ).collect()
@@ -1547,8 +1760,10 @@ class SearchEngine:
         imap = F.create_map(
             *[x for _qw, t in ranked for x in (F.lit(t), F.lit(idf[t]))]
         )
-        sub = idx.postings_subset([t for _qw, t in ranked]).filter(
-            F.col(DOCID) != id
+        sub = self._live(
+            idx.postings_subset([t for _qw, t in ranked]).filter(
+                F.col(DOCID) != id
+            )
         )
         scored = (
             sub.withColumn(
@@ -1985,7 +2200,7 @@ class SearchEngine:
             wanted = [js_key(v) for v in input["ids"]]
             found = {
                 r["k"]: r[DOCID]
-                for r in idx.docs.select(
+                for r in self._live(idx.docs).select(
                     F.col(DOCID), F.col(id_field).cast("string").alias("k")
                 )
                 .filter(F.col("k").isin([w for w in wanted if w is not None]))
@@ -2111,7 +2326,11 @@ class SearchEngine:
                         keep.append(int(rec[DOCID]))
                 yield pd.DataFrame({DOCID: keep})
 
-        return self.index.docs.select(*cols).mapInPandas(run, schema=schema)
+        return (
+            self._live(self.index.docs)
+            .select(*cols)
+            .mapInPandas(run, schema=schema)
+        )
 
     # ------------------------------------------------------------------
     # search
@@ -2126,7 +2345,7 @@ class SearchEngine:
             raise EngineError(str(e)) from e
 
     def _docs_with_query_flag(self, hits: Optional[DataFrame]) -> DataFrame:
-        docs = self.index.docs
+        docs = self._live(self.index.docs)
         if hits is None:
             return docs
         marked = hits.select(DOCID).withColumn(IN_QUERY, F.lit(True))
@@ -2458,6 +2677,12 @@ class SearchEngine:
             # fuzzy rewrite / keyset cursors live in the standard path
             and not input.get("fuzzy")
             and input.get("search_after") is None
+            # driver-set tombstones keep the WAND route: fulltext_topk
+            # over-fetches k+|deleted| (bounded) and the membership
+            # count is live-filtered; bulk DataFrame tombstones have no
+            # driver-known bound — standard path
+            and self._tombstone_df is None
+            and len(self._tombstone_docids) <= 10_000
             and self.index.posting_blocks is not None
             and not self.index.facet_fields
             and not input.get("sort")
@@ -2495,7 +2720,8 @@ class SearchEngine:
 
         # total = conjunctive membership count: mask-only aggregate over
         # the query terms' decoded blocks — no contribution collection
-        total = self._query_membership(analyzed).count()
+        # (live-filtered: tombstoned matches don't count)
+        total = self._live(self._query_membership(analyzed)).count()
 
         t_p = time.time()
         k = page * per_page
@@ -2634,6 +2860,7 @@ class SearchEngine:
             # fuzzy rewrite / keyset cursors live in the standard path
             and not input.get("fuzzy")
             and input.get("search_after") is None
+            and not self._tombstones_active()
             and filters
             and idx.posting_blocks is not None
             and idx.facet_posting_blocks is not None
@@ -2795,6 +3022,10 @@ class SearchEngine:
         quirks live in the shared IR compiler, so parity is inherited.
         Queries, _ids/ids and callback filters keep the standard path."""
         if self.index.facet_posting_blocks is None:
+            return False
+        if self._tombstones_active():
+            # the block algebra derives candidates from the STALE store;
+            # the scan path applies the live filter at the docs choke
             return False
         if not (
             input.get("filters")
@@ -3478,7 +3709,7 @@ class SearchEngine:
             raise EngineError("Please define field in options")
         field = options["field"]
         minimum = options.get("minimum") or 0
-        docs = self.index.docs
+        docs = self._live(self.index.docs)
         key = js_key(id)
         # type-native anchor predicate where possible: comparing
         # cast(id as string) would defeat parquet pushdown/min-max

@@ -272,3 +272,47 @@ def mixture_sample(
         .filter(hash_fraction(F.col(id_col), seed) < F.col("keep_rate"))
         .drop("keep_rate")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    seed: str = "0",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """EXACTLY ``min(n, |group|)`` rows per group, chosen by the same
+    deterministic hash order as every sampler here (uniform, engine-
+    portable, stable under retries/appends/partitioning): per group,
+    the ``n`` rows with the smallest ``(hash_fraction, id)`` key.
+
+    Physical plan — the salted two-phase top-n, never one task per hot
+    group: rows first rank within ``(group, salt)`` where salt =
+    pmod(xxhash64(id), salt_buckets), bounding any window partition to
+    ~1/salt_buckets of its group; survivors (≤ salt_buckets·n per
+    group, dimension-sized) rank once more within the group alone. A
+    10^9-row group costs ⌈1/16th⌉-group windows plus a 16·n-row final
+    window — no single-task stage at any corpus size."""
+    frac = hash_fraction(F.col(id_col), seed)
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy(F.col(group_col), salt)
+        .orderBy(frac.asc(), F.col(id_col).cast("string").asc())
+    )
+    survivors = (
+        df.withColumn("__frac", frac)
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    w_group = Window.partitionBy(group_col).orderBy(
+        F.col("__frac").asc(), F.col(id_col).cast("string").asc()
+    )
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w_group))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn", "__frac")
+    )

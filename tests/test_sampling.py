@@ -199,3 +199,48 @@ def test_mixture_upsample_repeats_and_remainder(spark):
         s.mixture_upsample(df2, "doc_id", "grp", target)
         .filter(F.col("grp") == "z").count() == 0
     )
+
+
+def test_stratified_sample_exact_n_and_salt_invariance(spark):
+    from pyspark.sql import Window
+
+    df = _ids(spark, 3000).withColumn(
+        # skewed groups: g0 huge (hot), g1 medium, g2 tiny (< n)
+        "grp",
+        F.when(F.col("doc_id") < 2900, "g0")
+        .when(F.col("doc_id") < 2997, "g1")
+        .otherwise("g2"),
+    )
+    out = sampling.stratified_sample(df, "doc_id", "grp", n=10)
+    by_grp = {
+        r["grp"]: r["c"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("c")).collect()
+    }
+    assert by_grp == {"g0": 10, "g1": 10, "g2": 3}  # min(n, |group|)
+
+    # equals the plain single-window definition (reference semantics)
+    frac = sampling.hash_fraction(F.col("doc_id"))
+    w = Window.partitionBy("grp").orderBy(
+        frac.asc(), F.col("doc_id").cast("string").asc()
+    )
+    ref = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "grp")
+    )
+    got = {(r["doc_id"], r["grp"]) for r in out.select("doc_id", "grp").collect()}
+    assert got == {(r["doc_id"], r["grp"]) for r in ref.collect()}
+
+    # salt decomposition is invisible: any bucket count, same rows
+    for sb in (1, 3, 64):
+        alt = sampling.stratified_sample(df, "doc_id", "grp", n=10, salt_buckets=sb)
+        assert {
+            (r["doc_id"], r["grp"]) for r in alt.select("doc_id", "grp").collect()
+        } == got
+
+    # no single-task hot-group stage: the first-phase window partitions
+    # by (grp, salt), so its shuffle key has salt_buckets x groups keys
+    plan = sampling.stratified_sample(
+        df, "doc_id", "grp", n=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan
