@@ -2860,7 +2860,12 @@ class SearchEngine:
             # fuzzy rewrite / keyset cursors live in the standard path
             and not input.get("fuzzy")
             and input.get("search_after") is None
-            and not self._tombstones_active()
+            # driver-set tombstones keep this route too: the buckets /
+            # total pass flows through the live-filtered docs choke and
+            # the page over-fetches k+|deleted| (see fulltext_topk);
+            # bulk DataFrame tombstones have no driver-known bound
+            and self._tombstone_df is None
+            and len(self._tombstone_docids) <= 10_000
             and filters
             and idx.posting_blocks is not None
             and idx.facet_posting_blocks is not None

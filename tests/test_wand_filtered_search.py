@@ -133,3 +133,34 @@ def test_filtered_wand_declines_out_of_shape_inputs(engines):
         inp = dict(base)
         inp.update(extra)
         assert not disk._wand_filtered_search_applies(inp), extra
+
+
+def test_filtered_wand_with_tombstones_matches_scan_path(engines):
+    """Driver-set tombstones keep the filtered-WAND route: page, total
+    and buckets equal a standard-path engine with the same deletes."""
+    mem, disk = engines
+    inp = {"query": "spark", "filters": {"role": ["assistant"]}, "per_page": 5}
+    base = disk.search(dict(inp))
+    victims = [i["_id"] for i in base["data"]["items"]][:2]
+
+    d2 = disk.reconfigured(disk.configuration)
+    d2.ROUTER_FORCE = "blocks"
+    d2.delete_docids(victims)
+    assert d2._wand_filtered_search_applies(dict(inp))
+    from unittest import mock as _mock
+
+    with _mock.patch.object(
+        d2, "_search_wand_filtered", wraps=d2._search_wand_filtered
+    ) as spy:
+        got = d2.search(dict(inp))
+    assert spy.call_count == 1
+
+    m2 = mem.reconfigured(mem.configuration)
+    m2.delete_docids(victims)
+    want = m2.search(dict(inp))
+    assert got["pagination"] == want["pagination"]
+    assert [i["_id"] for i in got["data"]["items"]] == [
+        i["_id"] for i in want["data"]["items"]
+    ]
+    assert got["data"]["aggregations"] == want["data"]["aggregations"]
+    assert not set(victims) & {i["_id"] for i in got["data"]["items"]}
