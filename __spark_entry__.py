@@ -231,6 +231,33 @@ def _q_delete_search(spark, sf_dir):
     )
 
 
+def _q_upsert_search(spark, sf_dir):
+    """Upsert (Lucene updateDocument flow — delete + append, never a
+    rebuild): every doc_id % 11 == 0 gets a new text version; the delta
+    snapshot-appends with fresh docids (count + 1-based rank, only the
+    delta re-tokenized) and the superseded versions tombstone. idf is
+    recomputed over old ∪ new rows (append semantics), superseded rows
+    still count toward df until purge — the oracle restates exactly
+    that: corpus CTE = all old rows ∪ new versions, scored set minus
+    the superseded docids."""
+
+    def build():
+        eng = _doc_engine(spark, sf_dir).reconfigured(DOC_CONFIG)
+        delta = _documents(spark, sf_dir).filter("doc_id % 11 = 0").withColumn(
+            "text", F.concat(F.lit("merge query "), F.col("text"))
+        )
+        return eng.upsert(delta, order_by=["doc_id"])
+
+    eng = _cached(("eng_upsert", sf_dir), spark, build)
+    hits = eng.fulltext_hits("merge query")
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(30)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 def _q_delete_facet_counts(spark, sf_dir):
     """Facet counts after a bulk delete: live counts assembled under the
     STALE facet dimension — keys whose documents are all deleted stay as
@@ -2305,8 +2332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash signatures are the first stage of the (reported)
         # neardup_jaccard_pairs pipeline; its slot went to delete_search
         "dedup_minhash_signatures": _q_minhash_signatures,
-        # second delete-family row: stale-dimension zero-kept buckets
+        # second/third delete-family rows: stale-dimension zero-kept
+        # buckets + the updateDocument (delete + append) flow
         "delete_facet_counts": _q_delete_facet_counts,
+        "upsert_search": _q_upsert_search,
         # mixture family stays reported via domain_mixture_sample; the
         # upsample variant's slot went to the new conversation-analytics
         # and fuzzy-suggest families
@@ -2457,6 +2486,26 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["delete_search"] = _ft_sql(
         "spark", 50, where_scored="WHERE _id % 7 <> 0"
     )
+    # upsert: corpus = ALL old rows ∪ new versions (idf/df over both,
+    # exactly the append semantics), scored set minus superseded docids;
+    # appended _docid = count(documents) + 1-based rank by doc_id
+    sqls["upsert_search"] = _ft_sql(
+        "merge query",
+        30,
+        extra_ctes="""
+upd AS (SELECT doc_id, 'merge query ' || text AS text
+        FROM documents WHERE doc_id % 11 = 0),
+nd AS (SELECT (SELECT count(*) FROM documents)
+              + row_number() OVER (ORDER BY doc_id) AS _docid, text
+       FROM upd),
+corpus AS (SELECT doc_id AS _docid, text FROM documents
+           UNION ALL SELECT _docid, text FROM nd),
+""",
+        corpus="corpus",
+        id_col="_docid",
+        where_scored="WHERE _id NOT IN (SELECT doc_id FROM upd)",
+    )
+
     sqls["delete_facet_counts"] = """
 WITH dim AS (SELECT DISTINCT source AS key FROM documents),
 cnt AS (SELECT source AS key, count(*) AS c FROM documents

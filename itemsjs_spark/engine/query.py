@@ -453,7 +453,13 @@ class SearchEngine:
         and every live filter becomes an anti-join — the 100 TB path
         never materializes the tombstones on the driver."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        matched = self._live(self.index.docs).filter(pred).select(DOCID)
+        self._absorb_tombstones(
+            self._live(self.index.docs).filter(pred).select(DOCID)
+        )
+
+    def _absorb_tombstones(self, matched: DataFrame) -> None:
+        """Tombstone a (_docid) DataFrame: one bounded probe decides
+        whether it fits the driver set; larger sets stay distributed."""
         probe = matched.limit(self.TOMBSTONE_DRIVER_MAX + 1).collect()
         if len(probe) <= self.TOMBSTONE_DRIVER_MAX:
             self.delete_docids([r[0] for r in probe])
@@ -466,6 +472,42 @@ class SearchEngine:
             tomb.count()
             old.unpersist()
         self._tombstone_df = tomb
+
+    def upsert(
+        self, new_df: DataFrame, order_by: Optional[Sequence[str]] = None
+    ) -> "SearchEngine":
+        """Replace-or-insert by EXTERNAL id (``custom_id_field``): the
+        new rows snapshot-append with fresh docids (delta-only tokenize,
+        see append_index) and every existing live document sharing an id
+        with the delta is tombstoned — the Lucene updateDocument flow
+        (delete + add), never a rebuild. Stale-artifact semantics as
+        with delete: superseded versions stop matching immediately but
+        keep contributing to df/idf until ``purge_deleted``. Ids within
+        ``new_df`` should be unique (every delta row is inserted).
+
+        The old-version lookup is a semi-join of the corpus against the
+        delta's ids — distributed, AQE broadcasts the delta side when it
+        fits; nothing driver-sized is assumed about the delta."""
+        id_field = self.configuration.get("custom_id_field", "id")
+        if id_field not in self.index.docs.columns:
+            raise EngineError(f"upsert needs an {id_field!r} column")
+        if id_field not in new_df.columns:
+            raise EngineError(f"upsert delta lacks {id_field!r}")
+        eng = self.append(new_df, order_by=list(order_by or [id_field]))
+        old = (
+            self._live(self.index.docs)
+            .withColumn("__k", F.col(id_field).cast("string"))
+            .join(
+                new_df.select(
+                    F.col(id_field).cast("string").alias("__k")
+                ).distinct(),
+                "__k",
+                "left_semi",
+            )
+            .select(DOCID)
+        )
+        eng._absorb_tombstones(old)
+        return eng
 
     def save_tombstones(self, path: str) -> None:
         """Make the current tombstones DURABLE next to a persisted index

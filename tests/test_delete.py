@@ -324,3 +324,40 @@ def test_tombstone_save_crash_recovery(spark, tmp_path):
     eng2 = SearchEngine(Index.read(spark, path))
     assert eng2.deleted_count() == 2
     assert eng2.search({})["pagination"]["total"] == 198
+
+
+def test_upsert_replaces_and_inserts(spark, eng):
+    # replace 2 existing turns with new text; insert 1 brand-new id
+    upd = (
+        eng.index.docs.filter("turn_idx = 5")
+        .limit(2)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "id")
+        .withColumn("text", F.concat(F.lit("zebra quux "), F.col("text")))
+    )
+    new_row = (
+        eng.index.docs.limit(1)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .withColumn("conv_id", F.lit("cNEW"))
+        .withColumn("turn_idx", F.lit(0))
+        .withColumn("text", F.lit("zebra quux fresh turn"))
+        .withColumn("id", F.lit("cNEW:0"))
+    )
+    delta = upd.unionByName(new_row)
+    old_ids = [r["id"] for r in upd.select("id").collect()]
+
+    eng2 = eng.upsert(delta, order_by=["id"])
+    # totals: 2 replaced (no growth) + 1 inserted
+    assert eng2.search({})["pagination"]["total"] == 1200 + 1
+    # old versions are gone; new text matches
+    res = eng2.search({"query": "zebra quux", "per_page": 10})
+    assert res["pagination"]["total"] == 3
+    got_ids = {it["id"] for it in res["data"]["items"]}
+    assert got_ids == set(old_ids) | {"cNEW:0"}
+    # the replaced docids are tombstoned, the new docids are past the base
+    assert eng2.deleted_count() == 2
+    for it in res["data"]["items"]:
+        assert it["_id"] > 1200 or it["id"] == "cNEW:0"
+    # idempotent re-upsert of the same delta: still 3 matches, same total
+    eng3 = eng2.upsert(delta, order_by=["id"])
+    assert eng3.search({"query": "zebra quux"})["pagination"]["total"] == 3
+    assert eng3.search({})["pagination"]["total"] == 1201 + 1 - 1  # 3 old gone
