@@ -258,6 +258,26 @@ def _q_upsert_search(spark, sf_dir):
     )
 
 
+def _q_search_fields(spark, sf_dir):
+    """search({fields}) projection (extension): the page carries ONLY
+    the requested fields (+ _id); the projection sits before the page
+    collect so a wide corpus pages without reading the other columns."""
+    eng = _doc_engine(spark, sf_dir)
+    res = eng.search(
+        {
+            "sort": "by_len_desc",
+            "per_page": 10,
+            "page": 2,
+            "fields": ["lang", "n_chars"],
+        }
+    )
+    rows = [
+        (it["_id"], it["lang"], it["n_chars"]) for it in res["data"]["items"]
+    ]
+    assert all(set(it) == {"_id", "lang", "n_chars"} for it in res["data"]["items"])
+    return spark.createDataFrame(rows, "_id long, lang string, n_chars long")
+
+
 def _q_delete_facet_counts(spark, sf_dir):
     """Facet counts after a bulk delete: live counts assembled under the
     STALE facet dimension — keys whose documents are all deleted stay as
@@ -2336,6 +2356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # buckets + the updateDocument (delete + append) flow
         "delete_facet_counts": _q_delete_facet_counts,
         "upsert_search": _q_upsert_search,
+        # paging family also reported via sort_paginate; this adds the
+        # fields-projection option on the endpoint page
+        "search_fields_page": _q_search_fields,
         # mixture family stays reported via domain_mixture_sample; the
         # upsample variant's slot went to the new conversation-analytics
         # and fuzzy-suggest families
@@ -2459,6 +2482,10 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
 """
     sqls["sort_paginate"] = (
         "SELECT doc_id AS _id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id ASC OFFSET 10 LIMIT 10"
+    )
+    sqls["search_fields_page"] = (
+        "SELECT doc_id AS _id, lang, n_chars FROM documents "
         "ORDER BY n_chars DESC, doc_id ASC OFFSET 10 LIMIT 10"
     )
 

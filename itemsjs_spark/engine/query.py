@@ -2386,6 +2386,37 @@ class SearchEngine:
         except facetir.FacetPanicError as e:
             raise EngineError(str(e)) from e
 
+    def _page_keep(
+        self, columns: Sequence[str], input: Dict[str, Any], extra_drop=()
+    ) -> List[str]:
+        """Page-item projection. Internal columns always drop; with
+        ``input["fields"]`` (extension — itemsjs returns whole items)
+        only the requested fields survive, plus ``_id`` and the
+        requested fields' ``__raw_`` sidecars. The projection is applied
+        BEFORE the page collect, so Catalyst prunes the corpus scan to
+        the requested columns — on a wide corpus a 2-field page never
+        reads the other columns' bytes. Unknown names are ignored (JS
+        property-access semantics)."""
+        keep = [
+            c
+            for c in columns
+            if not c.startswith(FK_PREFIX) and c not in extra_drop
+        ]
+        fields = input.get("fields")
+        if fields is not None:
+            want = {str(f) for f in fields}
+            keep = [
+                c
+                for c in keep
+                if c == DOCID
+                or c in want
+                or (
+                    c.startswith(RAW_PREFIX)
+                    and c[len(RAW_PREFIX):] in want
+                )
+            ]
+        return keep
+
     def _docs_with_query_flag(self, hits: Optional[DataFrame]) -> DataFrame:
         docs = self._live(self.index.docs)
         if hits is None:
@@ -2410,7 +2441,13 @@ class SearchEngine:
             for c in ordered.columns
             if c.startswith(FK_PREFIX) or c.startswith(RAW_PREFIX)
         ] + [c for c in (IN_QUERY,) if c in ordered.columns]
-        return ordered.drop(*drop).withColumnRenamed(DOCID, "_id")
+        out = ordered.drop(*drop).withColumnRenamed(DOCID, "_id")
+        if input.get("fields") is not None:
+            want = {str(f) for f in input["fields"]}
+            out = out.select(
+                "_id", *[c for c in out.columns if c in want and c != "_id"]
+            )
+        return out
 
     def _order(
         self, df: DataFrame, input: Dict[str, Any], hits: Optional[DataFrame]
@@ -2657,8 +2694,9 @@ class SearchEngine:
         else:
             ordered = self._order(flt, input, hits)
             page_df = ordered.offset((page - 1) * per_page).limit(per_page)
-        keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)
-                and c not in (IN_QUERY, QRANK, SCORE)]
+        keep = self._page_keep(
+            page_df.columns, input, (IN_QUERY, QRANK, SCORE)
+        )
 
         page_secs = [0.0]
 
@@ -2774,10 +2812,7 @@ class SearchEngine:
         page_docs = self.index.docs.join(
             F.broadcast(ranked.select(DOCID, SCORE)), DOCID
         ).orderBy(F.col(SCORE).desc(), F.col(DOCID).cast("string").asc())
-        keep = [
-            c for c in page_docs.columns
-            if not c.startswith(FK_PREFIX) and c != SCORE
-        ]
+        keep = self._page_keep(page_docs.columns, input, (SCORE,))
         items = [
             _row_to_item(r)
             for r in page_docs.select(*keep)
@@ -3011,10 +3046,7 @@ class SearchEngine:
                 page_docs = self.index.docs.join(
                     F.broadcast(ranked.select(DOCID, SCORE)), DOCID
                 ).orderBy(F.col(SCORE).desc(), F.col(DOCID).cast("string").asc())
-                keep = [
-                    c for c in page_docs.columns
-                    if not c.startswith(FK_PREFIX) and c != SCORE
-                ]
+                keep = self._page_keep(page_docs.columns, input, (SCORE,))
                 out = [
                     _row_to_item(r)
                     for r in page_docs.select(*keep)
@@ -3217,7 +3249,7 @@ class SearchEngine:
         )
         ordered = self._order(flt, input, None)
         page_df = ordered.offset((page - 1) * per_page).limit(per_page)
-        keep = [c for c in page_df.columns if not c.startswith(FK_PREFIX)]
+        keep = self._page_keep(page_df.columns, input)
         page_secs = [0.0]
 
         def run_page():
