@@ -258,6 +258,34 @@ def _q_upsert_search(spark, sf_dir):
     )
 
 
+def _q_merge_shards(spark, sf_dir):
+    """Segment merge (indexer.merge_indexes — the shard-build plan for
+    10^12-turn corpora): the documents table is built as TWO independent
+    shard indexes (doc_id halves, disjoint docids via docid_col) whose
+    merge must be query-identical to one build over the whole corpus —
+    postings union + df-sum idf + dimension rank merge, no re-tokenize.
+    The oracle is therefore simply full-corpus lunr SQL."""
+
+    def build():
+        docs = _documents(spark, sf_dir)
+        a = itemsjs_spark(
+            spark, docs.filter("doc_id < 250"), DOC_CONFIG, docid_col="doc_id"
+        )
+        b = itemsjs_spark(
+            spark, docs.filter("doc_id >= 250"), DOC_CONFIG, docid_col="doc_id"
+        )
+        return a.merge_with(b, offset_other=False)
+
+    eng = _cached(("eng_merged", sf_dir), spark, build)
+    hits = eng.fulltext_hits("table")
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(50)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 def _q_search_fields(spark, sf_dir):
     """search({fields}) projection (extension): the page carries ONLY
     the requested fields (+ _id); the projection sits before the page
@@ -2359,6 +2387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paging family also reported via sort_paginate; this adds the
         # fields-projection option on the endpoint page
         "search_fields_page": _q_search_fields,
+        # segment merge: two shard builds must equal one full build
+        "merge_shards_fulltext": _q_merge_shards,
         # mixture family stays reported via domain_mixture_sample; the
         # upsample variant's slot went to the new conversation-analytics
         # and fuzzy-suggest families
@@ -2540,6 +2570,9 @@ cnt AS (SELECT source AS key, count(*) AS c FROM documents
 SELECT dim.key, coalesce(cnt.c, 0)::BIGINT AS doc_count
 FROM dim LEFT JOIN cnt USING (key)
 """
+
+    # segment merge must equal one full-corpus build — same lunr SQL
+    sqls["merge_shards_fulltext"] = _ft_sql("table", 50)
 
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # half-corpus build + snapshot append == full-corpus scores exactly

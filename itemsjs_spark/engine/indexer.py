@@ -1111,3 +1111,145 @@ def append_index(
         positional=positional,
         positional_fields=list(index.positional_fields),
     )
+
+
+def merge_indexes(a: Index, b: Index, offset_b: bool = True) -> Index:
+    """Segment merge (the Lucene merge analog, and the north-star
+    shard-build plan): combine two PREBUILT indexes into one WITHOUT
+    re-tokenizing either corpus. At 10^12 turns the build parallelizes
+    as independent per-shard index builds (each a bounded job over its
+    slice) followed by this merge — a postings union whose term->docID
+    lists the block writer then re-sorts by (term, docid range); no
+    corpus text is ever read here.
+
+    * both indexes must be built under the same facet/text fields (the
+      artifacts bake them in);
+    * ``offset_b=True`` shifts B's docids past A's snapshot;
+      ``offset_b=False`` trusts the caller's docid disjointness
+      (``docid_col`` builds over naturally disjoint key ranges);
+    * terms merge as df_a + df_b with idf recomputed for the merged
+      corpus size — a terms-table-sized job;
+    * facet dimension: A's enum ranks are preserved; B-only keys
+      interleave canonically (integer keys numerically, string keys by
+      B's first-occurrence order — JS object-key semantics), which IS a
+      full rebuild's order whenever A's rows precede B's;
+    * parity: identical to one build over A's∪B's corpus whenever A's
+      order keys sort before B's (the snapshot-append contract,
+      tests/test_merge.py proves score/df/idf/dim equality);
+    * durable tombstones carry from both sides (B's shifted with its
+      docids).
+
+    Reference reindex (src/index.ts:82-86) rebuilds from scratch;
+    merging prebuilt shards is the scale extension."""
+    if a.facet_fields != b.facet_fields or a.text_fields != b.text_fields:
+        raise ValueError(
+            "merge_indexes needs indexes built under the same "
+            "facet/text fields"
+        )
+    if (a.terms is None) != (b.terms is None):
+        raise ValueError("merge needs BOTH indexes fulltext or NEITHER")
+    spark = a.spark
+    off = a.n_docs if offset_b else 0
+
+    def shift(df: DataFrame) -> DataFrame:
+        return df.withColumn(DOCID, F.col(DOCID) + F.lit(off)) if off else df
+
+    old_docs, b_docs = _align_appended_schema(a.docs, shift(b.docs))
+    docs = old_docs.unionByName(b_docs.select(*old_docs.columns))
+    n_docs = a.n_docs + b.n_docs
+
+    if a.facet_fields:
+        olda = a.facet_values.select(
+            "field",
+            "key",
+            F.col("doc_count").alias("__old_count"),
+            F.col("enum_rank").alias("__old_rank"),
+        )
+        first_t = f"struct<{DOCID}:bigint,__pos:int>"
+        # B's enum_rank is the ordering proxy for B-only keys: it
+        # already encodes B's canonical-then-first-occurrence order
+        bdim = b.facet_values.select(
+            "field",
+            "key",
+            "doc_count",
+            F.struct(
+                F.col("enum_rank").cast("long").alias(DOCID),
+                F.lit(0).alias("__pos"),
+            ).alias("__first"),
+        )
+        merged = (
+            olda.join(bdim, ["field", "key"], "full_outer")
+            .withColumn(
+                "doc_count",
+                F.coalesce("__old_count", F.lit(0))
+                + F.coalesce("doc_count", F.lit(0)),
+            )
+            .withColumn("__first", F.col("__first").cast(first_t))
+        )
+        facet_values = _rank_facet_dim(
+            merged, old_rank_col="__old_rank"
+        ).persist()
+    else:
+        facet_values = a.facet_values
+
+    postings = terms = None
+    if a.terms is not None:
+        if a.postings is None or b.postings is None:
+            raise ValueError(
+                "merge over a block-backed index: re-open the row-level "
+                "postings first (Index.postings required on both sides)"
+            )
+        postings = a.postings.unionByName(shift(b.postings))
+        terms = (
+            a.terms.select("term", F.col("df").alias("__dfa"))
+            .join(
+                b.terms.select("term", F.col("df").alias("__dfb")),
+                "term",
+                "full_outer",
+            )
+            .withColumn(
+                "df",
+                F.coalesce("__dfa", F.lit(0)) + F.coalesce("__dfb", F.lit(0)),
+            )
+            .select("term", "df")
+            .withColumn(
+                "idf",
+                F.lit(1.0)
+                + F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            )
+        )
+
+    positional = None
+    positional_fields: List[str] = []
+    if (
+        a.positional is not None
+        and b.positional is not None
+        and a.positional_fields == b.positional_fields
+    ):
+        positional = a.positional.unionByName(shift(b.positional))
+        positional_fields = list(a.positional_fields)
+
+    tombstones = None
+    parts = [t for t in (
+        a.tombstones,
+        shift(b.tombstones) if b.tombstones is not None else None,
+    ) if t is not None]
+    if parts:
+        tombstones = parts[0]
+        for p in parts[1:]:
+            tombstones = tombstones.unionByName(p).distinct()
+
+    return Index(
+        spark=spark,
+        docs=docs,
+        facet_values=facet_values,
+        postings=postings,
+        terms=terms,
+        n_docs=n_docs,
+        facet_fields=list(a.facet_fields),
+        text_fields=list(a.text_fields),
+        configuration=a.configuration,
+        positional=positional,
+        positional_fields=positional_fields,
+        tombstones=tombstones,
+    )

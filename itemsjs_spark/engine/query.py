@@ -338,6 +338,35 @@ class SearchEngine:
         self._copy_tombstones_into(eng)
         return eng
 
+    def merge_with(
+        self, other: "SearchEngine", offset_other: bool = True
+    ) -> "SearchEngine":
+        """Segment merge (see indexer.merge_indexes): one engine over
+        both corpora without re-tokenizing either — the shard-build plan
+        for huge corpora. Driver-set tombstones carry from both sides
+        (the other engine's shifted with its docids); bulk DataFrame
+        tombstones must be made durable first (save_tombstones +
+        reopen) so the merge can shift them at the Index level."""
+        from .indexer import merge_indexes
+
+        for e, side in ((self, "self"), (other, "other")):
+            if (
+                e._tombstone_df is not None
+                and e._tombstone_df is not e.index.tombstones
+            ):
+                raise EngineError(
+                    f"merge_with: {side} engine holds in-memory bulk "
+                    "tombstones — save_tombstones() and reopen first"
+                )
+        eng = SearchEngine(
+            merge_indexes(self.index, other.index, offset_b=offset_other)
+        )
+        off = self.index.n_docs if offset_other else 0
+        eng._tombstone_docids = set(self._tombstone_docids) | {
+            d + off for d in other._tombstone_docids
+        }
+        return eng
+
     def reconfigured(self, configuration: Dict[str, Any]) -> "SearchEngine":
         """New engine over the SAME index artifacts with different
         query-time configuration (sort specs, sizes, titles...). The new
