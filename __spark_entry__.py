@@ -286,6 +286,45 @@ def _q_merge_shards(spark, sf_dir):
     )
 
 
+def _q_merge_blocks_wand(spark, sf_dir):
+    """No-decode DISK segment merge: two checkpointed block stores
+    (doc_id halves, range_size 256) merge by shifting shard B's blocks
+    — one rewritten varint per block, O(blocks) not O(postings) — then
+    block-max WAND runs over the union. B's docids shift by
+    ceil(250/256)*256 = 256, so the oracle maps _id = doc_id + 256 for
+    the second shard; scores are full-corpus lunr (df sums, idf over
+    the merged size)."""
+    import tempfile
+
+    def build():
+        from itemsjs_spark.engine import Index, SearchEngine
+        from itemsjs_spark.engine.indexer import merge_indexes
+
+        docs = _documents(spark, sf_dir)
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"itemsjs_mergestore_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        )
+        pa, pb = os.path.join(base, "a"), os.path.join(base, "b")
+        itemsjs_spark(
+            spark, docs.filter("doc_id < 250"), DOC_CONFIG, docid_col="doc_id"
+        ).index.write_blocks(pa, n_buckets=4, range_size=256, block_size=64)
+        itemsjs_spark(
+            spark, docs.filter("doc_id >= 250"), DOC_CONFIG, docid_col="doc_id"
+        ).index.write_blocks(pb, n_buckets=4, range_size=256, block_size=64)
+        return SearchEngine(
+            merge_indexes(Index.read(spark, pa), Index.read(spark, pb))
+        )
+
+    eng = _cached(("eng_merged_blocks", sf_dir), spark, build)
+    topk = eng.fulltext_topk("table", 50)
+    s = F.round(F.col("__score"), 6)
+    return (
+        topk.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 def _q_search_fields(spark, sf_dir):
     """search({fields}) projection (extension): the page carries ONLY
     the requested fields (+ _id); the projection sits before the page
@@ -2389,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fields_page": _q_search_fields,
         # segment merge: two shard builds must equal one full build
         "merge_shards_fulltext": _q_merge_shards,
+        # disk variant: block stores merge without decoding postings
+        "merge_blocks_wand_topk": _q_merge_blocks_wand,
         # mixture family stays reported via domain_mixture_sample; the
         # upsample variant's slot went to the new conversation-analytics
         # and fuzzy-suggest families
@@ -2573,6 +2614,18 @@ FROM dim LEFT JOIN cnt USING (key)
 
     # segment merge must equal one full-corpus build — same lunr SQL
     sqls["merge_shards_fulltext"] = _ft_sql("table", 50)
+    # disk (block-store) merge: shard B's docids shift by the
+    # range-aligned offset ceil(250/256)*256 = 256
+    sqls["merge_blocks_wand_topk"] = _ft_sql(
+        "table",
+        50,
+        extra_ctes=(
+            "corpus AS (SELECT CASE WHEN doc_id < 250 THEN doc_id "
+            "ELSE doc_id + 256 END AS _docid, text FROM documents),"
+        ),
+        corpus="corpus",
+        id_col="_docid",
+    )
 
     sqls["fulltext_wand_topk"] = _ft_sql("spark", 50)
     # half-corpus build + snapshot append == full-corpus scores exactly

@@ -170,3 +170,56 @@ def postings_from_blocks(blocks: DataFrame) -> DataFrame:
     return blocks.select("term", "n", "docids", "tfs").mapInPandas(
         decode, schema=f"term string, {DOCID} long, tf double"
     )
+
+
+def shift_blocks(blocks: DataFrame, offset: int, range_size: int) -> DataFrame:
+    """Shift every docid in a block store by ``offset`` WITHOUT decoding
+    any posting list — the segment-merge primitive for disk stores.
+
+    ``offset`` must be a multiple of ``range_size``: every docid then
+    moves a whole number of ranges, so range membership shifts uniformly
+    (``range_id += offset/range_size``) and the intra-range delta chain
+    is untouched. Only each block's FIRST varint (the absolute base
+    docid) is rewritten — O(1) bytes per block, the rest of the blob is
+    copied verbatim. Arrow-batched; cost ∝ number of blocks, never
+    number of postings."""
+    if offset % range_size:
+        raise ValueError("offset must be a multiple of range_size")
+    if offset == 0:
+        return blocks
+    shift_ranges = offset // range_size
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_blobs = []
+            for blob in pdf["docids"]:
+                b = bytes(blob)
+                val = 0
+                sh = 0
+                i = 0
+                for byte in b:  # decode the first (absolute) varint
+                    i += 1
+                    val |= (byte & 0x7F) << sh
+                    if byte & 0x80:
+                        sh += 7
+                    else:
+                        break
+                d = val + offset  # re-encode shifted base
+                enc = bytearray()
+                while True:
+                    x = d & 0x7F
+                    d >>= 7
+                    if d:
+                        enc.append(x | 0x80)
+                    else:
+                        enc.append(x)
+                        break
+                out_blobs.append(bytes(enc) + b[i:])
+            yield pdf.assign(
+                range_id=pdf["range_id"] + shift_ranges,
+                docid_min=pdf["docid_min"] + offset,
+                docid_max=pdf["docid_max"] + offset,
+                docids=out_blobs,
+            )
+
+    return blocks.mapInPandas(rewrite, schema=BLOCK_SCHEMA)

@@ -343,6 +343,19 @@ class Index:
     # reopened engine adopts it, so deletes survive restarts without
     # rewriting any index artifact
     tombstones: Optional[DataFrame] = None
+    # exclusive upper bound of the assigned docid space when it is
+    # SPARSE (block-store segment merges round the shard offset up to a
+    # range boundary). None = dense (ceiling == n_docs). Appends/merges
+    # offset from this, so sparse spaces never collide
+    docid_ceiling: Optional[int] = None
+    # block-store parameters (range_size/block_size/n_buckets) recorded
+    # by write_blocks; merges and appends must match them
+    block_meta: Dict[str, int] = dc_field(default_factory=dict)
+
+    @property
+    def next_docid_base(self) -> int:
+        """Offset base for appends/merges: past every assigned docid."""
+        return self.docid_ceiling if self.docid_ceiling is not None else self.n_docs
 
     def postings_subset(self, terms: Sequence[str]) -> DataFrame:
         """Row-level postings restricted to ``terms`` — THE read API for
@@ -434,6 +447,8 @@ class Index:
             "text_fields": self.text_fields,
             "configuration": _json_safe(self.configuration),
             "positional_fields": self.positional_fields,
+            "docid_ceiling": self.docid_ceiling,
+            "block_meta": self.block_meta,
         }
         _HadoopFS(self.spark, path).write_text(
             os.path.join(path, "meta.json"), json.dumps(meta)
@@ -498,6 +513,11 @@ class Index:
             self.tombstones.write.mode("overwrite").parquet(
                 os.path.join(path, "tombstones")
             )
+        self.block_meta = {
+            "n_buckets": n_buckets,
+            "range_size": range_size,
+            "block_size": block_size,
+        }
         self._write_meta(path)
         return report
 
@@ -544,6 +564,8 @@ class Index:
             positional=positional,
             positional_fields=list(meta.get("positional_fields") or []),
             tombstones=tombstones,
+            docid_ceiling=meta.get("docid_ceiling"),
+            block_meta=dict(meta.get("block_meta") or {}),
         )
 
 
@@ -996,12 +1018,13 @@ def append_index(
     configuration = index.configuration
 
     interim: List[DataFrame] = []
+    base = index.next_docid_base
     if docid_col:
         new_docs = new_df.withColumn(DOCID, F.col(docid_col).cast("long"))
     elif order_by:
         ranked = assign_docids(new_df, order_by)
         interim = getattr(ranked, "_interim_caches", [])
-        new_docs = ranked.withColumn(DOCID, F.col(DOCID) + F.lit(index.n_docs))
+        new_docs = ranked.withColumn(DOCID, F.col(DOCID) + F.lit(base))
     else:
         raise ValueError("need docid_col or order_by for stable _docid")
     # validate the delta's columns BEFORE deriving facet-key columns —
@@ -1110,6 +1133,12 @@ def append_index(
         configuration=configuration,
         positional=positional,
         positional_fields=list(index.positional_fields),
+        tombstones=index.tombstones,
+        # delta docids continued from the (possibly sparse) base space
+        docid_ceiling=(
+            base + n_new if (order_by and base != index.n_docs) else None
+        ),
+        block_meta=dict(index.block_meta),
     )
 
 
@@ -1149,7 +1178,39 @@ def merge_indexes(a: Index, b: Index, offset_b: bool = True) -> Index:
     if (a.terms is None) != (b.terms is None):
         raise ValueError("merge needs BOTH indexes fulltext or NEITHER")
     spark = a.spark
-    off = a.n_docs if offset_b else 0
+
+    # disk-store merge: when BOTH sides are block-backed (no row-level
+    # postings), the merge never decodes a posting list — B's blocks
+    # shift by a range-aligned offset (shift_blocks rewrites one varint
+    # per block), so the cost is O(number of blocks), not O(postings)
+    block_backed = (
+        a.terms is not None
+        and a.postings is None
+        and b.postings is None
+        and a.posting_blocks is not None
+        and b.posting_blocks is not None
+    )
+    rs = 0
+    if block_backed:
+        rs = int(a.block_meta.get("range_size") or (1 << 20))
+        rs_b = int(b.block_meta.get("range_size") or (1 << 20))
+        if rs != rs_b:
+            raise ValueError(
+                "block-store merge needs equal range_size on both stores"
+            )
+        if not offset_b:
+            raise ValueError(
+                "block-store merge requires offset_b=True — shard "
+                "ranges must not interleave"
+            )
+    base = a.next_docid_base
+    if offset_b:
+        # block stores round the offset UP to a range boundary so B's
+        # blocks land in fresh ranges; the docid space goes sparse and
+        # docid_ceiling records it for later appends/merges
+        off = ((base + rs - 1) // rs) * rs if block_backed else base
+    else:
+        off = 0
 
     def shift(df: DataFrame) -> DataFrame:
         return df.withColumn(DOCID, F.col(DOCID) + F.lit(off)) if off else df
@@ -1192,14 +1253,34 @@ def merge_indexes(a: Index, b: Index, offset_b: bool = True) -> Index:
     else:
         facet_values = a.facet_values
 
-    postings = terms = None
+    postings = terms = posting_blocks = facet_posting_blocks = None
     if a.terms is not None:
-        if a.postings is None or b.postings is None:
-            raise ValueError(
-                "merge over a block-backed index: re-open the row-level "
-                "postings first (Index.postings required on both sides)"
+        if block_backed:
+            from .blocks import BLOCK_SCHEMA, shift_blocks
+
+            # checkpointed stores carry a `bucket` partition column —
+            # a storage detail; normalize to the canonical block schema
+            cols = [s.split()[0] for s in BLOCK_SCHEMA.split(", ")]
+            posting_blocks = a.posting_blocks.select(*cols).unionByName(
+                shift_blocks(b.posting_blocks.select(*cols), off, rs)
             )
-        postings = a.postings.unionByName(shift(b.postings))
+            if (
+                a.facet_posting_blocks is not None
+                and b.facet_posting_blocks is not None
+            ):
+                fa = a.facet_posting_blocks.select(*cols)
+                fb = b.facet_posting_blocks.select(*cols)
+                facet_posting_blocks = fa.unionByName(
+                    shift_blocks(fb, off, rs)
+                )
+        elif a.postings is None or b.postings is None:
+            raise ValueError(
+                "merge needs row-level postings on both sides, or "
+                "BOTH sides block-backed (posting_blocks without "
+                "postings) for the no-decode disk merge"
+            )
+        else:
+            postings = a.postings.unionByName(shift(b.postings))
         terms = (
             a.terms.select("term", F.col("df").alias("__dfa"))
             .join(
@@ -1239,6 +1320,11 @@ def merge_indexes(a: Index, b: Index, offset_b: bool = True) -> Index:
         for p in parts[1:]:
             tombstones = tombstones.unionByName(p).distinct()
 
+    ceiling: Optional[int] = None
+    if offset_b:
+        ceiling = off + b.next_docid_base
+        if ceiling == n_docs:
+            ceiling = None  # dense — keep the default contract
     return Index(
         spark=spark,
         docs=docs,
@@ -1249,7 +1335,11 @@ def merge_indexes(a: Index, b: Index, offset_b: bool = True) -> Index:
         facet_fields=list(a.facet_fields),
         text_fields=list(a.text_fields),
         configuration=a.configuration,
+        posting_blocks=posting_blocks,
+        facet_posting_blocks=facet_posting_blocks,
         positional=positional,
         positional_fields=positional_fields,
         tombstones=tombstones,
+        docid_ceiling=ceiling,
+        block_meta=dict(a.block_meta) if block_backed else {},
     )

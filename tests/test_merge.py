@@ -126,3 +126,81 @@ def test_merge_no_tokenizer_in_plan(engines):
     # both shards' postings are cached artifacts (InMemoryRelation);
     # a re-tokenize would surface as a fresh MapInPandas over docs
     assert "InMemoryTableScan" in plan or "MapInPandas" not in plan
+
+
+def test_block_store_merge_no_decode(spark, corpus, tmp_path):
+    """Disk-store segment merge: two write_blocks stores combine by
+    shifting B's blocks one varint at a time — scores equal a full
+    build (per external turn identity), WAND equals the exact scorer,
+    and the sparse docid space is recorded for later appends."""
+    from itemsjs_spark.engine import Index
+
+    cut = "c000050"
+    a_df = corpus.filter(F.col("conv_id") < cut)
+    b_df = corpus.filter(F.col("conv_id") >= cut)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    itemsjs_spark(
+        spark, a_df, CFG, order_by=["conv_id", "turn_idx"]
+    ).index.write_blocks(pa, n_buckets=2, range_size=128, block_size=64)
+    itemsjs_spark(
+        spark, b_df, CFG, order_by=["conv_id", "turn_idx"]
+    ).index.write_blocks(pb, n_buckets=2, range_size=128, block_size=64)
+    ia, ib = Index.read(spark, pa), Index.read(spark, pb)
+    assert ia.postings is None and ia.posting_blocks is not None
+    assert ia.block_meta["range_size"] == 128
+
+    merged = SearchEngine(merge_indexes(ia, ib))
+    n_a, n_b = ia.n_docs, ib.n_docs
+    off = ((n_a + 127) // 128) * 128
+    assert merged.index.docid_ceiling == off + n_b
+
+    full = itemsjs_spark(spark, corpus, CFG, order_by=["conv_id", "turn_idx"])
+
+    def keyed(eng, q):
+        hits = eng.fulltext_hits(q)
+        j = eng.index.docs.select("_docid", "conv_id", "turn_idx").join(
+            hits, "_docid"
+        )
+        return {
+            (r["conv_id"], r["turn_idx"]): r["__score"] for r in j.collect()
+        }
+
+    for q in ("spark", "shuffle partition"):
+        assert keyed(merged, q) == keyed(full, q), q
+
+    # WAND over the merged (shifted) blocks == merged exact scorer
+    exact = {
+        (r["_docid"], round(r["__score"], 9))
+        for r in merged.fulltext_hits("spark shuffle").collect()
+    }
+    k = len(exact)
+    wand = {
+        (r["_docid"], round(r["__score"], 9))
+        for r in merged.fulltext_topk("spark shuffle", k).collect()
+    }
+    assert wand == exact
+
+    # facet blocks carried: the block search route still applies
+    assert merged.index.facet_posting_blocks is not None
+
+    # a later append continues past the sparse ceiling — no collision
+    delta = transcripts_df(spark, n_turns=30, n_convs=3, seed=33).withColumn(
+        "conv_id", F.concat(F.lit("d"), F.substring("conv_id", 2, 10))
+    )
+    # append needs row-level postings: decode the merged store once
+    from itemsjs_spark.engine.blocks import postings_from_blocks
+
+    import dataclasses
+
+    rowlevel = dataclasses.replace(
+        merged.index,
+        postings=postings_from_blocks(merged.index.posting_blocks),
+        posting_blocks=None,
+    )
+    eng2 = SearchEngine(rowlevel).append(delta, order_by=["conv_id", "turn_idx"])
+    new_min = (
+        eng2.index.docs.filter(F.col("conv_id") >= "d")
+        .agg(F.min("_docid"))
+        .first()[0]
+    )
+    assert new_min > merged.index.docid_ceiling
