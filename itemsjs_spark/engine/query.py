@@ -579,18 +579,71 @@ class SearchEngine:
         return n
 
     def purge_deleted(self) -> "SearchEngine":
-        """Physically rebuild the index from the live corpus — the
-        Lucene merge analog. Docids stay STABLE (the rebuild keys on the
-        existing ``_docid``), external ids unchanged; idf/df and the
-        facet dimension are recomputed, so scores may change. Returns a
-        new engine with no tombstones; resumable at scale via
-        checkpoint.build_blocks_checkpointed over the same live frame."""
-        live = self._live(self.index.docs)
-        drop = [c for c in live.columns if c.startswith(FK_PREFIX)]
-        base = live.drop(*drop).withColumnRenamed(DOCID, "__keep_docid")
-        eng = self.reindex(base, docid_col="__keep_docid")
-        eng.index.docs = eng.index.docs.drop("__keep_docid")
-        return eng
+        """Physically drop tombstoned documents — the Lucene merge
+        analog, WITHOUT re-tokenizing anything: postings filter by the
+        live set (per-doc tf is unchanged by other docs' deletion), the
+        terms table recounts df over the surviving postings with idf
+        recomputed for the live corpus size, and the facet dimension
+        rebuilds from the live docs' already-derived facet-key columns
+        (one corpus pass, no text analysis). Docids stay STABLE,
+        external ids unchanged; the result is row-identical to a full
+        rebuild over the live corpus. A block-backed store is decoded
+        once (the compaction cost); write_blocks re-encodes the purged
+        postings. Returns a new engine with no tombstones."""
+        import dataclasses
+
+        from .indexer import _facet_dim_counts, _rank_facet_dim
+
+        idx = self.index
+        live = self._live(idx.docs)
+        live = live.persist()
+        n_live = live.count()
+
+        postings = idx.postings
+        if postings is None and idx.posting_blocks is not None:
+            from .blocks import postings_from_blocks
+
+            postings = postings_from_blocks(idx.posting_blocks)
+        new_postings = new_terms = None
+        if postings is not None:
+            new_postings = self._live(postings)
+            new_terms = (
+                new_postings.groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .withColumn(
+                    "idf",
+                    F.lit(1.0)
+                    + F.log(
+                        F.lit(float(n_live)) / F.col("df").cast("double")
+                    ),
+                )
+            )
+
+        if idx.facet_fields:
+            fv = _facet_dim_counts(live, idx.facet_fields)
+            facet_values = _rank_facet_dim(fv).persist()
+        else:
+            facet_values = idx.facet_values
+
+        positional = None
+        if idx.positional is not None:
+            positional = self._live(idx.positional)
+
+        new_index = dataclasses.replace(
+            idx,
+            docs=live,
+            facet_values=facet_values,
+            postings=new_postings,
+            terms=new_terms,
+            n_docs=n_live,
+            posting_blocks=None,
+            facet_posting_blocks=None,
+            positional=positional,
+            tombstones=None,
+            # docids unchanged: a sparse space stays sparse
+            docid_ceiling=idx.docid_ceiling,
+        )
+        return SearchEngine(new_index)
 
     def _facet_dim_cache(self) -> Optional[Dict[str, List[Tuple[str, int]]]]:
         """field -> [(key, enum_rank)] in enum order, or None if too big."""

@@ -361,3 +361,42 @@ def test_upsert_replaces_and_inserts(spark, eng):
     eng3 = eng2.upsert(delta, order_by=["id"])
     assert eng3.search({"query": "zebra quux"})["pagination"]["total"] == 3
     assert eng3.search({})["pagination"]["total"] == 1201 + 1 - 1  # 3 old gone
+
+
+def test_purge_no_tokenizer_and_equals_full_rebuild(spark, base_eng, eng):
+    """The fast purge must (a) never re-tokenize — postings derive from
+    the cached artifacts via a live filter — and (b) be score-identical
+    to a from-scratch build over the live corpus."""
+    victims = [
+        r["_docid"]
+        for r in eng.index.docs.select("_docid").orderBy("_docid").limit(7).collect()
+    ]
+    victim_ids = {
+        r["id"]
+        for r in eng.index.docs.filter(F.col("_docid").isin(victims))
+        .select("id")
+        .collect()
+    }
+    eng.delete_docids(victims)
+    purged = eng.purge_deleted()
+    plan = purged.index.postings._jdf.queryExecution().toString()
+    assert "InMemoryTableScan" in plan or "MapInPandas" not in plan
+
+    live_src = base_eng.index.docs.filter(
+        ~F.col("id").isin(list(victim_ids))
+    ).drop(*[c for c in base_eng.index.docs.columns if c.startswith("__fk_")]
+    ).drop("_docid")
+    rebuilt = itemsjs_spark(
+        spark, live_src, CFG, order_by=["conv_id", "turn_idx"]
+    )
+
+    def keyed(e, q):
+        return {
+            r["id"]: r["__score"]
+            for r in e.index.docs.select("_docid", "id")
+            .join(e.fulltext_hits(q), "_docid")
+            .collect()
+        }
+
+    for q in ("spark", "shuffle partition"):
+        assert keyed(purged, q) == keyed(rebuilt, q), q
