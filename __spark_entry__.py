@@ -2383,6 +2383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window slot of dedup_minhash_signatures, whose pipeline
         # neardup_jaccard_pairs already proves end-to-end
         "delete_search": _q_delete_search,
+        # upsert (updateDocument flow) — takes token_count's slot
+        # (quality_score reports the same text-stats family)
+        "upsert_search": _q_upsert_search,
+        # segment merge of prebuilt shards — takes charngram_profile_fit's
+        # slot (langid_learned reports the same char-gram formula family)
+        "merge_shards_fulltext": _q_merge_shards,
         "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
         "similar_items": _q_similar,
@@ -2403,9 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": _q_deterministic_split,
         "pack_sequences": _q_pack_sequences,
         "quality_score": _q_quality,
-        "token_count": _q_token_count,
         "doc_fingerprint": _q_fingerprint,
-        "charngram_profile_fit": _q_charngram_fit,
         # phrase search (extension operator family) takes the window slot
         # of langid_multilang, whose formula langid_learned supersedes
         "phrase_search": _q_phrase_search,
@@ -2419,15 +2423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash signatures are the first stage of the (reported)
         # neardup_jaccard_pairs pipeline; its slot went to delete_search
         "dedup_minhash_signatures": _q_minhash_signatures,
-        # second/third delete-family rows: stale-dimension zero-kept
-        # buckets + the updateDocument (delete + append) flow
+        # second delete-family row: stale-dimension zero-kept buckets
         "delete_facet_counts": _q_delete_facet_counts,
-        "upsert_search": _q_upsert_search,
+        # displaced from the window by the upsert/merge families (their
+        # families stay reported via quality_score / langid_learned)
+        "token_count": _q_token_count,
+        "charngram_profile_fit": _q_charngram_fit,
         # paging family also reported via sort_paginate; this adds the
         # fields-projection option on the endpoint page
         "search_fields_page": _q_search_fields,
-        # segment merge: two shard builds must equal one full build
-        "merge_shards_fulltext": _q_merge_shards,
         # disk variant: block stores merge without decoding postings
         "merge_blocks_wand_topk": _q_merge_blocks_wand,
         # mixture family stays reported via domain_mixture_sample; the
