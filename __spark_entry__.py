@@ -1128,6 +1128,21 @@ def _q_minhash_signatures(spark, sf_dir):
     return dedup_ops.minhash_signatures(_documents(spark, sf_dir), "doc_id", k=8)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Daily-crawl dedup: the new batch (doc_id % 3 != 0) is filtered
+    against history (doc_id % 3 == 0) represented ONLY by its MinHash
+    signature table — old text never re-read, old×old never revisited,
+    and both collision joins are aggregate-then-join on the unique band
+    bucket (skew-free, no pair expansion)."""
+    docs = _documents(spark, sf_dir)
+    old_sigs = dedup_ops.minhash_signatures(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", k=8
+    )
+    return dedup_ops.incremental_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0), old_sigs, "doc_id", k=8
+    )
+
+
 # skew bound for the shared-shingle candidate join (mirrored in the
 # DuckDB oracle): shingles in more than this many docs are cut from the
 # shingle universe before pairing — the df-cut that keeps the join
@@ -2409,7 +2424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": _q_deterministic_split,
         "pack_sequences": _q_pack_sequences,
         "quality_score": _q_quality,
-        "doc_fingerprint": _q_fingerprint,
+        # incremental (new-batch-vs-history) dedup takes doc_fingerprint's
+        # window slot; the text-stats family stays reported via
+        # quality_score / chunk_dedup / pii_scrub
+        "incremental_dedup_vs_history": _q_incremental_dedup,
         # phrase search (extension operator family) takes the window slot
         # of langid_multilang, whose formula langid_learned supersedes
         "phrase_search": _q_phrase_search,
@@ -2425,8 +2443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_minhash_signatures,
         # second delete-family row: stale-dimension zero-kept buckets
         "delete_facet_counts": _q_delete_facet_counts,
-        # displaced from the window by the upsert/merge families (their
-        # families stay reported via quality_score / langid_learned)
+        # displaced from the window by the upsert/merge/incremental-dedup
+        # families (their families stay reported via quality_score /
+        # langid_learned)
+        "doc_fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
         "charngram_profile_fit": _q_charngram_fit,
         # paging family also reported via sort_paginate; this adds the
@@ -2915,6 +2935,30 @@ WHERE round(list_dot_product(a.emb, b.emb) /
     sqls["dedup_minhash_signatures"] = (
         f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
     )
+
+    _bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS bkey "
+        "FROM sig"
+        for b in range(4)
+    )
+    sqls["incremental_dedup_vs_history"] = f"""
+WITH sig AS (SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id),
+allb AS ({_bands_union}),
+ob AS (SELECT band, bkey, min(doc_id) AS omin FROM allb
+       WHERE doc_id % 3 = 0 GROUP BY band, bkey),
+nb AS (SELECT doc_id, band, bkey FROM allb WHERE doc_id % 3 <> 0),
+bmin AS (SELECT band, bkey, min(doc_id) AS nmin FROM nb GROUP BY band, bkey),
+oh AS (SELECT nb.doc_id, min(ob.omin) AS dup_old
+       FROM nb JOIN ob USING (band, bkey) GROUP BY nb.doc_id),
+nh AS (SELECT nb.doc_id, min(bmin.nmin) AS dup_new
+       FROM nb JOIN bmin USING (band, bkey)
+       WHERE bmin.nmin < nb.doc_id GROUP BY nb.doc_id)
+SELECT d.doc_id,
+       (oh.dup_old IS NULL AND nh.dup_new IS NULL) AS kept,
+       coalesce(oh.dup_old, nh.dup_new) AS dup_of
+FROM documents d LEFT JOIN oh USING (doc_id) LEFT JOIN nh USING (doc_id)
+WHERE d.doc_id % 3 <> 0
+"""
 
     # the df-cut (HAVING count(*) <= cap) mirrors jaccard_pairs'
     # max_shingle_df — the capped shingle universe IS the semantics

@@ -122,6 +122,93 @@ def lsh_candidate_pairs(
     return pairs.unionByName(star) if star is not None else pairs
 
 
+def band_keys(
+    sigs: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, bkey) LSH band rows from a signature table: band key =
+    '|'-joined minhash values of the band's rows (same key construction
+    as :func:`lsh_candidate_pairs`)."""
+    bands = []
+    for b in range(k // rows_per_band):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bkey"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bkey")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-signed historical corpus:
+    (id, kept, dup_of) for every new doc. The daily-crawl flow at scale —
+    history is represented ONLY by its MinHash signature table (k hex
+    strings per doc, ~100 bytes/doc, built once by
+    :func:`minhash_signatures`); the old corpus text is never re-read or
+    re-tokenized, and old×old is never re-examined.
+
+    Drop policy (deterministic, one pass, no iteration):
+
+    * a new doc sharing ≥1 LSH band bucket with ANY historical doc is
+      dropped with ``dup_of`` = the smallest colliding old id;
+    * otherwise, a new doc sharing a band bucket with a SMALLER new id
+      is dropped with ``dup_of`` = the smallest such id ("min id wins
+      per bucket" — the standard LSH-dedup batch rule; slightly stricter
+      than connected-component keep-first since the smaller id may
+      itself have been dropped against history);
+    * otherwise ``kept`` is true (including docs too short to produce
+      any n-token shingle — no signature, no collisions).
+
+    Skew-free by construction: both collision joins are aggregate-then-
+    join on the unique ``(band, bkey)`` bucket key — the old side
+    collapses to ``min(old_id)`` per bucket and the new side to
+    ``min(new_id)`` per bucket BEFORE joining, so a boilerplate bucket
+    holding a million docs contributes exactly one row to each join
+    (contrast the pair-expansion d²/2 blow-up that
+    :func:`lsh_candidate_pairs` needs a bucket cap for). No self-join,
+    no pair materialization, output is exactly one row per new doc.
+    """
+    sigs = minhash_signatures(new_df, id_col, text_col, k=k, n=n)
+    nb = band_keys(sigs, id_col, k, rows_per_band)
+    ob = (
+        band_keys(old_sigs, id_col, k, rows_per_band)
+        .groupBy("band", "bkey")
+        .agg(F.min(id_col).alias("__omin"))
+    )
+    bmin = nb.groupBy("band", "bkey").agg(F.min(id_col).alias("__nmin"))
+    old_hit = (
+        nb.join(ob, ["band", "bkey"])
+        .groupBy(id_col)
+        .agg(F.min("__omin").alias("__dup_old"))
+    )
+    new_hit = (
+        nb.join(bmin, ["band", "bkey"])
+        .filter(F.col("__nmin") < F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.min("__nmin").alias("__dup_new"))
+    )
+    return (
+        new_df.select(id_col)
+        .join(old_hit, id_col, "left")
+        .join(new_hit, id_col, "left")
+        .select(
+            id_col,
+            (F.col("__dup_old").isNull() & F.col("__dup_new").isNull()).alias(
+                "kept"
+            ),
+            F.coalesce("__dup_old", "__dup_new").alias("dup_of"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

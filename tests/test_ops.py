@@ -445,3 +445,111 @@ def test_repetition_signals_planted(spark):
     assert got[1][1] == 0.5
     assert got[2] == (pytest.approx(0.2), 0.0)  # all-unique: top 1/5, no dups
     assert got[3] == (0.0, 0.0)
+
+
+def test_incremental_dedup_planted(spark):
+    """Cross-batch dup drops against history, within-batch dup drops
+    against the smaller new id, short and unique docs stay kept."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),                       # history
+        (3, "completely different words here nothing shared at all ok"),
+        (10, base),                      # new: dup of history doc 0
+        (11, "unique snowflake text with many fresh tokens in a row"),
+        (13, "short"),                   # < 3 tokens: no signature
+        (16, "repeated batch text lorem ipsum dolor sit amet consectetur"),
+        (19, "repeated batch text lorem ipsum dolor sit amet consectetur"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+    old_sigs = dedup.minhash_signatures(old, "doc_id", k=8)
+    out = {
+        r["doc_id"]: (r["kept"], r["dup_of"])
+        for r in dedup.incremental_dedup(new, old_sigs, "doc_id").collect()
+    }
+    assert out[10] == (False, 0)         # collides with history
+    assert out[11] == (True, None)
+    assert out[13] == (True, None)       # signature-less → kept
+    assert out[16] == (True, None)       # min id in its bucket
+    assert out[19] == (False, 16)        # within-batch, min-id wins
+
+
+def test_incremental_dedup_old_precedence_and_hot_bucket(spark):
+    """A new doc colliding with BOTH history and a smaller new id
+    reports the old id; a boilerplate bucket of 500 identical new docs
+    yields one kept representative with everyone else pointing at it
+    (aggregate-then-join: no pair expansion to blow up)."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame([(5, boiler)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(500)], ["doc_id", "text"]
+    )
+    old_sigs = dedup.minhash_signatures(old, "doc_id", k=8)
+    rows = dedup.incremental_dedup(new, old_sigs, "doc_id").collect()
+    assert len(rows) == 500
+    assert all(not r["kept"] and r["dup_of"] == 5 for r in rows)
+
+
+def test_incremental_dedup_matches_naive_policy(spark):
+    """Engine output equals a pure-Python evaluation of the drop policy
+    over naively computed band buckets (seeded random corpus with
+    planted dups across and within batches)."""
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = {}
+    for i in range(60):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(12))
+    for i in (61, 63):                   # cross-batch dups of history docs
+        texts[i] = texts[i - 60]
+    for i in range(68, 80):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(12))
+    texts[65] = texts[74]                # within-batch dups (65 < 74 wins)
+    texts[67] = texts[75]
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    old_ids = {i for i in texts if i < 60}
+
+    def bands_of(t):
+        toks = t.split(" ")
+        gs = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if not gs:
+            return []
+        sig = [
+            min(hashlib.md5(f"{h}:{g}".encode()).hexdigest() for g in gs)
+            for h in range(8)
+        ]
+        return [(b, sig[2 * b] + "|" + sig[2 * b + 1]) for b in range(4)]
+
+    bucket_old, bucket_newmin = {}, {}
+    for i, t in texts.items():
+        for bk in bands_of(t):
+            if i in old_ids:
+                bucket_old[bk] = min(bucket_old.get(bk, i), i)
+            else:
+                bucket_newmin[bk] = min(bucket_newmin.get(bk, i), i)
+    expect = {}
+    for i, t in texts.items():
+        if i in old_ids:
+            continue
+        olds = [bucket_old[bk] for bk in bands_of(t) if bk in bucket_old]
+        news = [
+            bucket_newmin[bk]
+            for bk in bands_of(t)
+            if bucket_newmin.get(bk, i) < i
+        ]
+        dup = min(olds) if olds else (min(news) if news else None)
+        expect[i] = (dup is None, dup)
+
+    old_sigs = dedup.minhash_signatures(
+        df.filter(F.col("doc_id") < 60), "doc_id", k=8
+    )
+    got = {
+        r["doc_id"]: (r["kept"], r["dup_of"])
+        for r in dedup.incremental_dedup(
+            df.filter(F.col("doc_id") >= 60), old_sigs, "doc_id"
+        ).collect()
+    }
+    assert got == expect
