@@ -1997,6 +1997,18 @@ FROM r WHERE role = 'assistant' AND length(context) > 0
 """
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the raw event log — the step that
+    produces conversation-shaped units upstream of the transcript
+    corpus. One window partitioned by user (per-user state only; a hot
+    user is bounded by their own event count); summary rows prove the
+    assignment (any misassigned event changes a count or a boundary)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return conv_ops.session_summary(
+        ev, "user_id", "ts", gap_seconds=21600, order_cols=("event_id",)
+    )
+
+
 _PACK_CONV_BUDGET = 60
 
 
@@ -2411,7 +2423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
         # training-data pipeline operators
-        "dedup_exact": _q_dedup_exact,
+        # sessionization (event-stream family) takes dedup_exact's window
+        # slot — the dedup family keeps five reported rows (jaccard,
+        # clusters, simhash, decontaminate, incremental)
+        "event_sessionize": _q_sessionize,
         "neardup_jaccard_pairs": _q_neardup_pairs,
         "neardup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
@@ -2436,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "multimodal_png_decode": _q_multimodal_png,
+        "dedup_exact": _q_dedup_exact,
         "multimodal_wav_decode": _q_multimodal_wav,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
         # minhash signatures are the first stage of the (reported)
@@ -3272,6 +3288,27 @@ FROM t
     # blocks + DC-exact quant table reconstruct bit-for-bit) and
     # decodes them back through Huffman + dequantize + IDCT; chunk-mean
     # k pools block-row k = bytes 4k..4k+3, so the features share the
+    sqls["event_sessionize"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('second', lag(ts) OVER w, ts) > 21600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+x AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM x GROUP BY user_id, x.session_idx
+"""
+
     # PNG oracle's nibble algebra with 32x32x1 metadata
     sqls["multimodal_jpeg_decode"] = (
         f"WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "

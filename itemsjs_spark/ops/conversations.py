@@ -205,3 +205,56 @@ def conversation_text(
             ).alias("text")
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Gap-based sessionization of an event stream: every input column
+    plus ``session_idx`` (1-based per user) and ``session_id``
+    ("<user>-<idx>"). A new session starts at the first event and
+    whenever the gap since the previous event exceeds ``gap_seconds``.
+
+    This is the step that turns raw event logs into conversation-shaped
+    units upstream of the transcript corpus. One window partitioned by
+    user — per-user state only, so a 10^12-event log parallelizes on
+    users and a hot user is bounded by their OWN event count, never by
+    corpus size. ``order_cols`` breaks timestamp ties deterministically
+    (pass the event id).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.unix_timestamp(ts_col) - F.unix_timestamp(prev)) > gap_seconds)
+    ).cast("long")
+    run = Window.partitionBy(user_col).orderBy(ts_col, *order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df.withColumn("session_idx", F.sum(is_new).over(run))
+    return out.withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_idx")),
+    )
+
+
+def session_summary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: tuple = (),
+) -> DataFrame:
+    """(user, session_idx, n_events, start_ts, end_ts) per session —
+    the compact proof of the assignment (any misassigned event changes
+    a count or a boundary)."""
+    s = sessionize(df, user_col, ts_col, gap_seconds, order_cols)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+    )

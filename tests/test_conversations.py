@@ -143,3 +143,39 @@ def test_conversation_text_orders_by_turn(tdf):
         for r in conv.conversation_text(tdf, sep=" | ").collect()
     }
     assert got2["b"] == "one two three | four"
+
+
+def test_sessionize_gap_splits_and_ties(spark):
+    """Sessions split exactly at gaps > threshold; a boundary gap equal
+    to the threshold does NOT split; timestamp ties order by the
+    tie-break column; users are independent."""
+    from datetime import datetime, timezone
+
+    from itemsjs_spark.ops.conversations import session_summary, sessionize
+
+    def t(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc)
+
+    rows = [
+        # user 1: events at 0, 100, 100 (tie), 100+1800 (== gap: same
+        # session), then 100+1800+1801 (> gap: new session)
+        (1, 1, t(0)), (2, 1, t(100)), (3, 1, t(100)),
+        (4, 1, t(1900)), (5, 1, t(3701)),
+        # user 2: single event
+        (6, 2, t(50)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    s = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            df, "user_id", "ts", gap_seconds=1800, order_cols=("event_id",)
+        ).collect()
+    }
+    assert s == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1}
+    summ = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in session_summary(
+            df, "user_id", "ts", gap_seconds=1800, order_cols=("event_id",)
+        ).collect()
+    }
+    assert summ == {(1, 1): 4, (1, 2): 1, (2, 1): 1}
