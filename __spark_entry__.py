@@ -1997,6 +1997,19 @@ FROM r WHERE role = 'assistant' AND length(context) > 0
 """
 
 
+def _q_lineitem_percentiles(spark, sf_dir):
+    """Percentile extension of facet_stats: exact per-bucket quantiles
+    (Catalyst percentile == DuckDB quantile_cont, rank (n-1)*p linear
+    interpolation); approx_percentile is the bounded-memory 100 TB path
+    (pinned against exact in tests/test_ops.py)."""
+    from itemsjs_spark.ops import stats as stats_ops
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return stats_ops.bucket_percentiles(
+        li, ["l_returnflag"], "l_quantity", ps=(0.25, 0.5, 0.9)
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the raw event log — the step that
     produces conversation-shaped units upstream of the transcript
@@ -2534,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_sort_paginate": _q_orders_sort_page,
         "orders_crossed_counts": _q_orders_crossed_counts,
         "lineitem_facet_stats": _q_lineitem_stats,
+        "lineitem_facet_percentiles": _q_lineitem_percentiles,
         "lineitem_crossed_counts": _q_lineitem_crossed_counts,
     }
 
@@ -2758,6 +2772,13 @@ SELECT min(CAST(l_quantity AS BIGINT))::DOUBLE AS min,
        round(avg(CAST(l_quantity AS BIGINT)), 6) AS avg,
        sum(CAST(l_quantity AS BIGINT))::DOUBLE AS sum
 FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+"""
+    sqls["lineitem_facet_percentiles"] = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90
+FROM lineitem GROUP BY l_returnflag
 """
     sqls["lineitem_crossed_counts"] = """
 WITH rk AS (SELECT DISTINCT l_returnflag AS key FROM lineitem),

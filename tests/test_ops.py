@@ -553,3 +553,48 @@ def test_incremental_dedup_matches_naive_policy(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_bucket_percentiles_exact_and_approx(spark, docs):
+    """Exact per-bucket percentiles follow the (n-1)*p linear
+    interpolation definition (checked against numpy on one bucket);
+    approx_percentile (the bounded-memory 100 TB path) lands within
+    rank tolerance of exact on the same buckets."""
+    import numpy as np
+
+    from itemsjs_spark.ops.stats import bucket_percentiles
+
+    exact = {
+        r["lang"]: r
+        for r in bucket_percentiles(
+            docs, ["lang"], "n_chars", ps=(0.5, 0.9)
+        ).collect()
+    }
+    one = sorted(
+        r["n_chars"] for r in docs.filter(F.col("lang") == "en").collect()
+    )
+    assert exact["en"]["n"] == len(one)
+    assert exact["en"]["p50"] == pytest.approx(
+        round(float(np.percentile(one, 50)), 6), abs=1e-6
+    )
+    assert exact["en"]["p90"] == pytest.approx(
+        round(float(np.percentile(one, 90)), 6), abs=1e-6
+    )
+    approx = {
+        r["lang"]: r
+        for r in bucket_percentiles(
+            docs, ["lang"], "n_chars", ps=(0.5, 0.9), exact=False
+        ).collect()
+    }
+    for lang, e in exact.items():
+        vals = sorted(
+            r["n_chars"] for r in docs.filter(F.col("lang") == lang).collect()
+        )
+        for col in ("p50", "p90"):
+            # rank-error bound: the sketch's answer must sit within a
+            # few ranks of the exact order statistic
+            lo = max(0, int(np.searchsorted(vals, approx[lang][col])) - 3)
+            hi = min(len(vals) - 1, lo + 6)
+            assert vals[lo] <= approx[lang][col] <= vals[hi] or (
+                abs(approx[lang][col] - e[col]) <= 1.0
+            )
