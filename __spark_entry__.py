@@ -1399,6 +1399,23 @@ def _q_deterministic_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_split_by_conversation(spark, sf_dir):
+    """Leakage-safe split for conversational data: the split key is
+    conv_id, so every turn of a conversation lands in the same split
+    (turns of one conversation in both train and test would leak
+    context). One row per conversation — the oracle compare itself
+    proves the integrity invariant (a conversation straddling splits
+    would produce an extra row)."""
+    from itemsjs_spark.ops import sampling
+
+    s = sampling.deterministic_split(
+        _tx_df(spark, sf_dir), "conv_id", _SPLIT_WEIGHTS
+    )
+    return s.groupBy("conv_id", "split").agg(
+        F.count("*").cast("long").alias("n_turns")
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """EXACT n-per-group deterministic sample (take the n smallest
     hash-fraction rows per source). The engine runs the salted
@@ -2490,6 +2507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling family also reported via deterministic_split; this is
         # the exact-n-per-group (salted two-phase top-n) variant
         "stratified_sample_per_group": _q_stratified_sample,
+        # leakage-safe conversational split: split key = conv_id, one
+        # row per conversation (oracle compare proves the integrity)
+        "split_by_conversation": _q_split_by_conversation,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -2869,6 +2889,19 @@ SELECT query_id, neighbor_id, cosine FROM (
     sqls["deterministic_split"] = (
         f"SELECT doc_id, {_case} AS split FROM documents"
     )
+
+    _md5_conv = "md5('0:' || conv_id)"
+    _cfrac = f"({_hex8_int(_md5_conv)} / 4294967296.0)"
+    _ccase = (
+        "CASE "
+        + " ".join(f"WHEN {_cfrac} < {b!r} THEN '{n}'" for n, b in _bounds[:-1])
+        + f" ELSE '{_bounds[-1][0]}' END"
+    )
+    sqls["split_by_conversation"] = f"""
+WITH c AS (SELECT source AS conv_id, count(*)::BIGINT AS n_turns
+           FROM documents GROUP BY source)
+SELECT conv_id, {_ccase} AS split, n_turns FROM c
+"""
 
     # stratified n-per-group: the engine's salted two-phase top-n equals
     # one plain window (a group's top-n survives the salt decomposition)

@@ -244,3 +244,25 @@ def test_stratified_sample_exact_n_and_salt_invariance(spark):
         df, "doc_id", "grp", n=10
     )._jdf.queryExecution().executedPlan().toString()
     assert "pmod" in plan
+
+
+def test_split_by_conversation_integrity(spark):
+    """Splitting on conv_id keeps every turn of a conversation in ONE
+    split (the leakage-safe unit for conversational data), and turn
+    counts are preserved across the split."""
+    from itemsjs_spark.ops.sampling import deterministic_split
+
+    rows = [(f"c{i % 7}", t, f"text {i} {t}") for i, t in
+            ((i, t) for i in range(7) for t in range(10))]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    s = deterministic_split(df, "conv_id", {"train": 0.8, "val": 0.2})
+    per_conv = (
+        s.groupBy("conv_id")
+        .agg(F.countDistinct("split").alias("k"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_conv)
+    assert sum(r["n"] for r in per_conv) == 70
+    # same conv -> same split under re-evaluation (pure function of key)
+    again = {r["conv_id"]: r["split"] for r in s.select("conv_id", "split").distinct().collect()}
+    assert len(again) == 7
