@@ -2655,6 +2655,52 @@ class SearchEngine:
             if hl:
                 it["_highlight"] = hl
 
+    def explain_search(
+        self, input: Optional[Dict[str, Any]] = None
+    ) -> Dict[str, Any]:
+        """Route introspection: which physical route ``search()`` would
+        take for this input, with the cost model's predicted seconds and
+        the reason each faster route declined — no Spark jobs run. The
+        checks mirror ``_search_dispatch``'s order exactly, so the
+        answer is the dispatcher's answer (production observability for
+        the r2 mis-route class of surprises: ask the engine, don't guess
+        from timings)."""
+        input = input or {}
+        trace: List[str] = []
+        exp: Dict[str, Any] = {
+            "n_docs": int(self.index.n_docs),
+            "tombstones_active": bool(self._tombstones_active()),
+            "has_facet_blocks": self.index.facet_posting_blocks is not None,
+            "trace": trace,
+        }
+        if self._wand_search_applies(input):
+            exp["route"] = "wand_topk"
+            exp["why"] = (
+                "relevance-ordered query page: block-max WAND top-k over "
+                "the compressed posting store"
+            )
+            return exp
+        trace.append("wand_topk: input shape not a pure relevance query page")
+        if self._wand_filtered_search_applies(input):
+            exp["route"] = "wand_filtered"
+            exp["why"] = (
+                "query + facet filters: filtered block-max WAND page, "
+                "buckets from one mask-only corpus pass (falls back to "
+                "the standard path if the request declines mid-flight)"
+            )
+            return exp
+        trace.append("wand_filtered: input shape not a filtered query page")
+        if self._facetblock_search_applies(input, trace):
+            exp["route"] = "facet_blocks"
+            exp["why"] = (
+                "filter-only search: per-value posting-block set algebra "
+                "predicted cheaper than the corpus scan"
+            )
+            return exp
+        exp["route"] = "standard_scan"
+        exp["why"] = "corpus-scan plan (every faster route declined — see trace)"
+        return exp
+
     def _search_dispatch(self, input: Dict[str, Any]) -> Dict[str, Any]:
         import time
 
@@ -3173,7 +3219,9 @@ class SearchEngine:
     # ------------------------------------------------------------------
     # facet-block search (index-side set algebra, block-backed configs)
     # ------------------------------------------------------------------
-    def _facetblock_search_applies(self, input: Dict[str, Any]) -> bool:
+    def _facetblock_search_applies(
+        self, input: Dict[str, Any], trace: Optional[List[str]] = None
+    ) -> bool:
         """Filter-algebra search over an index with facet posting blocks:
         candidates and per-field bucket filter sets come from per-value
         docid posting lists (the reference's bitmap algebra,
@@ -3181,19 +3229,27 @@ class SearchEngine:
         conjunctive, disjunctive (self-exclusion), negative and DNF
         ``filters_query`` inputs — the exists-probe / missing-value
         quirks live in the shared IR compiler, so parity is inherited.
-        Queries, _ids/ids and callback filters keep the standard path."""
-        if self.index.facet_posting_blocks is None:
+        Queries, _ids/ids and callback filters keep the standard path.
+        ``trace`` (explain_search) collects the reason for each decline."""
+
+        def no(reason: str) -> bool:
+            if trace is not None:
+                trace.append(reason)
             return False
+
+        if self.index.facet_posting_blocks is None:
+            return no("no facet posting blocks on this index")
         if self._tombstones_active():
             # the block algebra derives candidates from the STALE store;
             # the scan path applies the live filter at the docs choke
-            return False
+            return no("tombstones active: block store is stale")
         if not (
             input.get("filters")
             or input.get("not_filters")
             or input.get("filters_query")
         ):
-            return False  # unfiltered search: the scan path is one pass
+            # unfiltered search: the scan path is one pass
+            return no("no filters: the scan path is one pass")
         if (
             input.get("query")
             or input.get("_ids") is not None
@@ -3201,11 +3257,11 @@ class SearchEngine:
             or callable(input.get("filter"))
             or input.get("range_filters")
         ):
-            return False
+            return no("query/ids/callback/range input keeps the scan path")
         # the driver-side dim cache backs exists-probes and bucket
         # assembly; huge dims use their dedicated distributed path
         if self._facet_dim_cache() is None:
-            return False
+            return no("huge dimension: dedicated distributed path")
         # cost estimate from the cached global counts: the block path
         # decodes EVERY filter value's posting list and joins them, so
         # its row work is the SUM of the values' doc counts; the scan
@@ -3223,10 +3279,15 @@ class SearchEngine:
             )
             est = tot if est is None else est + tot
         if est is None:
-            return False
-        return self._route_block_cost(est, n_filtered)
+            return no("negative/DNF-only input: candidates are corpus-sized")
+        chose = self._route_block_cost(est, n_filtered, trace)
+        if not chose and trace is not None and self.ROUTER_FORCE is None:
+            trace.append("cost model picked the scan")
+        return chose
 
-    def _route_block_cost(self, est: int, n_filtered: int) -> bool:
+    def _route_block_cost(
+        self, est: int, n_filtered: int, trace: Optional[List[str]] = None
+    ) -> bool:
         """Predicted-seconds comparison for the block-vs-scan route (see
         the ROUTER_* constants for the model and its calibration).
         ``est`` = summed global doc counts of the filter values;
@@ -3234,10 +3295,17 @@ class SearchEngine:
         each). Ties go to the scan: a mis-route is only a perf cliff,
         and the scan path is the simpler plan."""
         if self.ROUTER_FORCE is not None:
+            if trace is not None:
+                trace.append(f"ROUTER_FORCE={self.ROUTER_FORCE!r}")
             return self.ROUTER_FORCE == "blocks"
         j = self.ROUTER_JOB_SECONDS
         t_scan = 2 * j + max(self.index.n_docs, 1) / self.ROUTER_SCAN_ROWS_PER_SEC
         t_block = (n_filtered + 5) * j + est / self.ROUTER_BLOCK_ROWS_PER_SEC
+        if trace is not None:
+            trace.append(
+                f"predicted scan {t_scan:.4f}s vs blocks {t_block:.4f}s "
+                f"(est_posting_rows={est}, n_filtered_fields={n_filtered})"
+            )
         return t_block < t_scan
 
     def _search_facetblocks(self, input: Dict[str, Any]) -> Dict[str, Any]:

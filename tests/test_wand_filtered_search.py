@@ -164,3 +164,59 @@ def test_filtered_wand_with_tombstones_matches_scan_path(engines):
     ]
     assert got["data"]["aggregations"] == want["data"]["aggregations"]
     assert not set(victims) & {i["_id"] for i in got["data"]["items"]}
+
+
+def test_explain_search_reports_dispatch_route(spark, engines, tmp_path_factory):
+    """explain_search mirrors _search_dispatch's route checks in order:
+    the reported route flips exactly where the dispatcher's would, and
+    a declined block route exposes the cost model's predicted seconds."""
+    mem, disk = engines
+
+    # disk engine has ROUTER_FORCE="blocks": filter-only → facet_blocks
+    exp = disk.explain_search({"filters": {"role": ["assistant"]}})
+    assert exp["route"] == "facet_blocks"
+    assert any("ROUTER_FORCE" in t for t in exp["trace"])
+
+    # query + filters → filtered WAND on the block-backed engine
+    exp = disk.explain_search(
+        {"query": "spark", "filters": {"role": ["assistant"]}}
+    )
+    assert exp["route"] == "wand_filtered"
+
+    # quoted phrase declines both WAND routes (phrase constraints are
+    # invisible to WAND) — standard path with the reasons in the trace
+    exp = disk.explain_search(
+        {"query": '"spark shuffle"', "filters": {"role": ["assistant"]}}
+    )
+    assert exp["route"] == "standard_scan"
+    assert len(exp["trace"]) >= 2
+
+    # in-memory engine (no block store): pure query stays standard
+    exp = mem.explain_search({"query": "spark"})
+    assert exp["route"] == "standard_scan"
+    assert exp["has_facet_blocks"] is False
+
+    # with the force released, the tiny corpus declines blocks on COST
+    # and the trace carries the model's predicted seconds
+    disk.ROUTER_FORCE = None
+    try:
+        exp = disk.explain_search({"filters": {"role": ["assistant"]}})
+        assert exp["route"] == "standard_scan"
+        assert any("predicted scan" in t for t in exp["trace"])
+        assert any("cost model picked the scan" in t for t in exp["trace"])
+    finally:
+        disk.ROUTER_FORCE = "blocks"
+
+    # pure relevance page on a no-facet block store → wand_topk
+    from itemsjs_spark.data.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, n_turns=400, n_convs=40, seed=3)
+    nofacet = itemsjs_spark(
+        spark, tdf, {"searchableFields": ["text"]},
+        order_by=["conv_id", "turn_idx"],
+    )
+    path = str(tmp_path_factory.mktemp("wandq") / "artifacts")
+    nofacet.index.write_blocks(path, n_buckets=2, range_size=256, block_size=64)
+    qeng = SearchEngine(Index.read(spark, path))
+    exp = qeng.explain_search({"query": "spark"})
+    assert exp["route"] == "wand_topk"
