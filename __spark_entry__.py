@@ -1218,6 +1218,18 @@ def _q_embedding_topk(spark, sf_dir):
     return emb_ops.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_mmr_topk(spark, sf_dir):
+    """Diversified top-k (MMR): candidate fetch + fetch² sim matrix are
+    JVM DataFrame work; only the inherently sequential greedy runs in
+    Python, one Arrow group per query with candidate-bounded state. The
+    oracle replays the same greedy as a DuckDB recursive CTE over
+    identically rounded rel/sim — selection decisions match exactly."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb_ops.mmr_rerank(
+        e, e.filter(F.col("vec_id") < 8), k=5, fetch=20, lam=0.7, mu=0.3
+    )
+
+
 _LANGID_STOPS = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS) if w)
 
 
@@ -2463,7 +2475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_vs_holdout": _q_decontaminate,
         "domain_mixture_sample": _q_mixture_sample,
         "repetition_signals": _q_repetition_signals,
-        "embedding_topk_cosine": _q_embedding_topk,
+        # MMR diversified top-k takes embedding_topk_cosine's window
+        # slot — it runs cosine_topk as its candidate stage, so the
+        # exact-cosine formula stays proven by this row too
+        "mmr_diverse_topk": _q_mmr_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "deterministic_split": _q_deterministic_split,
@@ -2483,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": _q_multimodal_png,
         "dedup_exact": _q_dedup_exact,
         "multimodal_wav_decode": _q_multimodal_wav,
+        "embedding_topk_cosine": _q_embedding_topk,
         # ---- position >50: near-duplicate coverage rows (unreported) ----
         # minhash signatures are the first stage of the (reported)
         # neardup_jaccard_pairs pipeline; its slot went to delete_search
@@ -3143,6 +3159,70 @@ SELECT query_id, neighbor_id, cosine FROM (
   SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s
 ) WHERE rn <= 10
 """
+
+    # MMR greedy unrolled to k=5 plain CTE stages (DuckDB's recursive
+    # CTEs reject the lambda state-carrying form): stage i picks the
+    # argmax of 0.7*rel - 0.3*max(sim to stages 1..i-1), ties to the
+    # smaller id — the exact decision rule the Arrow greedy runs
+    _mmr_stages = [
+        "p1 AS (SELECT query_id, neighbor_id AS id FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn "
+        "FROM cand) WHERE rn = 1)",
+        "sel1 AS (SELECT query_id, id, 1 AS rank FROM p1)",
+    ]
+    for _i in range(2, 6):
+        _mmr_stages.append(f"""p{_i} AS (
+  SELECT query_id, a AS id FROM (
+    SELECT x.query_id, x.a,
+           row_number() OVER (PARTITION BY x.query_id
+                              ORDER BY x.score DESC, x.a ASC) AS rn
+    FROM (
+      SELECT c.query_id, c.neighbor_id AS a,
+             0.7 * c.rel - 0.3 * max(p.sim) AS score
+      FROM cand c
+      JOIN sel{_i - 1} s ON s.query_id = c.query_id
+      JOIN pair p ON p.query_id = c.query_id
+                 AND p.a = c.neighbor_id AND p.b = s.id
+      LEFT JOIN sel{_i - 1} e ON e.query_id = c.query_id
+                             AND e.id = c.neighbor_id
+      WHERE e.id IS NULL
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ) x
+  ) WHERE rn = 1
+)""")
+        _mmr_stages.append(
+            f"sel{_i} AS (SELECT * FROM sel{_i - 1} "
+            f"UNION ALL SELECT query_id, id, {_i} AS rank FROM p{_i})"
+        )
+    sqls["mmr_diverse_topk"] = (
+        """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS emb,
+         round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS rel
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+cand AS (
+  SELECT query_id, neighbor_id, emb, rel FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn FROM s
+  ) WHERE rn <= 20
+),
+pair AS (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         round(list_dot_product(c1.emb, c2.emb) /
+               (sqrt(list_dot_product(c1.emb, c1.emb)) * sqrt(list_dot_product(c2.emb, c2.emb))), 6) AS sim
+  FROM cand c1 JOIN cand c2 USING (query_id)
+  WHERE c1.neighbor_id <> c2.neighbor_id
+),
+"""
+        + ",\n".join(_mmr_stages)
+        + """
+SELECT a.query_id, a.id AS neighbor_id, a.rank::INTEGER AS rank, c.rel AS cosine
+FROM sel5 a JOIN cand c ON c.query_id = a.query_id AND c.neighbor_id = a.id
+"""
+    )
 
     sqls["langid_heuristic"] = f"""
 SELECT doc_id,

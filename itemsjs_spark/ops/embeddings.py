@@ -242,3 +242,106 @@ def lsh_bucketed_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    fetch: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Diversified top-k via maximal marginal relevance: from each
+    query's top-``fetch`` exact-cosine candidates, greedily select ``k``
+    maximizing ``lam*rel(c) - mu*max_sim(c, selected)`` (Carbonell &
+    Goldstein 1998). (query_id, neighbor_id, rank, cosine).
+
+    Distributed shape: the candidate fetch and the fetch² pairwise-sim
+    matrix are JVM DataFrame work (broadcast queries, bounded
+    ``fetch*(fetch-1)`` rows per query); only the inherently sequential
+    greedy loop runs in Python — one Arrow ``applyInPandas`` group per
+    query with state bounded by the candidate set, never the corpus.
+
+    Determinism contract (mirrored by the SQL oracle): rel and sim are
+    rounded to 6 decimals JVM-side BEFORE any decision; the MMR score
+    is evaluated as ``lam*rel - mu*maxsim`` (both constants explicit —
+    ``mu`` is a parameter, not ``1-lam``, so both engines use the same
+    double literal); ties break on the smaller neighbor id.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cands = cosine_topk(corpus, queries, id_col, emb_col, k=fetch)
+    emb = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+    a = (
+        cands.select("query_id", F.col("neighbor_id").alias("a"),
+                     F.col("cosine").alias("rel_a"))
+        .join(emb, F.col("a") == F.col("__id"))
+        .select("query_id", "a", "rel_a", F.col("__e").alias("ea"))
+    )
+    b = (
+        cands.select(F.col("query_id").alias("qb"),
+                     F.col("neighbor_id").alias("b"))
+        .join(emb, F.col("b") == F.col("__id"))
+        .select("qb", "b", F.col("__e").alias("eb"))
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")))
+        .select(
+            "query_id", "a", "rel_a", "b",
+            F.when(
+                F.col("a") != F.col("b"),
+                F.round(cosine(F.col("ea"), F.col("eb")), 6),
+            ).alias("sim"),
+        )
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a] = r.rel_a
+            if r.sim == r.sim and r.sim is not None:  # skip a==b NULLs
+                sim[(r.a, r.b)] = r.sim
+        qid = pdf["query_id"].iloc[0]
+        remaining = set(rel)
+        picked = []
+        out = []
+        while remaining and len(picked) < k:
+            if not picked:
+                best = min(remaining, key=lambda c: (-rel[c], c))
+            else:
+                def score(c):
+                    ms = max(sim[(c, s)] for s in picked)
+                    return lam * rel[c] - mu * ms
+                best = min(remaining, key=lambda c: (-score(c), c))
+            picked.append(best)
+            remaining.discard(best)
+            out.append((qid, best, len(picked), rel[best]))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "rank", "cosine"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(greedy, schema)

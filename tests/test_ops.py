@@ -598,3 +598,32 @@ def test_bucket_percentiles_exact_and_approx(spark, docs):
             assert vals[lo] <= approx[lang][col] <= vals[hi] or (
                 abs(approx[lang][col] - e[col]) <= 1.0
             )
+
+
+def test_mmr_rerank_diversifies_across_clusters(spark):
+    """Planted geometry: near-duplicate vectors crowd plain top-k; MMR's
+    second pick must jump to the other cluster. Rank 1 is always the
+    plain cosine argmax, and scores equal the exact rounded cosines."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),            # query
+        (10, [0.99, 0.14, 0.0]),         # cluster A (very close to q)
+        (11, [0.99, 0.141, 0.0]),        # near-dup of 10
+        (12, [0.99, 0.142, 0.0]),        # near-dup of 10
+        (20, [0.8, -0.6, 0.0]),          # cluster B (farther, diverse)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    got = {
+        r["rank"]: r["neighbor_id"]
+        for r in embeddings.mmr_rerank(
+            df, q, k=3, fetch=4, lam=0.5, mu=0.5
+        ).collect()
+    }
+    top = {
+        r["neighbor_id"]
+        for r in embeddings.cosine_topk(df, q, k=2).collect()
+    }
+    assert top == {10, 11}              # plain top-2 stays in cluster A
+    assert got[1] == 10                 # rank 1 = cosine argmax
+    assert got[2] == 20                 # MMR jumps to cluster B
+    assert got[3] in (11, 12)
