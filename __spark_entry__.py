@@ -1218,6 +1218,22 @@ def _q_embedding_topk(spark, sf_dir):
     return emb_ops.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+_KMEANS_INIT = (7, 113, 211, 307)
+
+
+def _q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (3 iterations, broadcast centroids,
+    map-only assignment + one groupBy(cluster, dim) mean per round);
+    every decision input rounds to 6 decimals, so the DuckDB oracle —
+    the same 3 rounds unrolled as plain CTE stages — reproduces the
+    final assignments exactly."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _, assigned = emb_ops.kmeans_fit(
+        e, k=4, iters=3, init_ids=_KMEANS_INIT
+    )
+    return assigned
+
+
 def _q_mmr_topk(spark, sf_dir):
     """Diversified top-k (MMR): candidate fetch + fetch² sim matrix are
     JVM DataFrame work; only the inherently sequential greedy runs in
@@ -2474,7 +2490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "decontaminate_vs_holdout": _q_decontaminate,
         "domain_mixture_sample": _q_mixture_sample,
-        "repetition_signals": _q_repetition_signals,
+        # distributed k-means (clustering family) takes repetition_signals'
+        # window slot; the text-quality family stays reported via
+        # quality_score
+        "kmeans_clusters": _q_kmeans,
         # MMR diversified top-k takes embedding_topk_cosine's window
         # slot — it runs cosine_topk as its candidate stage, so the
         # exact-cosine formula stays proven by this row too
@@ -2526,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe conversational split: split key = conv_id, one
         # row per conversation (oracle compare proves the integrity)
         "split_by_conversation": _q_split_by_conversation,
+        "repetition_signals": _q_repetition_signals,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -3159,6 +3179,52 @@ SELECT query_id, neighbor_id, cosine FROM (
   SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s
 ) WHERE rn <= 10
 """
+
+    # k-means: Lloyd unrolled to 3 assign→update rounds as plain CTEs;
+    # distances rounded to 6 BEFORE the per-vector argmin (ties to the
+    # smaller cluster id), centroid coordinates rounded to 6 after each
+    # per-dimension mean — the exact decision grid kmeans_fit uses
+    _km_ids = ", ".join(str(i) for i in _KMEANS_INIT)
+    _km_dist = (
+        "round(list_sum(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)"
+    )
+    _km_parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v "
+        f"FROM e WHERE vec_id IN ({_km_ids}))",
+    ]
+    for _r in range(3):
+        _km_parts.append(f"""a{_r} AS (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_dist} ASC, c.cl ASC) AS rn
+    FROM e, c{_r} c
+  ) WHERE rn = 1
+)""")
+        _km_parts.append(f"""c{_r + 1} AS (
+  SELECT cl, list(m ORDER BY i) AS v FROM (
+    SELECT cl, t.i AS i, round(avg(v[t.i]), 6) AS m
+    FROM a{_r}, LATERAL unnest(range(1, len(v) + 1)) t(i)
+    GROUP BY cl, t.i
+  ) GROUP BY cl
+)""")
+    sqls["kmeans_clusters"] = (
+        "WITH "
+        + ",\n".join(_km_parts)
+        + f""",
+final AS (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_dist} ASC, c.cl ASC) AS rn
+    FROM e, c3 c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cl AS cluster FROM final
+"""
+    )
 
     # MMR greedy unrolled to k=5 plain CTE stages (DuckDB's recursive
     # CTEs reject the lambda state-carrying form): stage i picks the

@@ -17,7 +17,7 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -345,3 +345,83 @@ def mmr_rerank(
         )
 
     return pairs.groupBy("query_id").applyInPandas(greedy, schema)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 4,
+    iters: int = 3,
+    init_ids: Optional[Sequence[int]] = None,
+):
+    """Lloyd's k-means over an embedding column, engine-portable:
+    returns ``(centroids, assignments)`` where centroids is the ordered
+    ``[(cluster, vector)]`` list after ``iters`` updates and assignments
+    is ``(id, cluster)`` under the final centroids.
+
+    Distributed shape per iteration: centroids broadcast as literals
+    (k·dim doubles), assignment is a map-only argmin over k rounded
+    squared distances (ties to the smaller cluster id), the update is
+    ONE posexplode + groupBy(cluster, dim) mean — k·dim rows collect to
+    the driver. Nothing corpus-sized ever leaves the executors; the
+    sequential part is the ``iters`` loop itself, which is the
+    algorithm, not a scale compromise.
+
+    Portability contract (the same one MMR uses): every DECISION input
+    is rounded to 6 decimals first — squared distances before the
+    argmin, centroid coordinates after each mean — so an independent
+    engine (the DuckDB oracle unrolls the same ``iters`` stages as
+    plain CTEs) reproduces assignments exactly. Initial centroids are
+    the ``init_ids`` rows (default: the k smallest ids), numbered 0..k-1
+    in ascending id order. A cluster that loses all members drops out
+    (consistent across engines)."""
+    e = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__v"),
+    )
+    if init_ids is None:
+        init_ids = [r["__id"] for r in e.orderBy("__id").limit(k).collect()]
+    init_ids = sorted(init_ids)
+    got = {
+        r["__id"]: list(r["__v"])
+        for r in e.filter(F.col("__id").isin(list(init_ids))).collect()
+    }
+    cents = [(i, got[d]) for i, d in enumerate(init_ids)]
+
+    def assign(cents_list):
+        structs = [
+            F.struct(
+                F.round(
+                    _sqdist(F.col("__v"), F.lit(c).cast("array<double>")), 6
+                ).alias("d"),
+                F.lit(int(cl)).cast("long").alias("cl"),
+            )
+            for cl, c in cents_list
+        ]
+        return e.withColumn("cl", F.array_min(F.array(*structs))["cl"])
+
+    for _ in range(iters):
+        rows = (
+            assign(cents)
+            .select("cl", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cl", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        acc = {}
+        for r in rows:
+            acc.setdefault(r["cl"], {})[r["pos"]] = r["m"]
+        cents = [
+            (cl, [dims[p] for p in sorted(dims)])
+            for cl, dims in sorted(acc.items())
+        ]
+    out = assign(cents).select(
+        F.col("__id").alias(id_col), F.col("cl").alias("cluster")
+    )
+    return cents, out

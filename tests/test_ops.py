@@ -627,3 +627,37 @@ def test_mmr_rerank_diversifies_across_clusters(spark):
     assert got[1] == 10                 # rank 1 = cosine argmax
     assert got[2] == 20                 # MMR jumps to cluster B
     assert got[3] in (11, 12)
+
+
+def test_kmeans_planted_geometry_and_determinism(spark):
+    """Three well-separated planted blobs: k-means recovers them exactly
+    from one-per-blob init, centroids converge to the rounded blob
+    means, and the run is deterministic."""
+    import random
+
+    rng = random.Random(11)
+    blobs = {0: [10.0, 0.0], 1: [0.0, 10.0], 2: [-10.0, -10.0]}
+    rows = []
+    for i in range(90):
+        b = i % 3
+        cx, cy = blobs[b]
+        rows.append(
+            (i, [cx + rng.uniform(-1, 1), cy + rng.uniform(-1, 1)], b)
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents, assigned = embeddings.kmeans_fit(
+        df, k=3, iters=3, init_ids=(0, 1, 2)
+    )
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # init ids 0/1/2 seed blobs 0/1/2 in order → cluster == label
+    for i, _, b in rows:
+        assert got[i] == b
+    assert sorted(cl for cl, _ in cents) == [0, 1, 2]
+    for cl, v in cents:
+        cx, cy = blobs[cl]
+        assert abs(v[0] - cx) < 1.0 and abs(v[1] - cy) < 1.0
+    cents2, assigned2 = embeddings.kmeans_fit(
+        df, k=3, iters=3, init_ids=(0, 1, 2)
+    )
+    assert cents2 == cents
+    assert {r["vec_id"]: r["cluster"] for r in assigned2.collect()} == got
