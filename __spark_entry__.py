@@ -1234,6 +1234,19 @@ def _q_kmeans(spark, sf_dir):
     return assigned
 
 
+def _q_ivf_kmeans(spark, sf_dir):
+    """Canonical IVF-ANN: coarse centroids TRAINED by the distributed
+    k-means (3 rounds), corpus assigned map-only, queries probe their 2
+    nearest cells and rerank exactly inside them. The oracle chains the
+    unrolled k-means CTEs into the probe+rerank — cells, probes and the
+    final page all hash-checked together."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents, _ = emb_ops.kmeans_fit(e, k=4, iters=3, init_ids=_KMEANS_INIT)
+    return emb_ops.ivf_kmeans_topk(
+        e, e.filter(F.col("vec_id") < 8), cents, k=10, n_probe=2
+    )
+
+
 def _q_mmr_topk(spark, sf_dir):
     """Diversified top-k (MMR): candidate fetch + fetch² sim matrix are
     JVM DataFrame work; only the inherently sequential greedy runs in
@@ -2546,6 +2559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row per conversation (oracle compare proves the integrity)
         "split_by_conversation": _q_split_by_conversation,
         "repetition_signals": _q_repetition_signals,
+        # canonical trained-centroid IVF (ANN family reported via
+        # ann_ivf_topk; clustering via kmeans_clusters)
+        "ann_ivf_kmeans_topk": _q_ivf_kmeans,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -3223,6 +3239,48 @@ final AS (
   ) WHERE rn = 1
 )
 SELECT vec_id, cl AS cluster FROM final
+"""
+    )
+
+    # kmeans-IVF: the same unrolled-kmeans CTE chain feeds cell
+    # assignment (identical to kmeans_clusters' final), 2-nearest-cell
+    # probes per query (same rounded-distance/tie rule) and an exact
+    # in-cell cosine rerank
+    _km_qdist = (
+        "round(list_sum(list_transform(range(1, len(q.qe) + 1), "
+        "i -> (q.qe[i] - c.v[i]) * (q.qe[i] - c.v[i]))), 6)"
+    )
+    sqls["ann_ivf_kmeans_topk"] = (
+        "WITH "
+        + ",\n".join(_km_parts)
+        + f""",
+cells AS (
+  SELECT vec_id, v, cl AS cell FROM (
+    SELECT e.vec_id, e.v, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_dist} ASC, c.cl ASC) AS rn
+    FROM e, c3 c
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT qid, qe, cl AS cell FROM (
+    SELECT q.qid, q.qe, c.cl,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_km_qdist} ASC, c.cl ASC) AS rn
+    FROM qs q, c3 c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.qid AS query_id, s.vec_id AS neighbor_id,
+         round(list_dot_product(p.qe, s.v) /
+               (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(s.v, s.v))), 6) AS cosine
+  FROM probe p JOIN cells s ON s.cell = p.cell AND s.vec_id <> p.qid
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT cand.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM cand
+) WHERE rn <= 10
 """
     )
 

@@ -425,3 +425,69 @@ def kmeans_fit(
         F.col("__id").alias(id_col), F.col("cl").alias("cluster")
     )
     return cents, out
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF over TRAINED coarse centroids (the canonical inverted-file
+    ANN, vs ``ivf_topk``'s hyperplane cells): corpus rows assign to
+    their nearest centroid cell map-only; each query probes its
+    ``n_probe`` nearest cells and reranks exactly inside them.
+    ``centroids`` is ``kmeans_fit``'s ordered [(cluster, vector)] list —
+    broadcast as literals, so assignment adds no join. Same decision
+    rounding as ``kmeans_fit`` (distances to 6 decimals, ties to the
+    smaller cluster), so the oracle reproduces cells and probes exactly.
+    Candidate work per query is bounded by its probed cells' sizes,
+    never the corpus."""
+
+    def cell_structs(v):
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _sqdist(v, F.lit(c).cast("array<double>")), 6
+                    ).alias("d"),
+                    F.lit(int(cl)).cast("long").alias("cl"),
+                )
+                for cl, c in centroids
+            ]
+        )
+
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    ).withColumn("cell", F.array_min(cell_structs(F.col("emb")))["cl"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("qe"),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(cell_structs(F.col("qe"))), 1, n_probe),
+        lambda s: s["cl"],
+    )
+    qp = q.select("query_id", "qe", F.explode(probes).alias("qcell"))
+    j = e.join(
+        F.broadcast(qp),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

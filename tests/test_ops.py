@@ -661,3 +661,30 @@ def test_kmeans_planted_geometry_and_determinism(spark):
     )
     assert cents2 == cents
     assert {r["vec_id"]: r["cluster"] for r in assigned2.collect()} == got
+
+
+def test_ivf_kmeans_topk_recall_and_exact_scores(spark, emb):
+    """Trained-centroid IVF: returned cosines equal the exact values for
+    the same pairs, and probing 2 of 4 cells keeps reasonable recall on
+    the real embedding set."""
+    cents, _ = embeddings.kmeans_fit(emb, k=4, iters=3, init_ids=(0, 1, 2, 3))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = embeddings.cosine_topk(emb, queries, k=10).collect()
+    approx = embeddings.ivf_kmeans_topk(
+        emb, queries, cents, k=10, n_probe=2
+    ).collect()
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3
