@@ -1990,6 +1990,14 @@ def _q_top_terms(spark, sf_dir):
     return eng.top_terms("source", k=_TOP_TERMS_K)
 
 
+def _q_doc_vectors(spark, sf_dir):
+    """Sparse tf-idf export of the whole index as ML features: postings
+    joined to broadcast idf and the slim id projection — the export IS
+    the index, streamed; the oracle re-derives lunr tf/idf from raw
+    text, so this row also proves the index's tf·idf per (doc, term)."""
+    return _doc_engine(spark, sf_dir).doc_vectors()
+
+
 _TOP_TERMS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, source, {_stem_case('u.t')} AS term
@@ -2562,6 +2570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical trained-centroid IVF (ANN family reported via
         # ann_ivf_topk; clustering via kmeans_clusters)
         "ann_ivf_kmeans_topk": _q_ivf_kmeans,
+        # index → ML-features bridge (tf·idf family reported via
+        # top_terms_per_group)
+        "doc_tfidf_vectors": _q_doc_vectors,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -3655,6 +3666,27 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["training_pairs"] = _TRAINING_PAIRS_SQL
     sqls["pack_conversations"] = _PACK_CONV_SQL
     sqls["top_terms_per_group"] = _TOP_TERMS_SQL
+
+    sqls["doc_tfidf_vectors"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id, tok.term, count(*)::DOUBLE / max(doclen.n) AS tf
+  FROM tok JOIN doclen USING (doc_id) GROUP BY tok.doc_id, tok.term
+),
+idf AS (
+  SELECT term,
+         1.0 + ln((SELECT count(*)::DOUBLE FROM documents)
+                  / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tok GROUP BY term
+)
+SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS weight
+FROM tf JOIN idf USING (term)
+"""
     sqls["related_terms_pmi"] = _REL_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)

@@ -2189,6 +2189,42 @@ class SearchEngine:
         )
         return ranked.filter(F.col("__rn") <= int(k)).drop("__rn")
 
+    def doc_vectors(self) -> DataFrame:
+        """Sparse tf-idf feature export from the inverted index:
+        (<custom_id_field>, term, weight) with weight = round(tf·idf, 6)
+        under the index's own lunr tf/idf — the bridge from the search
+        index to downstream ML (clustering, classifiers, dedup on
+        lexical features) without re-tokenizing the corpus.
+
+        Physical plan: postings ⨝ broadcast terms(idf) ⨝ the slim
+        (docid, id) projection on _docid (postings are already
+        hash-partitioned by _docid, so only the slim projection
+        shuffles). Output rows = |postings| — the export IS the index,
+        streamed, nothing driver-side."""
+        idx = self.index
+        if idx.postings is None:
+            raise EngineError(
+                "doc_vectors needs row-level postings (blocks-only "
+                "indexes would decode the full store; reopen with "
+                "postings)"
+            )
+        self._ensure_fulltext_materialized()
+        id_field = self.configuration.get("custom_id_field", "id")
+        if id_field not in idx.docs.columns:
+            raise EngineError(f"unknown id field {id_field!r}")
+        ids = idx.docs.select(DOCID, F.col(id_field))
+        return (
+            idx.postings.join(
+                F.broadcast(idx.terms.select("term", "idf")), "term"
+            )
+            .join(ids, DOCID)
+            .select(
+                F.col(id_field),
+                "term",
+                F.round(F.col("tf") * F.col("idf"), 6).alias("weight"),
+            )
+        )
+
     def index_stats(self) -> DataFrame:
         """One-row index introspection: (n_docs, n_terms, n_postings) —
         corpus size, distinct vocabulary, inverted-index entries.

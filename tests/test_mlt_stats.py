@@ -179,3 +179,18 @@ def test_index_stats_counts(eng):
     # 5 docs; vocabulary: zebra yak walrus lion tiger puma = 6;
     # postings = distinct (doc, term): 2+3+2+3+1 = 11
     assert (row["n_docs"], row["n_terms"], row["n_postings"]) == (5, 6, 11)
+
+
+def test_doc_vectors_match_hand_tfidf(eng):
+    """The tf-idf export reproduces the lunr math by hand: weight =
+    (count/len) * (1 + ln(N/df)), rounded to 6; one row per (doc, term)
+    posting, keyed by the external id."""
+    rows = {(r["id"], r["term"]): r["weight"]
+            for r in eng.doc_vectors().collect()}
+    # doc 1 "zebra yak zebra": tf(zebra)=2/3, df(zebra)=3, N=5
+    assert rows[(1, "zebra")] == round((2 / 3) * (1 + math.log(5 / 3)), 6)
+    # doc 5 "yak yak yak": tf(yak)=1.0, df(yak)=3
+    assert rows[(5, "yak")] == round(1.0 * (1 + math.log(5 / 3)), 6)
+    # doc 4: three singleton terms, df(tiger)=1
+    assert rows[(4, "tiger")] == round((1 / 3) * (1 + math.log(5 / 1)), 6)
+    assert len(rows) == eng.index.postings.count()
