@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import os
 from collections.abc import Callable
-from typing import Any, Dict, Iterator, List
+from typing import Any, Dict, Iterator, List, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,6 +34,8 @@ from itemsjs_spark.engine.packaging import ensure_shipped
 from itemsjs_spark.ops import conversations as conv_ops
 from itemsjs_spark.ops import dedup as dedup_ops
 from itemsjs_spark.ops import embeddings as emb_ops
+from itemsjs_spark.ops import hybrid as hybrid_ops
+from itemsjs_spark.ops import stats as stats_ops
 from itemsjs_spark.ops import text as text_ops
 
 # ---------------------------------------------------------------------------
@@ -580,6 +582,7 @@ SELECT _id, n_occurrences{extra_out} FROM hits WHERE n_occurrences > 0
 def _ft_sql(
     qtext: str, k: int, extra_ctes: str = "", corpus: str = "documents",
     id_col: str = "doc_id", fuzzy: bool = False, where_scored: str = "",
+    synonyms: Optional[Dict[str, List[str]]] = None,
 ) -> str:
     """lunr-1.0.0 scoring restated in ANSI SQL over ``corpus`` (a table
     or a CTE defined by ``extra_ctes``) keyed by ``id_col``. ``fuzzy``
@@ -589,12 +592,45 @@ def _ft_sql(
     ``where_scored`` (e.g. ``WHERE _id % 7 <> 0``) filters the SCORED
     set before ordering — the tombstone-delete restatement: tf/idf stay
     computed over the FULL corpus (stale-idf Lucene semantics), only the
-    result set shrinks."""
+    result set shrinks. ``synonyms`` restates the engine's query-time
+    synonym rewrite IN SQL: the map becomes a VALUES table joined
+    against the analyzed tokens, rewritten positions renumbered by
+    ``row_number() OVER (ORDER BY original_pos, expansion_pos)`` — the
+    conjunctive arity then comes from the REWRITTEN list
+    (``SELECT count(*) FROM q``), not the typed one."""
     pipeline = build_pipeline()
     tokens = pipeline(tokenize(qtext))
     values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
-    n = len(tokens)
-    if fuzzy:
+    n: Any = len(tokens)
+    if synonyms:
+        syn_rows, empty_keys = [], []
+        for tok, reps in synonyms.items():
+            flat: List[str] = []
+            for r in reps:
+                flat.extend(pipeline(tokenize(r)))
+            if not flat:
+                empty_keys.append(tok)
+            for j, rep in enumerate(flat):
+                syn_rows.append((tok, j, rep))
+        syn_values = ", ".join(
+            f"('{t}', {j}, '{r}')" for t, j, r in syn_rows
+        )
+        drop = (
+            "WHERE q0.tok0 NOT IN (%s)"
+            % ", ".join(f"'{t}'" for t in empty_keys)
+            if empty_keys
+            else ""
+        )
+        q_cte = f"""
+q0(i, tok0) AS (VALUES {values}),
+synmap(tok0, j, rep) AS (VALUES {syn_values}),
+q(tok_idx, tok) AS (
+  SELECT row_number() OVER (ORDER BY q0.i, coalesce(s.j, 0)) - 1,
+         coalesce(s.rep, q0.tok0)
+  FROM q0 LEFT JOIN synmap s USING (tok0) {drop}
+),"""
+        n = "(SELECT count(*) FROM q)"
+    elif fuzzy:
         q_cte = """
 q0(tok_idx, tok) AS (VALUES {values}),
 dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
@@ -2076,6 +2112,68 @@ def _q_lineitem_percentiles(spark, sf_dir):
     )
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (Reciprocal Rank Fusion, Cormack et al.
+    SIGIR'09): the lexical lunr top-50 for 'spark table' fused with the
+    cosine top-50 around doc 3's embedding by summed 1/(60+rank)
+    contributions — no cross-retriever score calibration, ranks only.
+    The fusion touches two bounded candidate lists; at 10^12 turns all
+    cost lives in the generators (WAND / IVF), which have their own
+    scale paths."""
+    eng = _doc_engine(spark, sf_dir)
+    s = F.round(F.col("__score"), 6)
+    lex = (
+        eng.fulltext_hits("spark table")
+        .orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(50)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vec = emb_ops.cosine_topk(e, e.filter(F.col("vec_id") == 3), k=50).select(
+        F.col("neighbor_id").alias("_id"), F.col("cosine").alias("score")
+    )
+    return hybrid_ops.rrf_fuse([(lex, "score"), (vec, "score")], k=20)
+
+
+_SYN_MAP = {"quick": ["fast", "slow"]}  # keys are pipeline (stemmed) tokens
+
+
+def _q_synonym_search(spark, sf_dir):
+    """Query-time synonym expansion (extension; Elasticsearch
+    synonym_graph semantics): 'quick' is not in the corpus vocabulary,
+    the map rewrites it to [fast, slow] before scoring, so the query
+    scores exactly like 'fast slow data' — lunr conjunctive semantics
+    over the rewritten positions. The oracle restates the rewrite as a
+    VALUES-table join, not a pre-expanded query string."""
+    eng = _doc_engine(spark, sf_dir)
+    s = F.round(F.col("__score"), 6)
+    return (
+        eng.fulltext_hits("quick data", synonyms=_SYN_MAP)
+        .orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(50)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
+def _q_facet_cardinality(spark, sf_dir):
+    """Facet cardinality (Elasticsearch `cardinality` agg): distinct
+    values + non-null docs per facet field in one stacked pass — exact
+    two-level distinct here; approx_count_distinct (HLL++) is the
+    pinned unbounded-cardinality path (tests/test_ops.py)."""
+    return stats_ops.facet_cardinality(
+        _documents(spark, sf_dir), ["source", "lang"], exact=True
+    )
+
+
+def _q_equi_depth_hist(spark, sf_dir):
+    """Equi-depth histogram over lineitem prices: boundary job (exact
+    percentile; GK sketch at scale) + ONE map-only bucket pass against
+    broadcast-literal boundaries — no ntile-over-global-sort
+    single-partition window."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return stats_ops.equi_depth_histogram(li, "l_extendedprice", n_buckets=8)
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the raw event log — the step that
     produces conversation-shaped units upstream of the transcript
@@ -2464,7 +2562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # north-rule transcript corpus (full lunr pipeline vs raw SQL oracle)
         "transcripts_fulltext_topk": _q_transcripts_topk,
-        "transcripts_hit_context": _q_transcripts_hit_context,
         "transcripts_conv_topk": _q_transcripts_conv_topk,
         "transcripts_time_range": _q_transcripts_time_range,
         "transcripts_histogram": _q_transcripts_histogram,
@@ -2480,8 +2577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_bucket_counts": _q_negative_counts,
         "bucket_heads_topn": _q_bucket_heads,
         "suggest_prefix": _q_suggest,
-        "spellcheck_didyoumean": _q_did_you_mean,
         "fulltext_fuzzy": _q_fulltext_fuzzy,
+        # query-time synonym expansion (rewrite family; spellcheck's
+        # fuzzy-suggest slot — the fuzzy rewrite stays reported via
+        # fulltext_fuzzy, prefix lookups via suggest_prefix)
+        "synonym_search": _q_synonym_search,
         "fulltext_wand_topk": _q_wand_topk,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
         "append_fulltext_topk": _q_append_fulltext_topk,
@@ -2501,6 +2601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
+        # distinct-value cardinality per facet field (HLL++ scale path
+        # pinned in tests) — transcripts_hit_context's slot; hit context
+        # extraction stays reported via snippet_search
+        "facet_cardinality": _q_facet_cardinality,
         # training-data pipeline operators
         # sessionization (event-stream family) takes dedup_exact's window
         # slot — the dedup family keeps five reported rows (jaccard,
@@ -2519,6 +2623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot — it runs cosine_topk as its candidate stage, so the
         # exact-cosine formula stays proven by this row too
         "mmr_diverse_topk": _q_mmr_topk,
+        # hybrid lexical+vector retrieval via RRF (fusion family;
+        # chunk_dedup's slot — the dedup family keeps four reported
+        # rows: jaccard, clusters, simhash, decontaminate, incremental)
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "deterministic_split": _q_deterministic_split,
@@ -2533,13 +2641,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "snippet_search": _q_snippet_search,
         "langid_learned": _q_langid_learned,
-        "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "multimodal_png_decode": _q_multimodal_png,
+        # ---- position >50: near-duplicate coverage rows (unreported) ----
+        # displaced by the round-4 fusion/synonym/cardinality families;
+        # their families stay reported (dedup via 5 in-window rows,
+        # fuzzy via fulltext_fuzzy, hit context via snippet_search)
+        "chunk_dedup": _q_chunk_dedup,
+        "spellcheck_didyoumean": _q_did_you_mean,
+        "transcripts_hit_context": _q_transcripts_hit_context,
+        # equi-depth histogram (histogram family reported via
+        # transcripts_histogram; percentile machinery via
+        # lineitem_facet_percentiles)
+        "equi_depth_histogram": _q_equi_depth_hist,
         "dedup_exact": _q_dedup_exact,
         "multimodal_wav_decode": _q_multimodal_wav,
         "embedding_topk_cosine": _q_embedding_topk,
-        # ---- position >50: near-duplicate coverage rows (unreported) ----
         # minhash signatures are the first stage of the (reported)
         # neardup_jaccard_pairs pipeline; its slot went to delete_search
         "dedup_minhash_signatures": _q_minhash_signatures,
@@ -3659,6 +3776,63 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
+    sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
+    # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
+    # embedding), fused by summed 1/(60+rank); ties broken on str(_id)
+    # at every stage like the engine's cursor convention
+    sqls["hybrid_rrf_topk"] = f"""
+WITH lex AS (SELECT _id, score FROM ({_ft_sql("spark table", 50)}) ),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 3),
+vs AS (
+  SELECT e.vec_id AS _id,
+         round(list_dot_product(qv.qe, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qv.qe, qv.qe)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS score
+  FROM embeddings e, qv WHERE e.vec_id <> 3
+),
+vec AS (
+  SELECT _id, score FROM (
+    SELECT vs.*, row_number() OVER (ORDER BY score DESC, CAST(_id AS VARCHAR) ASC) AS rn FROM vs
+  ) WHERE rn <= 50
+),
+lr AS (SELECT _id, row_number() OVER (ORDER BY score DESC, CAST(_id AS VARCHAR) ASC) AS r FROM lex),
+vr AS (SELECT _id, row_number() OVER (ORDER BY score DESC, CAST(_id AS VARCHAR) ASC) AS r FROM vec),
+u AS (SELECT _id, 1.0 / (60 + r) AS contrib FROM lr
+      UNION ALL SELECT _id, 1.0 / (60 + r) FROM vr)
+SELECT _id, round(sum(contrib), 6) AS rrf_score, count(*)::BIGINT AS n_lists
+FROM u GROUP BY _id
+ORDER BY rrf_score DESC, CAST(_id AS VARCHAR) ASC
+LIMIT 20
+"""
+    sqls["facet_cardinality"] = """
+SELECT 'source' AS field, count(DISTINCT source)::BIGINT AS n_values,
+       count(source)::BIGINT AS n_docs FROM documents
+UNION ALL
+SELECT 'lang' AS field, count(DISTINCT lang)::BIGINT AS n_values,
+       count(lang)::BIGINT AS n_docs FROM documents
+"""
+    # equi-depth histogram: boundaries = exact quantile_cont at i/8
+    # (same (n-1)p interpolation as Catalyst percentile), assignment =
+    # count of boundaries strictly below the rounded value
+    sqls["equi_depth_histogram"] = """
+WITH bl AS (
+  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+bounds AS (SELECT round(u.b, 6) AS bd FROM bl, LATERAL unnest(bl.bs) u(b)),
+vals AS (
+  SELECT round(CAST(l_extendedprice AS DOUBLE), 6) AS v FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+assign AS (
+  SELECT v, (SELECT count(*) FROM bounds WHERE v > bd)::INT AS bucket
+  FROM vals
+)
+SELECT bucket, count(*)::BIGINT AS n, round(min(v), 6) AS lo,
+       round(max(v), 6) AS hi
+FROM assign GROUP BY bucket
+"""
     sqls["search_after_page"] = _SEARCH_AFTER_SQL.replace(
         "__INNER__", _ft_sql("spark", 10)
     )

@@ -788,14 +788,19 @@ class SearchEngine:
         return idf_map, by_token
 
     def _query_vector(
-        self, query: str, fuzzy: bool = False
+        self,
+        query: str,
+        fuzzy: bool = False,
+        synonyms: Optional[Dict[str, Sequence[str]]] = None,
     ) -> Optional[Tuple[scoring.QueryVector, Dict[str, float]]]:
         """Analyze a query against the terms dictionary: tokenize →
         pipeline → prefix-expand → lunr query vector. Driver-side and
         tiny (|expanded terms| rows); shared by the exact scorer and the
         block-max WAND path. Returns None when the query can't match.
         ``fuzzy`` rewrites dictionary-missing tokens to their nearest
-        term first (`_fuzzy_rewrite`)."""
+        term first (`_fuzzy_rewrite`); ``synonyms`` then rewrites
+        configured tokens to their expansion lists
+        (`_synonym_rewrite`)."""
         idx = self.index
         if idx.terms is None:
             return None
@@ -805,6 +810,10 @@ class SearchEngine:
             return None
         if fuzzy:
             tokens = self._fuzzy_rewrite(tokens)
+        if synonyms:
+            tokens = self._synonym_rewrite(tokens, synonyms)
+            if not tokens:
+                return None
 
         distinct_tokens = sorted(set(tokens))
         exp = self._expand_tokens_driver(distinct_tokens)
@@ -1152,18 +1161,34 @@ class SearchEngine:
             .select("qid", DOCID, SCORE)
         )
 
-    def fulltext_hits(self, query: str, fuzzy: bool = False) -> DataFrame:
+    def fulltext_hits(
+        self,
+        query: str,
+        fuzzy: bool = False,
+        synonyms: Optional[Dict[str, Sequence[str]]] = None,
+    ) -> DataFrame:
         """DataFrame (_docid, __score) of lunr-ranked hits; ordering is a
         property of the consumer (ORDER BY __score DESC, str(_docid) ASC).
         ``fuzzy`` corrects dictionary-missing tokens before scoring
         (driver-vector path only: an expansion too large for the driver
         means every token already matches plenty, so the distributed
-        fallback has nothing to correct)."""
+        fallback has nothing to correct). ``synonyms`` rewrites
+        configured tokens to their expansion lists before scoring
+        (`_synonym_rewrite`); both rewrites are driver-side token-list
+        transforms, so every downstream plan (expansion, scoring,
+        co-partitioned aggregate) is unchanged."""
         idx = self.index
         empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
         try:
-            analyzed = self._query_vector(query, fuzzy=fuzzy)
+            analyzed = self._query_vector(query, fuzzy=fuzzy, synonyms=synonyms)
         except _ExpansionTooLarge:
+            if synonyms:
+                # the distributed fallback re-analyzes from raw text and
+                # would silently drop the rewrite — refuse instead
+                raise EngineError(
+                    "synonym rewrite requires the driver expansion path; "
+                    "this query's prefix expansion exceeds driver capacity"
+                )
             return self._live(
                 self._fulltext_hits_distributed_expansion(query)
             )
@@ -2079,6 +2104,31 @@ class SearchEngine:
             if rows:
                 corr[tok] = rows[0]["term"]
         return [corr.get(t, t) for t in tokens]
+
+    def _synonym_rewrite(
+        self, tokens: List[str], synonyms: Dict[str, Sequence[str]]
+    ) -> List[str]:
+        """Synonym query rewrite (extension; lunr 0.7 has no synonym
+        filter — semantics modeled on Elasticsearch's query-time
+        synonym_graph): each PIPELINE token present in ``synonyms`` is
+        REPLACED by its configured expansion list, every replacement
+        word normalized through the same analysis pipeline; tokens not
+        in the map pass through. Scoring then treats the rewritten
+        list exactly as if the user typed it — per-position qtf,
+        prefix expansion, and lunr's conjunctive intersection all
+        apply to the rewritten positions (so an expansion keeps the
+        original word only if the map lists it). A replacement that
+        normalizes to nothing (stopword) drops out. Driver-side only:
+        the map is query config, like the query text itself."""
+        out: List[str] = []
+        for t in tokens:
+            reps = synonyms.get(t)
+            if reps is None:
+                out.append(t)
+                continue
+            for r in reps:
+                out.extend(self.pipeline(tokenize(r)))
+        return out
 
     def related_terms(
         self, word: str, k: int = 10, min_co_df: int = 2

@@ -688,3 +688,58 @@ def test_ivf_kmeans_topk_recall_and_exact_scores(spark, emb):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_facet_cardinality_exact_and_approx(spark, docs):
+    """Exact distinct counts match a collect-side ground truth; the
+    HLL++ path (unbounded-cardinality columns at 100 TB) lands within
+    sketch tolerance of exact."""
+    from itemsjs_spark.ops.stats import facet_cardinality
+
+    truth = {
+        f: (
+            docs.select(f).distinct().count(),
+            docs.filter(F.col(f).isNotNull()).count(),
+        )
+        for f in ("source", "lang")
+    }
+    exact = {
+        r["field"]: (r["n_values"], r["n_docs"])
+        for r in facet_cardinality(docs, ["source", "lang"]).collect()
+    }
+    assert exact == truth
+    approx = {
+        r["field"]: r["n_values"]
+        for r in facet_cardinality(
+            docs, ["source", "lang"], exact=False, rsd=0.05
+        ).collect()
+    }
+    for f, (n, _) in truth.items():
+        assert abs(approx[f] - n) <= max(2, 0.15 * n)
+
+
+def test_equi_depth_histogram_partitions_evenly(spark):
+    """Exact path: 8 buckets partition every non-null row, counts sit
+    near N/8 (near-continuous values), ranges are ordered and disjoint;
+    the GK-sketch path still partitions all rows into 8 buckets."""
+    from itemsjs_spark.ops.stats import equi_depth_histogram
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_total = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    rows = sorted(
+        equi_depth_histogram(li, "l_extendedprice", n_buckets=8).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(8))
+    assert sum(r["n"] for r in rows) == n_total
+    for r in rows:
+        assert abs(r["n"] - n_total / 8) <= 0.05 * n_total
+        assert r["lo"] <= r["hi"]
+    for lo_next, hi_prev in zip(rows[1:], rows[:-1]):
+        assert hi_prev["hi"] <= lo_next["lo"]
+
+    approx = equi_depth_histogram(
+        li, "l_extendedprice", n_buckets=8, exact=False
+    ).collect()
+    assert sum(r["n"] for r in approx) == n_total
+    assert len(approx) == 8
