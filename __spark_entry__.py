@@ -2174,6 +2174,31 @@ def _q_equi_depth_hist(spark, sf_dir):
     return stats_ops.equi_depth_histogram(li, "l_extendedprice", n_buckets=8)
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): keep the 500 docs with the smallest -ln(u)/w keys, u from
+    the engine-portable md5 hash fraction, w = n_chars. TakeOrdered
+    top-n (per-partition partial + driver merge of n·partitions rows),
+    no corpus shuffle."""
+    from itemsjs_spark.ops import sampling
+
+    return sampling.weighted_sample(
+        _documents(spark, sf_dir), "doc_id", "n_chars", n=500
+    )
+
+
+def _q_sliding_window(spark, sf_dir):
+    """Sliding-window rollup over the event stream (2 h window, 1 h
+    slide): F.window replication + ONE two-level aggregate (exact
+    distinct users keyed by (window, user)) — the streaming-native
+    construct, epoch-seconds output per the timezone-proof oracle
+    convention."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return conv_ops.sliding_window_stats(
+        ev, "ts", "2 hours", "1 hour", "user_id"
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the raw event log — the step that
     produces conversation-shaped units upstream of the transcript
@@ -2654,6 +2679,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcripts_histogram; percentile machinery via
         # lineitem_facet_percentiles)
         "equi_depth_histogram": _q_equi_depth_hist,
+        # weighted A-Res sampling (sampling family reported via
+        # deterministic_split / domain_mixture_sample)
+        "weighted_sample_topn": _q_weighted_sample,
+        # sliding-window rollup (event family reported via
+        # event_sessionize; histogram binning via transcripts_histogram)
+        "events_sliding_window": _q_sliding_window,
         "dedup_exact": _q_dedup_exact,
         "multimodal_wav_decode": _q_multimodal_wav,
         "embedding_topk_cosine": _q_embedding_topk,
@@ -3081,6 +3112,39 @@ SELECT query_id, neighbor_id, cosine FROM (
 WITH c AS (SELECT source AS conv_id, count(*)::BIGINT AS n_turns
            FROM documents GROUP BY source)
 SELECT conv_id, {_ccase} AS split, n_turns FROM c
+"""
+
+    # Efraimidis–Spirakis A-Res: smallest round(-ln(u)/w, 6) keys win;
+    # u is the same md5 integer ratio the engine computes (exact in any
+    # engine), ln/division in IEEE doubles on both sides
+    sqls["weighted_sample_topn"] = f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(-ln({_frac}) / CAST(n_chars AS DOUBLE), 6) AS sort_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, sort_key FROM s
+ORDER BY sort_key ASC, CAST(doc_id AS VARCHAR) ASC
+LIMIT 500
+"""
+
+    # sliding windows restated as epoch arithmetic: each event lands in
+    # the two hour-aligned starts covering it (window 7200 s, slide
+    # 3600 s); timestamps never leave epoch space (timezone-proof)
+    sqls["events_sliding_window"] = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, user_id FROM events
+  WHERE ts IS NOT NULL
+),
+w AS (
+  SELECT (ev.e // 3600) * 3600 - off.o AS window_start_epoch, ev.user_id, ev.e
+  FROM ev CROSS JOIN (VALUES (0), (3600)) off(o)
+  WHERE ev.e >= (ev.e // 3600) * 3600 - off.o
+    AND ev.e <  (ev.e // 3600) * 3600 - off.o + 7200
+)
+SELECT window_start_epoch, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM w GROUP BY window_start_epoch
 """
 
     # stratified n-per-group: the engine's salted two-phase top-n equals

@@ -2436,7 +2436,9 @@ class SearchEngine:
                 if '"' in qtext:
                     qtext, phrases = parse_quoted_query(qtext)
                 hits = self.fulltext_hits(
-                    qtext, fuzzy=bool(input.get("fuzzy"))
+                    qtext,
+                    fuzzy=bool(input.get("fuzzy")),
+                    synonyms=input.get("synonyms") or None,
                 )
                 for ph in phrases:
                     if not self.pipeline(tokenize(ph)):
@@ -2998,7 +3000,9 @@ class SearchEngine:
         query = input["query"]
 
         t_s = time.time()
-        analyzed = self._query_vector(query)
+        analyzed = self._query_vector(
+            query, synonyms=input.get("synonyms") or None
+        )
         search_time = time.time() - t_s
         if analyzed is None:
             return {
@@ -3210,7 +3214,9 @@ class SearchEngine:
         query = input["query"]
 
         t_s = time.time()
-        analyzed = self._query_vector(query)  # _ExpansionTooLarge → caller
+        analyzed = self._query_vector(  # _ExpansionTooLarge → caller
+            query, synonyms=input.get("synonyms") or None
+        )
         groups = self._filters_to_wand_groups(input)
         if groups is None:
             return None

@@ -258,3 +258,46 @@ def session_summary(
         F.min(ts_col).alias("start_ts"),
         F.max(ts_col).alias("end_ts"),
     )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sliding-window event rollup: events per window + distinct users,
+    the monitoring companion to gap-based `sessionize`. Built on
+    ``F.window`` — each event replicates into window/slide overlapping
+    windows map-side, then ONE groupBy(window_start) aggregates; the
+    exact-distinct is a two-level aggregate keyed by (window, user), so
+    memory per task is bounded by users-per-window, not events. The
+    same plan runs unchanged under Structured Streaming (readStream +
+    watermark) — F.window is the streaming-native construct, which is
+    why this is not a self-join on a time predicate.
+
+    Returns (window_start_epoch bigint, n_events, n_users), one row
+    per non-empty window — epoch seconds, not a timestamp, per the
+    repo-wide timezone-proof oracle convention."""
+    w = F.window(F.col(ts_col), window, slide)
+    grouped = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(w.alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.col(user_col)).alias("n_users"),
+        )
+    )
+    # wall-clock seconds since epoch: NTZ-safe (a plain cast to long is
+    # rejected for TIMESTAMP_NTZ, and unix_timestamp() is session-tz
+    # dependent — timestampdiff against an NTZ epoch literal is neither)
+    start_epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(win.start AS TIMESTAMP_NTZ))"
+    )
+    return grouped.select(
+        start_epoch.cast("long").alias("window_start_epoch"),
+        "n_events",
+        "n_users",
+    )

@@ -316,3 +316,39 @@ def stratified_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn", "__frac")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res, IPL 2006): per-row key ``-ln(u)/w`` with ``u`` the
+    deterministic `hash_fraction`; the n SMALLEST keys are exactly a
+    weight-proportional sample without replacement. Same portability
+    contract as every sampler here: u is an md5 integer ratio (exact in
+    any engine), the key rounds to 6 decimals and ties break on
+    ``str(id)``, so the DuckDB oracle reproduces membership row-for-row.
+
+    Scale shape: the key is map-only; ``orderBy().limit(n)`` compiles
+    to TakeOrdered — per-partition partial top-n then a driver merge of
+    n·n_partitions rows, no global sort, no shuffle of the corpus.
+    Non-positive weights are excluded (zero weight = never sampled);
+    u = 0 (p = 2^-32) maps to key +inf, i.e. sorts last — consistent
+    with the u^(1/w) = 0 formulation."""
+    u = hash_fraction(F.col(id_col), seed)
+    w = F.col(weight_col).cast("double")
+    key = F.round(-F.log(u) / w, 6)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col), w.alias("weight"), key.alias("sort_key")
+        )
+        .orderBy(
+            F.col("sort_key").asc(), F.col(id_col).cast("string").asc()
+        )
+        .limit(n)
+    )

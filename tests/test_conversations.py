@@ -179,3 +179,29 @@ def test_sessionize_gap_splits_and_ties(spark):
         ).collect()
     }
     assert summ == {(1, 1): 4, (1, 2): 1, (2, 1): 1}
+
+
+def test_sliding_window_stats_replication_and_counts(spark):
+    """window=2h slide=1h: every event lands in exactly two hour-aligned
+    windows; per-window counts equal a brute-force recount."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h, m, 30), u)
+        for i, (h, m, u) in enumerate(
+            [(0, 5, 1), (0, 55, 2), (1, 5, 1), (2, 59, 3), (3, 0, 3)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    got = {
+        r["window_start_epoch"]: (r["n_events"], r["n_users"])
+        for r in conv.sliding_window_stats(df, "ts", "2 hours", "1 hour").collect()
+    }
+    assert sum(n for n, _ in got.values()) == 2 * len(rows)
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    for s in got:
+        assert (s - base) % 3600 == 0
+    # brute force one window: [00:00, 02:00) holds events 0,1,2 (users 1,2)
+    assert got[base] == (3, 2)
+    # [02:00, 04:00) holds events 3,4 (single user 3)
+    assert got[base + 7200] == (2, 1)

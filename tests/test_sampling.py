@@ -266,3 +266,37 @@ def test_split_by_conversation_integrity(spark):
     # same conv -> same split under re-evaluation (pure function of key)
     again = {r["conv_id"]: r["split"] for r in s.select("conv_id", "split").distinct().collect()}
     assert len(again) == 7
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-Res: heavy rows win proportionally more slots; membership is a
+    pure function of (seed, id, weight); non-positive weights never
+    appear."""
+    df = _ids(spark, 4000).withColumn(
+        "w",
+        F.when(F.col("doc_id") % 4 == 0, 9.0)
+        .when(F.col("doc_id") % 4 == 1, 0.0)
+        .otherwise(1.0),
+    )
+    got = sampling.weighted_sample(df, "doc_id", "w", n=400).collect()
+    assert len(got) == 400
+    ids = [r["doc_id"] for r in got]
+    assert all(i % 4 != 1 for i in ids)  # zero weight excluded
+    heavy = sum(1 for i in ids if i % 4 == 0)
+    # 1000 heavy rows (w=9) vs 2000 light (w=1): heavy hold ~9x the
+    # per-row odds, so they should dominate the sample
+    assert heavy > 250
+    again = [r["doc_id"] for r in sampling.weighted_sample(
+        df, "doc_id", "w", n=400).collect()]
+    assert ids == again
+    other = [r["doc_id"] for r in sampling.weighted_sample(
+        df, "doc_id", "w", n=400, seed="s2").collect()]
+    assert ids != other
+
+
+def test_weighted_sample_keys_sorted_and_bounded(spark):
+    df = _ids(spark, 500).withColumn("w", F.lit(1.0) + F.col("doc_id"))
+    got = sampling.weighted_sample(df, "doc_id", "w", n=50).collect()
+    keys = [r["sort_key"] for r in got]
+    assert keys == sorted(keys)
+    assert all(k >= 0 for k in keys)

@@ -75,3 +75,32 @@ def test_self_plus_synonym_keeps_original_word(eng):
     want = _hits(eng.fulltext_hits("zebra lion"))
     got = _hits(eng.fulltext_hits("zebra", synonyms={"zebra": ["zebra", "lion"]}))
     assert got == want
+
+
+def test_search_endpoint_threads_synonyms(eng):
+    want = eng.search({"query": "zebra yak", "per_page": 10})
+    got = eng.search(
+        {"query": "qqq", "synonyms": {"qqq": ["zebra", "yak"]}, "per_page": 10}
+    )
+    w = [(it["_id"], it.get("_score")) for it in want["data"]["items"]]
+    g = [(it["_id"], it.get("_score")) for it in got["data"]["items"]]
+    assert g == w and len(g) == 2
+    assert (
+        got["pagination"]["total"] == want["pagination"]["total"] == 2
+    )
+    # facet counts follow the rewritten result set too
+    assert (
+        got["data"]["aggregations"]["cat"]["buckets"]
+        == want["data"]["aggregations"]["cat"]["buckets"]
+    )
+
+
+def test_search_endpoint_synonyms_compose_with_filters(eng):
+    got = eng.search(
+        {
+            "query": "qqq",
+            "synonyms": {"qqq": ["zebra"]},
+            "filters": {"cat": ["y"]},
+        }
+    )
+    assert [it["_id"] for it in got["data"]["items"]] == [3]
