@@ -359,6 +359,21 @@ _PHRASE = "value a table"  # stopword 'a' squeezes out: adjacency is
 # over the analyzed token stream, so this matches "... value table ..."
 
 
+def _q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring (infix, case-insensitive) search via the char-trigram
+    index (extension; itemsjs/lunr match whole analyzed tokens only —
+    reference src/fulltext.ts): the needle's distinct trigrams prune
+    candidates index-side (one exchange-free conjunction aggregate with
+    gram-IN pushdown), only those rows' text is fetched and verified
+    with a JVM contains — never a corpus scan. The needle spans a word
+    boundary ("tch str" inside "batch stream"), which no token index
+    can answer."""
+    eng = _doc_engine(spark, sf_dir)
+    eng.enable_trigrams()
+    hits = eng.contains_hits("tch str", use_trigrams=True)
+    return hits.select(F.col(DOCID).alias("_id"), "n_occurrences")
+
+
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase query (extension; reference/lunr has no phrase operator):
     inverted-index conjunction prunes candidates, an Arrow kernel
@@ -1252,6 +1267,71 @@ def _q_conversation_simhash(spark, sf_dir):
 def _q_embedding_topk(spark, sf_dir):
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return emb_ops.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query, the k
+    most-similar corpus vectors that are neither the query itself nor
+    one of its labelled positives (here the deterministic pair
+    positive_id = query_id + 1, restated arithmetically in the oracle).
+    Exclusion happens BEFORE the top-k window, so the row always ships
+    k true negatives."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 5)
+    positives = qs.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + F.lit(1)).alias("positive_id"),
+    )
+    return emb_ops.hard_negatives(e, qs, positives, k=10)
+
+
+def _q_rank_eval(spark, sf_dir):
+    """Retrieval rank-eval (recall@k / MRR@k / nDCG@k) of the exact
+    cosine run against a deterministic arithmetic judgment set
+    ((vec_id + qid) % 37 == 0 is relevant, every 2nd of those grade 2)
+    — the run, the judgments, and all three metrics are restated in
+    the DuckDB oracle."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 8)
+    run = emb_ops.cosine_topk(e, qs, k=10)
+    judgments = (
+        e.select("vec_id")
+        .crossJoin(F.broadcast(qs.select(F.col("vec_id").alias("qid"))))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & ((F.col("vec_id") + F.col("qid")) % 37 == 0)
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.when((F.col("vec_id") + F.col("qid")) % 74 == 0, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("grade"),
+        )
+    )
+    from itemsjs_spark.ops.evaluation import rank_eval
+
+    return rank_eval(
+        run, judgments, k=10, doc_col="neighbor_id", score_col="cosine"
+    )
+
+
+# decomposed on purpose (U+0301 / U+0308 combining marks): NFC must compose these
+_NORM_PREFIX = "Café\tNaïve  \x01 "
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Unicode+whitespace canonicalization over documents with a
+    planted decomposed-accent/control-char prefix (the corpus itself is
+    ASCII, so the plant is what exercises NFC): compose, controls to
+    spaces, collapse runs, trim, lowercase. The oracle chains DuckDB's
+    nfc_normalize through the identical regexp steps."""
+    d = _documents(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit(_NORM_PREFIX), F.col("text"))
+    )
+    return text_ops.normalize_text(d, lowercase=True).select(
+        "doc_id", "norm_text"
+    )
 
 
 _KMEANS_INIT = (7, 113, 211, 307)
@@ -2595,7 +2675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_group": _q_top_terms,
         "related_terms_pmi": _q_related_terms,
         # itemsjs core operators (SURVEY.md §2)
-        "facet_counts": _q_facet_counts,
+        # plain facet counting (facet_counts) parked below the window —
+        # the family stays reported via facet_counts_crossed (same
+        # single-pass counter + conjunctive crossing) and
+        # aggregation_endpoint; its slot goes to normalize_text
+        "normalize_text": _q_normalize_text,
         "facet_counts_crossed": _q_facet_counts_crossed,
         "search_after_page": _q_search_after,
         "disjunctive_bucket_counts": _q_disjunctive_counts,
@@ -2607,9 +2691,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fuzzy-suggest slot — the fuzzy rewrite stays reported via
         # fulltext_fuzzy, prefix lookups via suggest_prefix)
         "synonym_search": _q_synonym_search,
-        "fulltext_wand_topk": _q_wand_topk,
+        # plain WAND top-k and append-snapshot rows parked below the
+        # window: the WAND family stays reported via
+        # search_wand_filtered_page (filtered block-max WAND + paging)
+        # and merge-family rows; the append path via upsert_search
+        # (which snapshot-appends its delta). Their slots go to the
+        # hard-negative-mining and rank-eval families.
+        "hard_negatives_topk": _q_hard_negatives,
         "fulltext_blocks_engine": _q_ft_blocks_engine,
-        "append_fulltext_topk": _q_append_fulltext_topk,
+        "retrieval_rank_eval": _q_rank_eval,
         # tombstone-delete family (Lucene live-docs semantics) — takes
         # the window slot of dedup_minhash_signatures, whose pipeline
         # neardup_jaccard_pairs already proves end-to-end
@@ -2623,7 +2713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wand_filtered_page": _q_search_wand_filtered_page,
         "facet_blocks_filter_algebra": _q_facet_blocks_algebra,
         "similar_items": _q_similar,
-        "more_like_this": _q_more_like_this,
+        # substring (infix) search via the char-trigram index; takes
+        # more_like_this's slot — the similar/recommend family stays
+        # reported via similar_items
+        "substring_search": _q_substring_search,
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
         # distinct-value cardinality per facet field (HLL++ scale path
@@ -2672,6 +2765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the round-4 fusion/synonym/cardinality families;
         # their families stay reported (dedup via 5 in-window rows,
         # fuzzy via fulltext_fuzzy, hit context via snippet_search)
+        "facet_counts": _q_facet_counts,
+        "fulltext_wand_topk": _q_wand_topk,
+        "append_fulltext_topk": _q_append_fulltext_topk,
+        "more_like_this": _q_more_like_this,
         "chunk_dedup": _q_chunk_dedup,
         "spellcheck_didyoumean": _q_did_you_mean,
         "transcripts_hit_context": _q_transcripts_hit_context,
@@ -3388,6 +3485,71 @@ SELECT query_id, neighbor_id, cosine FROM (
 ) WHERE rn <= 10
 """
 
+    # hard negatives: same scored scan, but the labelled positive
+    # (query_id + 1) is excluded BEFORE the top-k window
+    sqls["hard_negatives_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.vec_id <> q.qid + 1
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)::INTEGER AS rank FROM s
+) WHERE rank <= 10
+"""
+
+    # rank-eval: the cosine run, the arithmetic judgment set, and
+    # recall@10 / MRR@10 / nDCG@10 all restated relationally
+    sqls["retrieval_rank_eval"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+run AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s
+  ) WHERE rank <= 10
+),
+jud AS (
+  SELECT q.qid AS query_id, e.vec_id AS doc_id,
+         CASE WHEN (e.vec_id + q.qid) % 74 = 0 THEN 2 ELSE 1 END AS grade
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid AND (e.vec_id + q.qid) % 37 = 0
+),
+hit AS (
+  SELECT run.query_id, run.rank, coalesce(jud.grade, 0) AS grade
+  FROM run LEFT JOIN jud ON run.query_id = jud.query_id AND run.neighbor_id = jud.doc_id
+),
+got AS (
+  SELECT query_id,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+         min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN grade > 0 THEN (pow(2, grade) - 1) / log2(rank + 1) ELSE 0 END) AS dcg
+  FROM hit GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, count(*)::BIGINT AS n_rel,
+         sum(CASE WHEN irank <= 10 THEN (pow(2, grade) - 1) / log2(irank + 1) ELSE 0 END) AS idcg
+  FROM (
+    SELECT query_id, doc_id, grade,
+           row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS irank
+    FROM jud
+  ) GROUP BY query_id
+)
+SELECT got.query_id AS query_id,
+       coalesce(ideal.n_rel, 0)::BIGINT AS n_rel,
+       got.hits_at_k AS hits_at_k,
+       CASE WHEN ideal.n_rel > 0 THEN round(got.hits_at_k / ideal.n_rel::DOUBLE, 6) END AS recall_at_k,
+       round(coalesce(1.0 / got.first_rel, 0.0), 6) AS mrr_at_k,
+       CASE WHEN ideal.idcg > 0 THEN round(got.dcg / ideal.idcg, 6) END AS ndcg_at_k
+FROM got LEFT JOIN ideal ON got.query_id = ideal.query_id
+"""
+
     # k-means: Lloyd unrolled to 3 assign→update rounds as plain CTEs;
     # distances rounded to 6 BEFORE the per-vector argmin (ties to the
     # smaller cluster id), centroid coordinates rounded to 6 after each
@@ -3557,6 +3719,25 @@ SELECT doc_id,
              + 0.5 * least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0), 6) AS quality
 FROM documents
 """
+
+    # substring search: replace-counting restated; 7 = len("tch str")
+    sqls["substring_search"] = """
+SELECT doc_id AS _id,
+       ((length(lower(text)) - length(replace(lower(text), 'tch str', ''))) / 7)::INTEGER AS n_occurrences
+FROM documents
+WHERE contains(lower(text), 'tch str')
+"""
+
+    # normalize_text: DuckDB nfc_normalize chained through the identical
+    # control-strip / collapse / trim / lower steps; the planted prefix
+    # (decomposed accents + tab + \x01) is embedded verbatim
+    sqls["normalize_text"] = (
+        "SELECT doc_id,\n"
+        "       lower(trim(regexp_replace(regexp_replace(\n"
+        "         nfc_normalize('" + _NORM_PREFIX + "' || text),\n"
+        "         '[\\x00-\\x1f\\x7f]', ' ', 'g'), '  *', ' ', 'g'))) AS norm_text\n"
+        "FROM documents"
+    )
 
     sqls["token_count"] = """
 SELECT doc_id,

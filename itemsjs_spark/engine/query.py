@@ -235,6 +235,11 @@ class SearchEngine:
         # _docid so the phrase conjunction+verify aggregate needs no
         # exchange
         self._positions: Dict[str, DataFrame] = {}
+        # opt-in char-trigram postings (enable_trigrams): field ->
+        # DataFrame(gram, _docid) — the pg_trgm-style substring-search
+        # index; same docid partitioning for an exchange-free
+        # conjunction aggregate
+        self._trigrams: Dict[str, DataFrame] = {}
         # tombstoned (deleted) docids — Lucene live-docs semantics: the
         # index artifacts (postings/terms/blocks/facet dim) stay STALE
         # until purge_deleted(); every document-returning path filters
@@ -1339,6 +1344,134 @@ class SearchEngine:
             df.unpersist()
         self._positions.clear()
 
+    def enable_trigrams(self, field: Optional[str] = None) -> DataFrame:
+        """Build (once) and pin the char-trigram posting cache for
+        ``field`` — the pg_trgm-style substring index: one DISTINCT
+        (gram, _docid) row per 3-char window of the LOWERCASED raw
+        field text. Entirely JVM expressions (sequence/transform/
+        array_distinct/explode — no Python in the build), one map +
+        one distinct, hash-partitioned by ``_docid`` like the scoring
+        postings so the query-time conjunction aggregate runs
+        exchange-free. In a deployment this is a persisted parquet
+        table partitioned the same way.
+
+        Extension beyond the reference (itemsjs/lunr match whole
+        analyzed tokens; src/fulltext.ts has no substring operator);
+        transcript search needs infix matching ("find the turns
+        containing this error-code fragment") without a corpus scan
+        per query."""
+        field = self._phrase_field(field)
+        if field is None:
+            raise EngineError("index has no text field for trigrams")
+        cached = self._trigrams.get(field)
+        if cached is not None:
+            return cached
+        idx = self.index
+        n_part = max(self.spark.sparkContext.defaultParallelism, 1)
+        grams = (
+            idx.docs.select(
+                F.col(DOCID), F.lower(F.col(field)).alias("__lt")
+            )
+            .filter(F.length("__lt") >= 3)
+            .select(
+                DOCID,
+                F.explode(
+                    F.expr(
+                        "array_distinct(transform("
+                        "sequence(1, length(__lt) - 2), "
+                        "i -> substring(__lt, i, 3)))"
+                    )
+                ).alias("gram"),
+            )
+        )
+        grams = grams.repartition(n_part, F.col(DOCID)).persist()
+        grams.count()
+        self._trigrams[field] = grams
+        return grams
+
+    def release_trigrams(self) -> None:
+        """Unpersist every trigram cache built by enable_trigrams."""
+        for df in self._trigrams.values():
+            df.unpersist()
+        self._trigrams.clear()
+
+    def contains_hits(
+        self,
+        needle: str,
+        field: Optional[str] = None,
+        use_trigrams: Optional[bool] = None,
+    ) -> DataFrame:
+        """DataFrame (_docid, n_occurrences) of live docs whose raw
+        ``field`` text contains ``needle`` case-insensitively —
+        substring (infix) match, not token match. ``n_occurrences``
+        counts NON-overlapping occurrences (string-replace semantics,
+        restated identically in the SQL oracles).
+
+        Two physical routes with identical semantics:
+
+        * default (no trigram cache): one corpus-projection scan with a
+          JVM ``contains`` filter — Catalyst prunes the ReadSchema to
+          (docid, field).
+        * with ``enable_trigrams``: the needle's distinct trigrams
+          prune index-side first (docs containing ALL of them — one
+          exchange-free aggregate over the gram-pruned, docid-
+          partitioned cache with ``gram IN (...)`` pushdown), then ONLY
+          the candidates' text is fetched (driver-bounded probe routes
+          docid-IN point lookups vs a projection join, shared with the
+          phrase machinery) and verified with the same JVM predicate.
+          At 10^12 turns the cost is the rarest trigram's posting size,
+          never a corpus scan. Needles shorter than 3 chars have no
+          trigram and always take the scan route.
+        """
+        idx = self.index
+        field = self._phrase_field(field)
+        if field is None:
+            return self.spark.createDataFrame(
+                [], T.StructType([
+                    T.StructField(DOCID, T.LongType()),
+                    T.StructField("n_occurrences", T.IntegerType()),
+                ])
+            )
+        needle_l = needle.lower()
+        lt = F.lower(F.col(field))
+        n_occ = (
+            (F.length(lt) - F.length(F.replace(lt, F.lit(needle_l))))
+            / F.lit(len(needle_l))
+        ).cast("int").alias("n_occurrences")
+        pred = F.contains(lt, F.lit(needle_l))
+
+        cache = self._trigrams.get(field)
+        if use_trigrams is None:
+            use_trigrams = cache is not None and len(needle_l) >= 3
+        if use_trigrams and len(needle_l) < 3:
+            raise EngineError(
+                "needle shorter than 3 chars has no trigram route"
+            )
+        if not use_trigrams or not needle_l:
+            rows = self._live(idx.docs).select(DOCID, field)
+            return rows.filter(pred).select(DOCID, n_occ)
+        if cache is None:
+            cache = self.enable_trigrams(field)
+        grams = sorted(
+            {needle_l[i : i + 3] for i in range(len(needle_l) - 2)}
+        )
+        cand = (
+            cache.filter(F.col("gram").isin(grams))
+            .groupBy(DOCID)
+            .agg(F.count("*").alias("__ng"))
+            .filter(F.col("__ng") == len(grams))
+            .select(DOCID)
+        )
+        rows = self._fetch_candidate_text(cand, field)
+        if rows is None:
+            return self.spark.createDataFrame(
+                [], T.StructType([
+                    T.StructField(DOCID, T.LongType()),
+                    T.StructField("n_occurrences", T.IntegerType()),
+                ])
+            )
+        return rows.filter(pred).select(DOCID, n_occ)
+
     def _phrase_hits_positional(
         self,
         pos_df: DataFrame,
@@ -1578,6 +1711,19 @@ class SearchEngine:
             .filter(F.col("__nt") == len(distinct))
             .select(DOCID)
         )
+        return self._fetch_candidate_text(cand, field)
+
+    def _fetch_candidate_text(
+        self, cand: DataFrame, field: str
+    ) -> Optional[DataFrame]:
+        """(docid, field text) rows for a candidate-docid set — the
+        bounded-probe fetch router shared by the phrase and substring
+        verifiers: ≤PHRASE_ISIN_MAX candidates become driver-side
+        docids pushed INTO the corpus scan as an IN filter (row-group
+        min/max point lookups); larger sets join the two-column corpus
+        projection (AQE broadcasts the small side when it fits). None
+        when the candidate set is empty."""
+        idx = self.index
         probe = cand.limit(self.PHRASE_ISIN_MAX + 1).collect()
         if len(probe) <= self.PHRASE_ISIN_MAX:
             if not probe:

@@ -491,3 +491,60 @@ def ivf_kmeans_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each query vector, the ``k`` most-cosine-similar corpus items that
+    are NOT the query itself and NOT one of its labelled positives —
+    exactly the "hardest" negatives a contrastive loss wants.
+
+    ``positives``: (query_id, positive_id) — the labelled pairs to
+    exclude.  Exclusion happens BEFORE the per-query top-k window, so
+    the output is always k true negatives (not k minus however many
+    positives happened to rank high).
+
+    Scale shape: queries and positives are the small sides (broadcast);
+    the corpus side is one scored scan + a per-query top-k window —
+    identical to ``cosine_topk``.  At 10^12-doc scale pass
+    ``candidates`` (any (query_id, neighbor_id, cosine) table from an
+    ANN generator such as ``ivf_kmeans_topk`` with an over-fetched k)
+    and only the anti-join + window run here.
+    """
+    if candidates is None:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).cast("array<double>").alias("emb"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).cast("array<double>").alias("qe"),
+        )
+        j = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        candidates = j.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("cosine"),
+        )
+    pos = positives.select(
+        F.col(positives.columns[0]).alias("query_id"),
+        F.col(positives.columns[1]).alias("neighbor_id"),
+    )
+    negs = candidates.join(
+        F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

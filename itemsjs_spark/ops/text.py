@@ -440,3 +440,53 @@ def repetition_signals(
             F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode / whitespace normalization
+# ---------------------------------------------------------------------------
+
+# Character-class-only pattern (no shorthand escapes): java.util.regex,
+# RE2 and DuckDB read it identically. Covers every C0 control plus DEL;
+# replacing them with spaces FIRST means the collapse pass below only
+# ever has to merge plain spaces.
+_CONTROL_RE = "[\\x00-\\x1f\\x7f]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonical text normalization — the first pass of every
+    training-data pipeline: Unicode canonical composition (NFC by
+    default, so decomposed accents from different crawlers hash/dedup
+    identically), control characters to spaces, whitespace runs
+    collapsed, edges trimmed, optional lowercase.
+
+    The NFC step is the only part Spark has no built-in for; it runs as
+    one vectorized Arrow batch (``unicodedata`` over a pandas block —
+    the same boundary as the index tokenizer). Everything after is JVM
+    ``regexp_replace``/``trim`` expressions, so the normalization chain
+    stays inside whole-stage codegen for its string-heavy tail and the
+    op is a single map-only pass — no shuffle at any scale.
+    """
+    import unicodedata
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    c = _nfc(F.col(text_col))
+    c = F.regexp_replace(c, _CONTROL_RE, " ")
+    c = F.regexp_replace(c, "  *", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)
