@@ -338,6 +338,13 @@ class Index:
     # know coverage without a job
     positional: Optional[DataFrame] = None
     positional_fields: List[str] = dc_field(default_factory=list)
+    # opt-in char-trigram postings (field, gram, _docid) for substring
+    # search (SearchEngine.enable_trigrams); written sorted by
+    # (field, gram) so needle-gram selection prunes row groups.
+    # trigram_fields mirrors the stored fields (same contract as
+    # positional_fields)
+    trigram: Optional[DataFrame] = None
+    trigram_fields: List[str] = dc_field(default_factory=list)
     # durable tombstones (SearchEngine.save_tombstones): a (_docid)
     # table of deleted docs — Lucene's persisted live-docs analog. A
     # reopened engine adopts it, so deletes survive restarts without
@@ -432,6 +439,17 @@ class Index:
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, "positional"))
             )
+        if self.trigram is not None:
+            (
+                self.trigram.repartitionByRange(
+                    max(self.spark.sparkContext.defaultParallelism, 1),
+                    "field",
+                    "gram",
+                )
+                .sortWithinPartitions("field", "gram", DOCID)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "trigram"))
+            )
         if self.tombstones is not None:
             self.tombstones.write.mode("overwrite").parquet(
                 os.path.join(path, "tombstones")
@@ -447,6 +465,7 @@ class Index:
             "text_fields": self.text_fields,
             "configuration": _json_safe(self.configuration),
             "positional_fields": self.positional_fields,
+            "trigram_fields": self.trigram_fields,
             "docid_ceiling": self.docid_ceiling,
             "block_meta": self.block_meta,
         }
@@ -541,6 +560,9 @@ class Index:
         positional = None
         if fs.exists(os.path.join(path, "positional")):
             positional = spark.read.parquet(os.path.join(path, "positional"))
+        trigram = None
+        if fs.exists(os.path.join(path, "trigram")):
+            trigram = spark.read.parquet(os.path.join(path, "trigram"))
         tombstones = None
         # "tombstones.new": a save_tombstones crash between delete and
         # rename leaves only the completed .new dir — adopt it (same
@@ -563,6 +585,8 @@ class Index:
             facet_posting_blocks=fblocks,
             positional=positional,
             positional_fields=list(meta.get("positional_fields") or []),
+            trigram=trigram,
+            trigram_fields=list(meta.get("trigram_fields") or []),
             tombstones=tombstones,
             docid_ceiling=meta.get("docid_ceiling"),
             block_meta=dict(meta.get("block_meta") or {}),
@@ -741,6 +765,28 @@ def tokenize_postings(
 
     return docs.select(DOCID, *unique_present).mapInPandas(
         tokenize_partition, schema=out_schema
+    )
+
+
+def trigram_postings(docs: DataFrame, field: str) -> DataFrame:
+    """DISTINCT (gram, _docid) char-trigram rows of the LOWERCASED raw
+    ``field`` text — the substring-search index artifact (pg_trgm
+    analog; see ``SearchEngine.enable_trigrams``). Entirely JVM
+    expressions (sequence/transform/array_distinct/explode), one
+    map-only pass over the corpus — no Python, no shuffle."""
+    return (
+        docs.select(F.col(DOCID), F.lower(F.col(field)).alias("__lt"))
+        .filter(F.length("__lt") >= 3)
+        .select(
+            DOCID,
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    "sequence(1, length(__lt) - 2), "
+                    "i -> substring(__lt, i, 3)))"
+                )
+            ).alias("gram"),
+        )
     )
 
 
@@ -1121,6 +1167,18 @@ def append_index(
         for d in deltas:
             positional = positional.unionByName(d)
 
+    # trigram artifact: same delta-only rule — grams are per-document,
+    # old rows are untouched by new snapshots
+    trigram = index.trigram
+    if trigram is not None and index.trigram_fields:
+        for fld in index.trigram_fields:
+            if fld in new_docs.columns:
+                trigram = trigram.unionByName(
+                    trigram_postings(new_docs, fld).select(
+                        F.lit(fld).alias("field"), "gram", DOCID
+                    )
+                )
+
     return Index(
         spark=spark,
         docs=docs,
@@ -1133,6 +1191,8 @@ def append_index(
         configuration=configuration,
         positional=positional,
         positional_fields=list(index.positional_fields),
+        trigram=trigram,
+        trigram_fields=list(index.trigram_fields),
         tombstones=index.tombstones,
         # delta docids continued from the (possibly sparse) base space
         docid_ceiling=(
@@ -1310,6 +1370,16 @@ def merge_indexes(a: Index, b: Index, offset_b: bool = True) -> Index:
         positional = a.positional.unionByName(shift(b.positional))
         positional_fields = list(a.positional_fields)
 
+    trigram = None
+    trigram_fields: List[str] = []
+    if (
+        a.trigram is not None
+        and b.trigram is not None
+        and a.trigram_fields == b.trigram_fields
+    ):
+        trigram = a.trigram.unionByName(shift(b.trigram))
+        trigram_fields = list(a.trigram_fields)
+
     tombstones = None
     parts = [t for t in (
         a.tombstones,
@@ -1339,6 +1409,8 @@ def merge_indexes(a: Index, b: Index, offset_b: bool = True) -> Index:
         facet_posting_blocks=facet_posting_blocks,
         positional=positional,
         positional_fields=positional_fields,
+        trigram=trigram,
+        trigram_fields=trigram_fields,
         tombstones=tombstones,
         docid_ceiling=ceiling,
         block_meta=dict(a.block_meta) if block_backed else {},

@@ -1368,24 +1368,26 @@ class SearchEngine:
             return cached
         idx = self.index
         n_part = max(self.spark.sparkContext.defaultParallelism, 1)
-        grams = (
-            idx.docs.select(
-                F.col(DOCID), F.lower(F.col(field)).alias("__lt")
-            )
-            .filter(F.length("__lt") >= 3)
-            .select(
-                DOCID,
-                F.explode(
-                    F.expr(
-                        "array_distinct(transform("
-                        "sequence(1, length(__lt) - 2), "
-                        "i -> substring(__lt, i, 3)))"
-                    )
-                ).alias("gram"),
-            )
-        )
+        if idx.trigram is not None and field in idx.trigram_fields:
+            # a persisted index already carries the artifact: pin the
+            # field's slice instead of re-deriving from the corpus
+            grams = idx.trigram.filter(F.col("field") == field).drop("field")
+        else:
+            from .indexer import trigram_postings
+
+            grams = trigram_postings(idx.docs, field)
         grams = grams.repartition(n_part, F.col(DOCID)).persist()
         grams.count()
+        if field not in idx.trigram_fields:
+            # attach the MATERIALIZED frame to the index so Index.write
+            # persists the trigram table without re-deriving it
+            tagged = grams.select(F.lit(field).alias("field"), "gram", DOCID)
+            idx.trigram = (
+                tagged
+                if idx.trigram is None
+                else idx.trigram.unionByName(tagged)
+            )
+            idx.trigram_fields = [*idx.trigram_fields, field]
         self._trigrams[field] = grams
         return grams
 
@@ -1441,6 +1443,12 @@ class SearchEngine:
         pred = F.contains(lt, F.lit(needle_l))
 
         cache = self._trigrams.get(field)
+        if cache is None and idx.trigram is not None and (
+            field in idx.trigram_fields
+        ):
+            # disk-backed store, used lazily: the gram-isin selection
+            # below prunes the (field, gram)-sorted parquet row groups
+            cache = idx.trigram.filter(F.col("field") == field).drop("field")
         if use_trigrams is None:
             use_trigrams = cache is not None and len(needle_l) >= 3
         if use_trigrams and len(needle_l) < 3:
@@ -2575,7 +2583,8 @@ class SearchEngine:
                 '"query" and "filter" options are not working once native search is disabled'
             )
         rf = input.get("range_filters") or None
-        if input.get("query") or input.get("filter") or rf:
+        cn = input.get("contains") or None
+        if input.get("query") or input.get("filter") or rf or cn:
             if input.get("query"):
                 qtext = str(input["query"])
                 phrases: List[str] = []
@@ -2614,12 +2623,34 @@ class SearchEngine:
                 hits = base_docs.select(DOCID).withColumn(
                     QRANK, F.col(DOCID)
                 )
+            if cn:
+                # substring constraint (extension): the trigram-pruned
+                # (or scan) docid set restricts the candidates, so facet
+                # buckets / totals cross with it exactly like the query
+                hits = hits.join(self._contains_docids(cn), DOCID, "left_semi")
             if callable(input.get("filter")):
                 flt = input["filter"]
                 passing = self._callback_filter_docids(flt)
                 hits = hits.join(passing, DOCID, "left_semi")
             return hits, True
         return None, False
+
+    def _contains_docids(self, cn: Any) -> DataFrame:
+        """Docid set for the ``contains`` search option (extension):
+        a plain string needle matches the default text field; a
+        {field: needle} dict conjoins substring constraints across
+        fields. Each needle routes through ``contains_hits`` (trigram
+        prune when the cache/artifact exists, projection scan
+        otherwise) — the result is a driver-opaque docid DataFrame the
+        candidate set semi-joins against."""
+        pairs = (
+            [(None, cn)] if isinstance(cn, str) else list(cn.items())
+        )
+        out: Optional[DataFrame] = None
+        for fld, needle in pairs:
+            d = self.contains_hits(str(needle), field=fld).select(DOCID)
+            out = d if out is None else out.join(d, DOCID, "left_semi")
+        return out
 
     def _range_filter_pred(self, rf: Dict[str, Any]) -> Column:
         """``range_filters`` (extension; itemsjs filters are categorical):
@@ -3135,6 +3166,9 @@ class SearchEngine:
             and not input.get("not_filters")
             and not input.get("filters_query")
             and not input.get("range_filters")
+            # substring constraints prune via the trigram set — a
+            # docid semi-join WAND's range walk can't see
+            and not input.get("contains")
             and not input.get("is_all_filtered_items")
         )
 
@@ -3320,6 +3354,7 @@ class SearchEngine:
             or input.get("not_filters")
             or input.get("filters_query")
             or input.get("range_filters")
+            or input.get("contains")
             or input.get("is_all_filtered_items")
         ):
             return False
@@ -3494,8 +3529,11 @@ class SearchEngine:
             or input.get("ids") is not None
             or callable(input.get("filter"))
             or input.get("range_filters")
+            or input.get("contains")
         ):
-            return no("query/ids/callback/range input keeps the scan path")
+            return no(
+                "query/ids/callback/range/contains input keeps the scan path"
+            )
         # the driver-side dim cache backs exists-probes and bucket
         # assembly; huge dims use their dedicated distributed path
         if self._facet_dim_cache() is None:

@@ -104,3 +104,126 @@ def test_trigram_cache_is_distinct_grams(spark):
     assert [(r["gram"], r[DOCID]) for r in rows] == [("aaa", 1)]
     # non-overlapping replace semantics: "aaaa" contains "aa" twice
     assert _got(eng, "aa") == {1: 2}
+
+
+def test_trigram_persists_through_write_read(spark, tmp_path):
+    from itemsjs_spark.engine import SearchEngine
+    from itemsjs_spark.engine.indexer import Index
+
+    items = [
+        {"id": 1, "text": "the QUICK brown fox"},
+        {"id": 2, "text": "quicksilver surfer"},
+        {"id": 3, "text": "slow snail"},
+    ]
+    eng = itemsjs_spark(
+        spark, items, {"searchableFields": ["text"], "custom_id_field": "id"}
+    )
+    eng.enable_trigrams()
+    path = str(tmp_path / "idx")
+    eng.index.write(path)
+
+    idx2 = Index.read(spark, path)
+    assert idx2.trigram_fields == ["text"]
+    eng2 = SearchEngine(idx2)
+    # lazily disk-backed: no enable_trigrams call, no session cache —
+    # the route still engages and reads the persisted artifact
+    assert not eng2._trigrams
+    got = _got(eng2, "quick")  # auto-route: artifact present
+    assert got == {1: 1, 2: 1}
+    # the candidate prune really reads the parquet trigram table
+    files = idx2.trigram.inputFiles()
+    assert files and all("/trigram/" in f or "trigram" in f for f in files)
+    # pinning via enable_trigrams adopts the artifact (no re-derive):
+    cache = eng2.enable_trigrams()
+    assert {r["gram"] for r in cache.filter(F.col(DOCID) == 3).collect()} == {
+        "slo", "low", "ow ", "w s", " sn", "sna", "nai", "ail"
+    }
+
+
+def test_trigram_append_carries_delta(spark):
+    from itemsjs_spark.engine import SearchEngine
+
+    items = [{"id": 1, "text": "alpha needle beta"}]
+    eng = itemsjs_spark(
+        spark, items, {"searchableFields": ["text"], "custom_id_field": "id"}
+    )
+    eng.enable_trigrams()
+    delta = spark.createDataFrame(
+        [(2, "gamma needle delta")], "id long, text string"
+    )
+    eng2 = eng.append(delta, docid_col="id")
+    assert eng2.index.trigram_fields == ["text"]
+    got = _got(eng2, "needle")
+    assert got == {1: 1, 2: 1}
+
+
+def test_trigram_merge_shifts_docids(spark):
+    from itemsjs_spark.engine import SearchEngine
+    from itemsjs_spark.engine.indexer import merge_indexes
+
+    cfg = {"searchableFields": ["text"]}  # default dense docids
+    a = itemsjs_spark(spark, [{"text": "alpha needle"}], cfg)
+    b = itemsjs_spark(spark, [{"text": "needle gamma"}], cfg)
+    a.enable_trigrams()
+    b.enable_trigrams()
+    merged = SearchEngine(merge_indexes(a.index, b.index))
+    got = _got(merged, "needle")
+    assert got == {1: 1, 2: 1}
+
+
+@pytest.fixture(scope="module")
+def seng(spark):
+    items = [
+        {"id": 0, "text": "alpha quickstep", "kind": "x"},
+        {"id": 1, "text": "alpha quicksilver", "kind": "y"},
+        {"id": 2, "text": "alpha slow march", "kind": "x"},
+        {"id": 3, "text": "beta QUICK steps", "kind": "y"},
+    ]
+    return itemsjs_spark(
+        spark,
+        items,
+        {
+            "searchableFields": ["text"],
+            "custom_id_field": "id",
+            "aggregations": {"kind": {"size": 10}},
+        },
+    )
+
+
+def _sids(res):
+    return [it["id"] for it in res["data"]["items"]]
+
+
+def test_search_contains_filter_only_keeps_input_order(seng):
+    res = seng.search({"contains": "quick"})
+    assert _sids(res) == [0, 1, 3]
+    assert res["pagination"]["total"] == 3
+
+
+def test_search_contains_crosses_buckets_and_composes(seng):
+    res = seng.search({"contains": "quicks"})
+    buckets = {
+        b["key"]: b["doc_count"]
+        for b in res["data"]["aggregations"]["kind"]["buckets"]
+    }
+    assert buckets == {"x": 1, "y": 1}
+    # composes with a categorical filter
+    res2 = seng.search({"contains": "quicks", "filters": {"kind": ["y"]}})
+    assert _sids(res2) == [1]
+    # composes with a query (conjunctive with the substring set)
+    res3 = seng.search({"query": "alpha", "contains": "quick"})
+    assert sorted(_sids(res3)) == [0, 1]
+    # dict form conjoins per-field needles
+    res4 = seng.search({"contains": {"text": "quick"}})
+    assert _sids(res4) == [0, 1, 3]
+
+
+def test_search_contains_uses_trigram_route_when_enabled(seng):
+    seng.enable_trigrams()
+    res = seng.search({"contains": "quicks"})
+    assert _sids(res) == [0, 1]
+
+
+def test_search_contains_declines_fast_routes(seng):
+    info = seng.explain_search({"query": "alpha", "contains": "quick"})
+    assert info["route"] not in ("wand_topk", "wand_filtered", "facet_blocks")
