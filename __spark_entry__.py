@@ -1334,6 +1334,45 @@ def _q_normalize_text(spark, sf_dir):
     )
 
 
+_LR_FEATS = {
+    "x_len": "round(len(string_split(text, ' ')) / 50.0, 6)",
+    "x_uniq": (
+        "round(len(list_distinct(string_split(text, ' ')))::DOUBLE"
+        " / len(string_split(text, ' ')), 6)"
+    ),
+}
+_LR_LABEL = "CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END"
+
+
+def _q_quality_lr(spark, sf_dir):
+    """Learned quality filter: distributed full-batch logistic
+    regression (3 GD steps — broadcast-literal weights, ONE map-side-
+    combined aggregate per step, nothing corpus-sized at the driver)
+    over relational text features, then a map-only scoring pass. Every
+    decision input rounds to 6 decimals, so the oracle — the identical
+    loop unrolled as plain SQL CTE stages by ops.classifier.logreg_sql
+    — reproduces weights, scores, and keep decisions exactly."""
+    from itemsjs_spark.ops import classifier as clf_ops
+
+    d = _documents(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    feats = d.select(
+        "doc_id",
+        F.round(F.size(toks) / F.lit(50.0), 6).alias("x_len"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("x_uniq"),
+        (F.size(toks) >= 40).cast("int").alias("y"),
+    )
+    cols = ["x_len", "x_uniq"]
+    w, b = clf_ops.logreg_fit(feats, cols, "y", iters=3, lr=1.0)
+    return clf_ops.logreg_score(feats, cols, w, b).select(
+        "doc_id", "lr_score", "lr_keep"
+    )
+
+
 _KMEANS_INIT = (7, 113, 211, 307)
 
 
@@ -2719,10 +2758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": _q_substring_search,
         "aggregation_endpoint": _q_aggregation,
         "facet_stats": _q_facet_stats,
-        # distinct-value cardinality per facet field (HLL++ scale path
-        # pinned in tests) — transcripts_hit_context's slot; hit context
-        # extraction stays reported via snippet_search
-        "facet_cardinality": _q_facet_cardinality,
+        # learned quality filter (distributed logistic regression) —
+        # facet_cardinality's slot; the facet-stats family stays
+        # reported via facet_stats / lineitem percentiles below
+        "quality_lr_score": _q_quality_lr,
         # training-data pipeline operators
         # sessionization (event-stream family) takes dedup_exact's window
         # slot — the dedup family keeps five reported rows (jaccard,
@@ -2769,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_wand_topk": _q_wand_topk,
         "append_fulltext_topk": _q_append_fulltext_topk,
         "more_like_this": _q_more_like_this,
+        "facet_cardinality": _q_facet_cardinality,
         "chunk_dedup": _q_chunk_dedup,
         "spellcheck_didyoumean": _q_did_you_mean,
         "transcripts_hit_context": _q_transcripts_hit_context,
@@ -3719,6 +3759,14 @@ SELECT doc_id,
              + 0.5 * least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0), 6) AS quality
 FROM documents
 """
+
+    # learned quality filter: the generator unrolls the same 3 GD steps
+    # as plain CTE stages over the same relational features
+    from itemsjs_spark.ops.classifier import logreg_sql
+
+    sqls["quality_lr_score"] = logreg_sql(
+        _LR_FEATS, _LR_LABEL, "documents", iters=3, lr=1.0
+    )
 
     # substring search: replace-counting restated; 7 = len("tch str")
     sqls["substring_search"] = """

@@ -200,6 +200,14 @@ def headline_queries(spark, eng):
     # phrase = index-conjunction prune + Arrow adjacency verify over
     # candidates only (~tf^2-rare bigram on the uniform 64-word corpus)
     qs["phrase_search"] = lambda: eng.phrase_hits("shuffle partition").count()
+    # substring (infix) search through the trigram index: the one-time
+    # enable_trigrams build runs OUTSIDE the timed lambda (it is an
+    # index artifact, persisted by Index.write in a deployment); the
+    # timed part is prune + candidate-text verify
+    eng.enable_trigrams()
+    qs["substring_trigram"] = lambda: eng.contains_hits(
+        "ffle part", use_trigrams=True
+    ).count()
     # transcript-native retrieval extensions (round 4): context windows
     # around top-k hits (cost ∝ k·window), best-turn-per-conversation
     # (one algebraic max(struct) agg), snippet assembly over phrase
