@@ -1439,6 +1439,13 @@ def _q_unigram_logprob(spark, sf_dir):
     return text_ops.unigram_logprob(_documents(spark, sf_dir), "doc_id")
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Smoothed bigram-LM perplexity proxy (add-k over corpus bigram
+    counts) — the relational analog of CCNet's KenLM fluency filter;
+    the oracle restates the same counts, smoothing and per-doc mean."""
+    return text_ops.bigram_logprob(_documents(spark, sf_dir), "doc_id")
+
+
 def _q_charngram_fit(spark, sf_dir):
     return text_ops.charngram_profile_fit(_documents(spark, sf_dir), "doc_id")
 
@@ -2769,7 +2776,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": _q_sessionize,
         "neardup_jaccard_pairs": _q_neardup_pairs,
         "neardup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_simhash,
+        # smoothed bigram-LM perplexity proxy (CCNet-style fluency
+        # filter) — dedup_simhash's slot; the dedup family keeps four
+        # reported rows (jaccard, clusters, decontaminate, incremental)
+        # and simhash stays a below-window driver row
+        "bigram_logprob": _q_bigram_logprob,
         "decontaminate_vs_holdout": _q_decontaminate,
         "domain_mixture_sample": _q_mixture_sample,
         # distributed k-means (clustering family) takes repetition_signals'
@@ -2809,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_fulltext_topk": _q_append_fulltext_topk,
         "more_like_this": _q_more_like_this,
         "facet_cardinality": _q_facet_cardinality,
+        "dedup_simhash": _q_simhash,
         "chunk_dedup": _q_chunk_dedup,
         "spellcheck_didyoumean": _q_did_you_mean,
         "transcripts_hit_context": _q_transcripts_hit_context,
@@ -3793,6 +3805,32 @@ SELECT doc_id,
        length(text)::BIGINT AS chars,
        ceil(length(text) / 4.0)::BIGINT AS bpe_est
 FROM documents
+"""
+
+    # bigram-LM perplexity proxy: add-0.5 smoothing, V = unigram vocab
+    sqls["bigram_logprob"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i.i] AS w1, tk[i.i + 1] AS w2
+  FROM t, LATERAL unnest(range(1, len(tk))) i(i)
+  WHERE len(tk) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c1 AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+v AS (SELECT count(*)::DOUBLE AS v FROM c1),
+s AS (
+  SELECT big.doc_id, -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS nll
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 ON big.w1 = c1.tok, v
+),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(avg(nll), 6) AS avg_neg_logprob
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       pd.avg_neg_logprob
+FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
     sqls["unigram_logprob"] = """

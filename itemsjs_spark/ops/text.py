@@ -96,6 +96,71 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Stronger perplexity proxy: per-doc mean negative log probability
+    of its token BIGRAMS under the corpus bigram model with add-k
+    smoothing — the honest relational analog of the KenLM-style
+    perplexity filters (CCNet) that rank documents by LM fluency.
+    ``p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with V = corpus
+    unigram vocabulary size.
+
+    Plan shape: one bigram explode (JVM transform/sequence — no
+    Python), two map-side-combined count aggregates (bigram + unigram
+    context), a 1-row vocabulary size broadcast, one join back, one
+    per-doc aggregate. Shuffles are keyed on (w1, w2) / w1 — hot
+    contexts ("the") stay pre-aggregated counts, never row explosions.
+    Docs with fewer than 2 tokens emit n_bigrams = 0, score NULL."""
+    toks = ws_tokens(F.col(text_col))
+    big = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    tok = df.select(F.explode(toks).alias("tok"))
+    c1 = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab = c1.agg(F.count("*").cast("double").alias("__v"))
+    kk = float(k)
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("c2").cast("double") + F.lit(kk))
+                    / (F.col("c1").cast("double") + F.lit(kk) * F.col("__v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_neg_logprob"),
+        )
+    )
+
+
 def charngram_profile_fit(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
 ) -> DataFrame:

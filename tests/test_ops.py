@@ -743,3 +743,24 @@ def test_equi_depth_histogram_partitions_evenly(spark):
     ).collect()
     assert sum(r["n"] for r in approx) == n_total
     assert len(approx) == 8
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+        for r in text.bigram_logprob(df, "doc_id", k=0.5).collect()
+    }
+    # corpus: bigrams (a,b)x3, (b,a)x1; unigrams a:3 b:3 solo:1 -> V=3
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)  # c2(a,b)=3, c1(a)=3
+    p_ba = (1 + 0.5) / (3 + 0.5 * 3)  # c2(b,a)=1, c1(b)=3
+    d1 = round((2 * -math.log(p_ab) + -math.log(p_ba)) / 3, 6)
+    assert out[1] == (3, d1)
+    assert out[2] == (1, round(-math.log(p_ab), 6))
+    # single-token doc: no bigrams, NULL score
+    assert out[3] == (0, None)
