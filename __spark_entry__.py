@@ -2061,6 +2061,48 @@ def _q_transcripts_conv_topk(spark, sf_dir):
     return eng.grouped_topk("merge sort", "conv_id", n_groups=8)
 
 
+def _q_tool_chains(spark, sf_dir):
+    """Tool-chain mining over agent transcripts: which ordered tool
+    sequences do conversations run, and how often. The tool column is
+    diversified arithmetically (bash/python/search by doc_id residue)
+    so chains are non-trivial; the oracle restates the derivation, the
+    ordered string_agg, and the deterministic top-k."""
+    d = _documents(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    tx = d.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.element_at(
+                F.array(F.lit("bash"), F.lit("python"), F.lit("search")),
+                (F.floor((F.col("doc_id") % 9) / 3) + 1).cast("int"),
+            ),
+        ).alias("tool"),
+    )
+    return conv_ops.tool_chains(tx, k=15)
+
+
+_TOOL_CHAINS_SQL = """
+WITH c AS (
+  SELECT source AS conv_id,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+         CASE WHEN doc_id % 3 = 2
+              THEN ['bash', 'python', 'search'][((doc_id % 9) // 3 + 1)]
+         END AS tool
+  FROM documents
+),
+ch AS (
+  SELECT conv_id, string_agg(tool, '>' ORDER BY turn_idx) AS chain
+  FROM c WHERE tool IS NOT NULL GROUP BY conv_id
+),
+cnt AS (SELECT chain, count(*)::BIGINT AS n_convs FROM ch GROUP BY chain)
+SELECT chain, n_convs,
+       row_number() OVER (ORDER BY n_convs DESC, chain ASC)::INT AS rank
+FROM cnt ORDER BY rank LIMIT 15
+"""
+
+
 def _q_conversation_stats(spark, sf_dir):
     """Per-conversation shape/quality signals (extension; transcript
     payload): ONE window pass partitioned by conversation (lag for the
@@ -2799,7 +2841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "deterministic_split": _q_deterministic_split,
         "pack_sequences": _q_pack_sequences,
-        "quality_score": _q_quality,
+        # tool-chain mining (agent-transcript analytics) — takes
+        # quality_score's slot; the quality family stays reported via
+        # quality_lr_score (learned filter) and bigram_logprob (fluency)
+        "tool_chain_topk": _q_tool_chains,
         # incremental (new-batch-vs-history) dedup takes doc_fingerprint's
         # window slot; the text-stats family stays reported via
         # quality_score / chunk_dedup / pii_scrub
@@ -2821,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "facet_cardinality": _q_facet_cardinality,
         "dedup_simhash": _q_simhash,
+        "quality_score": _q_quality,
         "chunk_dedup": _q_chunk_dedup,
         "spellcheck_didyoumean": _q_did_you_mean,
         "transcripts_hit_context": _q_transcripts_hit_context,
@@ -4192,6 +4238,7 @@ idf AS (
 SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS weight
 FROM tf JOIN idf USING (term)
 """
+    sqls["tool_chain_topk"] = _TOOL_CHAINS_SQL
     sqls["related_terms_pmi"] = _REL_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)

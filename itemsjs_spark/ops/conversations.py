@@ -301,3 +301,44 @@ def sliding_window_stats(
         "n_events",
         "n_users",
     )
+
+
+def tool_chains(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    k: int = 20,
+) -> DataFrame:
+    """Most-common tool-invocation chains across conversations — the
+    agent-transcript analytics question "what tool sequences do agents
+    actually run?". Per conversation the ordered non-null tool calls
+    collapse to one '>'-joined chain string via
+    ``sort_array(collect_list(struct))`` (algebraic, map-side partials;
+    per-conv state bounded by its own tool-call count), then ONE count
+    aggregate and a top-k (sort+limit → TakeOrderedAndProject; the
+    rank window runs over the already-limited k rows only). Ties break
+    deterministically by chain text."""
+    seq = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"), F.col(tool_col).alias("t")
+                )
+            )
+        ),
+        lambda s: s["t"],
+    )
+    chains = (
+        df.filter(F.col(tool_col).isNotNull())
+        .groupBy(conv_col)
+        .agg(F.concat_ws(">", seq).alias("chain"))
+    )
+    counts = chains.groupBy("chain").agg(
+        F.count("*").cast("long").alias("n_convs")
+    )
+    top = counts.orderBy(
+        F.col("n_convs").desc(), F.col("chain").asc()
+    ).limit(int(k))
+    w = Window.orderBy(F.col("n_convs").desc(), F.col("chain").asc())
+    return top.withColumn("rank", F.row_number().over(w))

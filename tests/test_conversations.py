@@ -205,3 +205,32 @@ def test_sliding_window_stats_replication_and_counts(spark):
     assert got[base] == (3, 2)
     # [02:00, 04:00) holds events 3,4 (single user 3)
     assert got[base + 7200] == (2, 1)
+
+
+def test_tool_chains_orders_counts_and_ranks(spark):
+    from itemsjs_spark.ops.conversations import tool_chains
+
+    rows = [
+        ("c1", 0, "bash"), ("c1", 2, "python"), ("c1", 1, None),
+        ("c2", 5, "bash"), ("c2", 9, "python"),
+        ("c3", 1, "search"),
+        ("c4", 0, None),                     # no tool calls: excluded
+        ("c5", 3, "search"),
+        ("c6", 7, "search"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = [
+        (r["chain"], r["n_convs"], r["rank"])
+        for r in tool_chains(df, k=2).orderBy("rank").collect()
+    ]
+    # "search" appears in 3 convs, "bash>python" in 2; k=2 cuts there
+    assert got == [("search", 3, 1), ("bash>python", 2, 2)]
+
+
+def test_tool_chains_respects_turn_order_not_input_order(spark):
+    from itemsjs_spark.ops.conversations import tool_chains
+
+    rows = [("c1", 9, "last"), ("c1", 0, "first"), ("c1", 4, "mid")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = tool_chains(df, k=5).collect()
+    assert [r["chain"] for r in got] == ["first>mid>last"]
