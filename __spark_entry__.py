@@ -1029,6 +1029,26 @@ def _q_events_facets(spark, sf_dir):
     ).select("key", "doc_count")
 
 
+def _q_events_week_histogram(spark, sf_dir):
+    """Calendar-interval histogram (extension of facet_histogram):
+    week buckets are date_trunc boundaries (Mondays), NOT epoch-aligned
+    fixed widths — epoch 0 is a Thursday, so this row demonstrably
+    exercises calendar truncation; composes with the disjunctive
+    event_type filter like every bucket does."""
+    eng = _events_engine(spark, sf_dir)
+    return eng.facet_histogram(
+        "ts", "week", {"filters": {"event_type": ["click", "purchase"]}}
+    )
+
+
+def _q_facet_value_suggest(spark, sf_dir):
+    """Facet-value autocomplete: top-k keys of a facet field completing
+    a case-insensitive prefix by global doc_count — one filter + top-k
+    on the dimension-sized facet_values table, never the corpus."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.facet_value_suggest("source", "src1", k=8)
+
+
 def _q_events_sort_page(spark, sf_dir):
     eng = _events_engine(spark, sf_dir)
     df = eng.result_df(
@@ -2874,6 +2894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcripts_histogram; percentile machinery via
         # lineitem_facet_percentiles)
         "equi_depth_histogram": _q_equi_depth_hist,
+        # calendar-interval (date_trunc week) histogram variant
+        "events_week_histogram": _q_events_week_histogram,
+        # facet-VALUE autocomplete (suggest family reported via
+        # suggest_prefix, the terms analog)
+        "facet_value_suggest": _q_facet_value_suggest,
         # weighted A-Res sampling (sampling family reported via
         # deterministic_split / domain_mixture_sample)
         "weighted_sample_topn": _q_weighted_sample,
@@ -4239,6 +4264,21 @@ SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS weight
 FROM tf JOIN idf USING (term)
 """
     sqls["tool_chain_topk"] = _TOOL_CHAINS_SQL
+
+    # calendar week histogram: date_trunc boundaries (Mondays), epoch s
+    sqls["events_week_histogram"] = """
+SELECT epoch(date_trunc('week', ts))::BIGINT AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY bucket
+"""
+
+    # facet-value autocomplete: dimension counts = per-value doc counts
+    sqls["facet_value_suggest"] = """
+SELECT source AS key, count(*)::BIGINT AS doc_count
+FROM documents WHERE lower(source) LIKE 'src1%'
+GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 8
+"""
     sqls["related_terms_pmi"] = _REL_SQL
     sqls["index_stats"] = _INDEX_STATS_SQL
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)

@@ -2113,28 +2113,76 @@ class SearchEngine:
         )
         col = F.col(field)
         dt = dict(self.index.docs.dtypes).get(field, "")
-        if dt.startswith("timestamp") or dt == "date":
-            col = col.cast("timestamp").cast("long")  # epoch seconds
-        elif not any(
-            dt.startswith(p)
-            for p in ("int", "bigint", "smallint", "tinyint",
-                      "float", "double", "decimal", "long")
-        ):
-            raise EngineError(
-                f"histogram field {field!r} must be numeric/timestamp/"
-                f"date (got {dt}; items-built engines coerce mixed "
-                "values to strings — index a typed DataFrame column)"
+        is_time = dt.startswith("timestamp") or dt == "date"
+        if isinstance(interval, str):
+            # calendar intervals (month/week/...): fixed-width epoch
+            # arithmetic can't express them (months vary); date_trunc
+            # is still one pure-JVM expression, same plan shape. The
+            # bucket is the truncated boundary's epoch seconds.
+            # Truncation happens in the session timezone (UTC in every
+            # deployment of this repo; oracles assume the same).
+            unit = interval.lower()
+            if unit not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute"):
+                raise EngineError(
+                    f"unknown calendar interval {interval!r}"
+                )
+            if not is_time:
+                raise EngineError(
+                    f"calendar interval {interval!r} needs a timestamp/"
+                    f"date field (got {dt})"
+                )
+            bucket = F.date_trunc(unit, col.cast("timestamp")).cast(
+                "long"
             )
-        bucket = (
-            F.floor((col - F.lit(origin)) / F.lit(interval))
-            * F.lit(interval)
-            + F.lit(origin)
-        ).cast("long" if float(interval).is_integer() else "double")
+        else:
+            if is_time:
+                col = col.cast("timestamp").cast("long")  # epoch seconds
+            elif not any(
+                dt.startswith(p)
+                for p in ("int", "bigint", "smallint", "tinyint",
+                          "float", "double", "decimal", "long")
+            ):
+                raise EngineError(
+                    f"histogram field {field!r} must be numeric/timestamp/"
+                    f"date (got {dt}; items-built engines coerce mixed "
+                    "values to strings — index a typed DataFrame column)"
+                )
+            bucket = (
+                F.floor((col - F.lit(origin)) / F.lit(interval))
+                * F.lit(interval)
+                + F.lit(origin)
+            ).cast("long" if float(interval).is_integer() else "double")
         return (
             flt.select(bucket.alias("bucket"))
             .filter(F.col("bucket").isNotNull())
             .groupBy("bucket")
             .agg(F.count("*").alias("doc_count"))
+        )
+
+    def facet_value_suggest(
+        self, field: str, prefix: str, k: int = 10
+    ) -> DataFrame:
+        """Autocomplete over a facet field's VALUES (extension; the
+        terms analog is ``suggest``): top-k keys of ``field`` completing
+        the case-insensitive ``prefix``, ordered by global doc_count
+        desc then key asc — (key, doc_count). One filter + top-k on the
+        dimension-sized facet_values table (StartsWith row-group pruning
+        on the key-sorted store); never touches the corpus, so the cost
+        is dimension cardinality at any corpus size."""
+        if field not in self.index.facet_fields:
+            raise EngineError(f"unknown facet field: {field}")
+        pl = str(prefix).lower()
+        fv = self.index.facet_values.filter(
+            (F.col("field") == field)
+            & F.lower(F.col("key")).startswith(pl)
+        )
+        return (
+            fv.select(
+                "key", F.col("doc_count").cast("long").alias("doc_count")
+            )
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(int(k))
         )
 
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:

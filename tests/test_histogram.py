@@ -81,3 +81,49 @@ def test_float_interval_buckets(eng):
     got = _h(eng.facet_histogram("n", 2.5))
     assert got[2.5] == 1 and got[7.5] == 1 and got[10.0] == 1
     assert sum(got.values()) == 5
+
+
+def test_calendar_week_histogram_truncates_to_mondays(spark):
+    from datetime import datetime, timezone
+
+    from itemsjs_spark.engine import itemsjs_spark
+
+    def ts(d, h=0):
+        return datetime(2024, 1, d, h, tzinfo=timezone.utc)
+
+    # Jan 1 2024 is a Monday; Jan 7 is a Sunday (same week bucket)
+    rows = [
+        (1, ts(1)), (2, ts(7, 23)),        # week of Jan 1
+        (3, ts(8)),                         # week of Jan 8
+        (4, ts(21, 5)),                     # Jan 21 is a Sunday -> week of Jan 15
+    ]
+    df = spark.createDataFrame(rows, "id long, t timestamp")
+    eng = itemsjs_spark(
+        spark, df, {"custom_id_field": "id"}, docid_col="id"
+    )
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in eng.facet_histogram("t", "week").collect()
+    }
+    jan1 = int(ts(1).timestamp())
+    jan8 = int(ts(8).timestamp())
+    jan15 = int(ts(15).timestamp())
+    assert got == {jan1: 2, jan8: 1, jan15: 1}
+    # a fixed 7-day width anchored at origin 0 would NOT give Mondays:
+    # epoch 0 is a Thursday, so the fixed bins differ from the calendar
+    fixed = {
+        r["bucket"]
+        for r in eng.facet_histogram("t", 604800).collect()
+    }
+    assert fixed != set(got)
+
+
+def test_calendar_interval_requires_time_field(spark):
+    from itemsjs_spark.engine import EngineError, itemsjs_spark
+
+    df = spark.createDataFrame([(1, 5)], "id long, n long")
+    eng = itemsjs_spark(spark, df, {"custom_id_field": "id"}, docid_col="id")
+    with pytest.raises(EngineError, match="calendar interval"):
+        eng.facet_histogram("n", "week").collect()
+    with pytest.raises(EngineError, match="unknown calendar interval"):
+        eng.facet_histogram("n", "fortnight").collect()

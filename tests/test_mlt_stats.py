@@ -194,3 +194,29 @@ def test_doc_vectors_match_hand_tfidf(eng):
     # doc 4: three singleton terms, df(tiger)=1
     assert rows[(4, "tiger")] == round((1 / 3) * (1 + math.log(5 / 1)), 6)
     assert len(rows) == eng.index.postings.count()
+
+
+def test_facet_value_suggest_orders_and_cases(spark):
+    from itemsjs_spark.engine import EngineError, itemsjs_spark
+
+    items = [
+        {"id": 1, "cat": "Alpha"},
+        {"id": 2, "cat": "Alpha"},
+        {"id": 3, "cat": "alpine"},
+        {"id": 4, "cat": "beta"},
+        {"id": 5, "cat": "ALPS"},
+    ]
+    eng = itemsjs_spark(
+        spark,
+        items,
+        {"aggregations": {"cat": {"size": 10}}, "custom_id_field": "id"},
+    )
+    got = [
+        (r["key"], r["doc_count"])
+        for r in eng.facet_value_suggest("cat", "al", k=10).collect()
+    ]
+    # count desc, then key asc; prefix is case-insensitive both ways
+    assert got == [("Alpha", 2), ("ALPS", 1), ("alpine", 1)]
+    assert eng.facet_value_suggest("cat", "al", k=1).collect()[0]["key"] == "Alpha"
+    with pytest.raises(EngineError, match="unknown facet field"):
+        eng.facet_value_suggest("nope", "a")
