@@ -53,18 +53,29 @@ def logreg_fit(
     doubles ever reach the driver."""
     weights = [0.0] * len(feature_cols)
     bias = 0.0
-    for _ in range(int(iters)):
-        p = _prob(feature_cols, weights, bias)
-        err = p - F.col(label_col).cast("double")
-        aggs = [F.round(F.avg(err), 6).alias("__gb")] + [
-            F.round(F.avg(err * F.col(c).cast("double")), 6).alias(f"__g{i}")
-            for i, c in enumerate(feature_cols)
-        ]
-        row = df.agg(*aggs).collect()[0]
-        bias = round(bias - lr * row["__gb"], 6)
-        weights = [
-            round(w - lr * row[f"__g{i}"], 6) for i, w in enumerate(weights)
-        ]
+    # every GD step re-reads the feature frame: pin the slim
+    # (features, label) projection once so iterations 2..n scan the
+    # cache instead of re-deriving features from the source table
+    feats = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    ).persist()
+    try:
+        for _ in range(int(iters)):
+            p = _prob(feature_cols, weights, bias)
+            err = p - F.col("__y")
+            aggs = [F.round(F.avg(err), 6).alias("__gb")] + [
+                F.round(F.avg(err * F.col(c)), 6).alias(f"__g{i}")
+                for i, c in enumerate(feature_cols)
+            ]
+            row = feats.agg(*aggs).collect()[0]
+            bias = round(bias - lr * row["__gb"], 6)
+            weights = [
+                round(w - lr * row[f"__g{i}"], 6)
+                for i, w in enumerate(weights)
+            ]
+    finally:
+        feats.unpersist()
     return weights, bias
 
 
