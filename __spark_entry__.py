@@ -2081,6 +2081,39 @@ def _q_transcripts_conv_topk(spark, sf_dir):
     return eng.grouped_topk("merge sort", "conv_id", n_groups=8)
 
 
+_TREND_SPLIT = 1704067200 + 250 * 37
+_RECENCY_REF = 1704067200 + 500 * 37
+_RECENCY_TAU = 7200.0
+
+
+def _q_trending_terms(spark, sf_dir):
+    """Trending terms (extension): per-term distinct-doc counts in the
+    recent vs prior half of the transcript corpus's time axis, ranked
+    by add-one-smoothed growth — postings ⨝ slim (docid, epoch)
+    projection, ONE map-side-combined groupBy(term), TakeOrdered."""
+    eng = _tx_engine(spark, sf_dir)
+    return eng.trending_terms("ts", _TREND_SPLIT, k=12, min_recent=1)
+
+
+def _q_recency_boost(spark, sf_dir):
+    """Function-score search (extension): lunr relevance × exponential
+    time decay re-ranks the FULL scored set (a fresh low-BM25 turn can
+    beat a stale high-BM25 one, so pruning before the boost would be
+    wrong); the oracle restates score × exp((ts−ref)/τ) over the same
+    corpus derivation."""
+    eng = _tx_engine(spark, sf_dir)
+    return eng.recency_boosted_topk(
+        "merge sort", "ts", _RECENCY_TAU, _RECENCY_REF, k=15
+    )
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading ease with vowel-group syllable heuristic — one
+    map-only projection of three JVM regexes (no shuffle, no Python);
+    the oracle restates the identical formula."""
+    return text_ops.readability(_documents(spark, sf_dir))
+
+
 def _q_tool_chains(spark, sf_dir):
     """Tool-chain mining over agent transcripts: which ordered tool
     sequences do conversations run, and how often. The tool column is
@@ -2776,7 +2809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # north-rule transcript corpus (full lunr pipeline vs raw SQL oracle)
         "transcripts_fulltext_topk": _q_transcripts_topk,
         "transcripts_conv_topk": _q_transcripts_conv_topk,
-        "transcripts_time_range": _q_transcripts_time_range,
+        # trending terms + recency-boosted (function-score) search take
+        # the window slot of transcripts_time_range — the query∩time
+        # compose stays reported via transcripts_histogram (same range
+        # predicate machinery plus binning)
+        "trending_terms": _q_trending_terms,
+        "recency_boosted_topk": _q_recency_boost,
         "transcripts_histogram": _q_transcripts_histogram,
         "conversation_stats": _q_conversation_stats,
         "training_pairs": _q_training_pairs,
@@ -2788,7 +2826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-pass counter + conjunctive crossing) and
         # aggregation_endpoint; its slot goes to normalize_text
         "normalize_text": _q_normalize_text,
-        "facet_counts_crossed": _q_facet_counts_crossed,
+        # Flesch readability (text-quality family) takes the window slot
+        # of facet_counts_crossed — conjunctive facet crossing stays
+        # reported via facet_blocks_filter_algebra (the same crossing
+        # over the blocks path) and aggregation_endpoint
+        "readability_score": _q_readability,
         "search_after_page": _q_search_after,
         "disjunctive_bucket_counts": _q_disjunctive_counts,
         "negative_bucket_counts": _q_negative_counts,
@@ -2806,7 +2848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (which snapshot-appends its delta). Their slots go to the
         # hard-negative-mining and rank-eval families.
         "hard_negatives_topk": _q_hard_negatives,
-        "fulltext_blocks_engine": _q_ft_blocks_engine,
+        # fulltext_blocks_engine parked below the window: compressed-
+        # block-store scoring stays reported via
+        # search_wand_filtered_page (block-max WAND reads the same
+        # store) and merge_shards_fulltext
         "retrieval_rank_eval": _q_rank_eval,
         # tombstone-delete family (Lucene live-docs semantics) — takes
         # the window slot of dedup_minhash_signatures, whose pipeline
@@ -2881,6 +2926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their families stay reported (dedup via 5 in-window rows,
         # fuzzy via fulltext_fuzzy, hit context via snippet_search)
         "facet_counts": _q_facet_counts,
+        "facet_counts_crossed": _q_facet_counts_crossed,
+        "transcripts_time_range": _q_transcripts_time_range,
+        "fulltext_blocks_engine": _q_ft_blocks_engine,
         "fulltext_wand_topk": _q_wand_topk,
         "append_fulltext_topk": _q_append_fulltext_topk,
         "more_like_this": _q_more_like_this,
@@ -4290,4 +4338,66 @@ GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["transcripts_histogram"] = _tx_histogram_sql(
         "merge sort", 3600, "assistant"
     )
+
+    # trending terms: distinct-doc counts per term in the recent vs
+    # prior half of the transcript time axis, add-one-smoothed growth
+    sqls["trending_terms"] = f"""
+WITH corpus AS ({_TX_CORPUS_SQL}),
+tok AS (
+  SELECT DISTINCT c._docid AS doc_id, {_stem_case('u.t')} AS term,
+         c.ts_epoch
+  FROM corpus c, LATERAL unnest(string_split(lower(trim(c.text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+g AS (
+  SELECT term,
+         count(*) FILTER (WHERE ts_epoch >= {_TREND_SPLIT})::BIGINT
+           AS recent_docs,
+         count(*) FILTER (WHERE ts_epoch < {_TREND_SPLIT})::BIGINT
+           AS prior_docs
+  FROM tok GROUP BY term
+)
+SELECT term, recent_docs, prior_docs,
+       round((recent_docs + 1.0) / (prior_docs + 1.0), 6) AS growth
+FROM g WHERE recent_docs >= 1
+ORDER BY growth DESC, recent_docs DESC, term ASC
+LIMIT 12
+"""
+
+    # recency-boosted function score: the full scored set (k=1e9) joined
+    # to the corpus epoch, boosted = round(score * exp((ts-ref)/tau), 6)
+    _rb_ft = _ft_sql(
+        "merge sort", 10**9,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    sqls["recency_boosted_topk"] = f"""
+WITH f AS (SELECT _id, score FROM ({_rb_ft}) q),
+c AS ({_TX_CORPUS_SQL})
+SELECT f._id, f.score,
+       round(f.score * exp((c.ts_epoch - {_RECENCY_REF})
+                           / {_RECENCY_TAU}), 6) AS boosted
+FROM f JOIN c ON c._docid = f._id
+ORDER BY boosted DESC, CAST(f._id AS VARCHAR) ASC
+LIMIT 15
+"""
+
+    # Flesch reading ease: same three regexes, same formula shape
+    sqls["readability_score"] = """
+WITH comp AS (
+  SELECT doc_id,
+         greatest(1, len(regexp_extract_all(lower(text), '[a-z]+')))::INT
+           AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+')))::INT
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::INT
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                     - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+         AS flesch
+FROM comp
+"""
     return sqls

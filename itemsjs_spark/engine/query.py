@@ -2441,6 +2441,120 @@ class SearchEngine:
         )
         return ranked.filter(F.col("__rn") <= int(k)).drop("__rn")
 
+    def trending_terms(
+        self,
+        ts_field: str,
+        split_epoch: int,
+        k: int = 10,
+        min_recent: int = 1,
+    ) -> DataFrame:
+        """Trending terms (extension): which index terms gained document
+        frequency after ``split_epoch``? Compares each term's
+        distinct-document count in the recent window (``ts >= split``)
+        against the prior window (``ts < split``) and ranks by the
+        add-one-smoothed growth ratio ``(recent+1)/(prior+1)`` —
+        ``(term, recent_docs, prior_docs, growth)``, ties broken on
+        recent count then term. ``min_recent`` suppresses noise terms
+        that barely occur in the recent window.
+
+        Physical plan: the postings cache (one row per (term, docid),
+        already hash-partitioned by ``_docid``) joins the slim
+        (docid, epoch) projection — only the slim side shuffles — then
+        ONE map-side-combined groupBy(term) with conditional counts and
+        a TakeOrdered top-k. Per-partition state is bounded by
+        vocabulary, never corpus size; no window function, no second
+        corpus pass."""
+        idx = self.index
+        if idx.postings is None:
+            raise EngineError(
+                "trending_terms needs row-level postings (blocks-only "
+                "indexes would decode the full store; reopen with "
+                "postings)"
+            )
+        if ts_field not in idx.docs.columns:
+            raise EngineError(f"unknown timestamp field {ts_field!r}")
+        self._ensure_fulltext_materialized()
+        epoch = F.col(ts_field).cast("timestamp").cast("long")
+        slim = idx.docs.select(DOCID, epoch.alias("__ep"))
+        split = int(split_epoch)
+        g = (
+            idx.postings.select("term", DOCID)
+            .join(slim, DOCID)
+            .groupBy("term")
+            .agg(
+                F.count(
+                    F.when(F.col("__ep") >= split, True)
+                ).alias("recent_docs"),
+                F.count(
+                    F.when(F.col("__ep") < split, True)
+                ).alias("prior_docs"),
+            )
+        )
+        growth = F.round(
+            (F.col("recent_docs") + F.lit(1.0))
+            / (F.col("prior_docs") + F.lit(1.0)),
+            6,
+        )
+        return (
+            g.filter(F.col("recent_docs") >= int(min_recent))
+            .select("term", "recent_docs", "prior_docs", growth.alias("growth"))
+            .orderBy(
+                F.col("growth").desc(),
+                F.col("recent_docs").desc(),
+                F.col("term").asc(),
+            )
+            .limit(int(k))
+        )
+
+    def recency_boosted_topk(
+        self,
+        query: str,
+        ts_field: str,
+        tau_s: float,
+        ref_epoch: int,
+        k: int = 10,
+    ) -> DataFrame:
+        """Function-score search (extension): lunr relevance multiplied
+        by an exponential time decay — ``boosted = round(round(score,6)
+        * exp((ts_epoch - ref_epoch) / tau_s), 6)`` — so fresh turns
+        outrank equally-relevant stale ones. Returns the top-k
+        ``(_id, score, boosted)`` ordered by the boosted score.
+
+        The decay re-ranks the FULL scored set, not a top-k prefix: a
+        low-BM25 recent document can legitimately beat a high-BM25 old
+        one, so pruning before the boost would be wrong. The scored set
+        is |matching docs| (never the corpus); the join against the slim
+        (docid, epoch) projection reuses the postings partitioning and
+        the final top-k is a TakeOrdered, so nothing here materializes
+        beyond the hit set. Block-max WAND cannot serve this query as-is
+        (its per-block score bounds don't carry a per-doc decay factor);
+        a scale path would store per-block max-decay alongside max-score
+        — deliberately out of scope, the standard scoring route is
+        already hit-set-bounded."""
+        hits = self.fulltext_hits(query)
+        epoch = F.col(ts_field).cast("timestamp").cast("long")
+        if ts_field not in self.index.docs.columns:
+            raise EngineError(f"unknown timestamp field {ts_field!r}")
+        slim = self.index.docs.select(DOCID, epoch.alias("__ep"))
+        base = F.round(F.col(SCORE), 6)
+        decay = F.exp(
+            (F.col("__ep").cast("double") - F.lit(float(ref_epoch)))
+            / F.lit(float(tau_s))
+        )
+        boosted = F.round(base * decay, 6)
+        return (
+            hits.join(slim, DOCID)
+            .select(
+                F.col(DOCID).alias("_id"),
+                base.alias("score"),
+                boosted.alias("boosted"),
+            )
+            .orderBy(
+                F.col("boosted").desc(), F.col("_id").cast("string").asc()
+            )
+            .limit(int(k))
+        )
+
     def doc_vectors(self) -> DataFrame:
         """Sparse tf-idf feature export from the inverted index:
         (<custom_id_field>, term, weight) with weight = round(tf·idf, 6)

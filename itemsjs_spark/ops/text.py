@@ -555,3 +555,48 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out_col, c)
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease score with a vowel-group syllable heuristic —
+    ``(id, n_words, n_sentences, n_syllables, flesch)`` where
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words)`` (Flesch 1948; public formula). Words are ``[a-z]+`` runs of
+    the lowercased text, sentences are ``[.!?]+`` runs (min 1 each so
+    the formula is total on junk rows), and syllables are approximated
+    by ``[aeiouy]+`` vowel groups — the standard cheap estimator, and
+    deliberately expressed as three regexes that mean the same thing in
+    Java regex and ANSI/DuckDB ``regexp_extract_all`` so the oracle can
+    restate the formula verbatim.
+
+    Plan shape: one map-only projection of pure JVM regexp expressions —
+    no shuffle, no Python, corpus-linear at any scale."""
+    lt = F.lower(F.col(text_col))
+    n_words = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(lt, F.lit("[a-z]+"), F.lit(0)))
+    )
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))
+        ),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(lt, F.lit("[aeiouy]+"), F.lit(0))
+    )
+    w = n_words.cast("double")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (w / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / w),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        n_syll.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

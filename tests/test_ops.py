@@ -764,3 +764,25 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[2] == (1, round(-math.log(p_ab), 6))
     # single-token doc: no bigrams, NULL score
     assert out[3] == (0, None)
+
+
+def test_readability_hand_computed(spark):
+    from itemsjs_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            # 5 words, 2 sentences, syllable groups: he-llo->2? counted as
+            # vowel GROUPS: hello(e,o)=2 world(o)=1 it(i)=1 is(i)=1 fun(u)=1
+            (1, "Hello world. It is fun!"),
+            (2, "???"),  # junk: 0 words/0 sentences clamp to 1
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in text_ops.readability(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 6)
+    assert r1["flesch"] == round(206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5), 6)
+    r2 = got[2]
+    # "???" has no [.!?]+? it DOES match [.!?]+ (one run) but no words
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 0)
+    assert r2["flesch"] == round(206.835 - 1.015 * 1.0 - 0.0, 6)

@@ -126,3 +126,77 @@ def test_grouped_topk_n_groups_order(eng):
 
 def test_grouped_topk_empty(eng):
     assert eng.grouped_topk("nosuchterm", "conv").count() == 0
+
+
+@pytest.fixture(scope="module")
+def ts_eng(spark):
+    """Corpus with a controlled time axis: epochs 1000·turn, split at
+    2500 puts turns 0..2 in the prior window and 3..5 in the recent."""
+    import datetime as dt
+
+    def t(e):
+        return dt.datetime.fromtimestamp(e, dt.timezone.utc)
+
+    items = [
+        # "zold" only in the prior window; "znew" only recent; "zboth"
+        # once per window; "zdup zdup" twice in ONE doc (df counts docs)
+        {"id": 1, "conv": "a", "turn": 0, "text": "zold zboth", "ts": t(0)},
+        {"id": 2, "conv": "a", "turn": 1, "text": "zold zdup zdup", "ts": t(1000)},
+        {"id": 3, "conv": "a", "turn": 2, "text": "filler", "ts": t(2000)},
+        {"id": 4, "conv": "a", "turn": 3, "text": "znew zboth", "ts": t(3000)},
+        {"id": 5, "conv": "a", "turn": 4, "text": "znew words", "ts": t(4000)},
+        {"id": 6, "conv": "a", "turn": 5, "text": "znew zdup", "ts": t(5000)},
+    ]
+    return itemsjs_spark(
+        spark,
+        items,
+        {"searchableFields": ["text"], "custom_id_field": "id"},
+        order_by=["conv", "turn"],
+    )
+
+
+def test_trending_terms_growth_and_df_semantics(ts_eng):
+    got = {
+        r["term"]: (r["recent_docs"], r["prior_docs"], r["growth"])
+        for r in ts_eng.trending_terms("ts", 2500, k=50).collect()
+    }
+    # znew: 3 recent docs, 0 prior -> growth (3+1)/(0+1) = 4
+    assert got["znew"] == (3, 0, 4.0)
+    # zboth: one doc each side -> growth 1.0
+    assert got["zboth"] == (1, 1, 1.0)
+    # zdup appears twice in doc 2 but df counts DOCS: prior=1, recent=1
+    assert got["zdup"] == (1, 1, 1.0)
+    # zold never recent -> filtered by min_recent=1
+    assert "zold" not in got
+
+
+def test_trending_terms_min_recent_and_k(ts_eng):
+    top = ts_eng.trending_terms("ts", 2500, k=1).collect()
+    assert len(top) == 1 and top[0]["term"] == "znew"
+    strict = {
+        r["term"]
+        for r in ts_eng.trending_terms("ts", 2500, k=50, min_recent=2).collect()
+    }
+    assert strict == {"znew"}
+
+
+def test_recency_boost_reranks_full_scored_set(ts_eng):
+    # raw scores: doc 2 ("zdup zdup", higher tf) beats doc 6 ("znew zdup")
+    raw = _ranked_hits(ts_eng, "zdup")
+    assert [d for _, d in raw] == ["2", "6"]
+    # ref at epoch 5000, tau small enough that doc 6 (age 0) wins
+    got = ts_eng.recency_boosted_topk("zdup", "ts", 500.0, 5000, k=10).collect()
+    assert [str(r["_id"]) for r in got] == ["6", "2"]
+    # boosted = round(round(score,6) * exp((ts-ref)/tau), 6), checked
+    import math
+
+    by_id = {str(r["_id"]): r for r in got}
+    ages = {"2": 1000, "6": 5000}
+    for (score, did) in raw:
+        exp_boost = round(score * math.exp((ages[did] - 5000) / 500.0), 6)
+        assert by_id[did]["boosted"] == exp_boost
+        assert by_id[did]["score"] == score
+
+
+def test_recency_boost_empty_query(ts_eng):
+    assert ts_eng.recency_boosted_topk("nosuchterm", "ts", 500.0, 5000).count() == 0
