@@ -2084,6 +2084,28 @@ def _q_transcripts_conv_topk(spark, sf_dir):
 _TREND_SPLIT = 1704067200 + 250 * 37
 _RECENCY_REF = 1704067200 + 500 * 37
 _RECENCY_TAU = 7200.0
+_ANOM_Z = 2.0
+
+
+def _recency_sql(k: int) -> str:
+    """Recency-boosted function-score SQL: the full lunr scored set
+    (k=1e9) joined to the corpus epoch, boosted = round(score *
+    exp((ts-ref)/tau), 6), top-k by the boosted score."""
+    ft = _ft_sql(
+        "merge sort", 10**9,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    return f"""
+WITH f AS (SELECT _id, score FROM ({ft}) q),
+c AS ({_TX_CORPUS_SQL})
+SELECT f._id, f.score,
+       round(f.score * exp((c.ts_epoch - {_RECENCY_REF})
+                           / {_RECENCY_TAU}), 6) AS boosted
+FROM f JOIN c ON c._docid = f._id
+ORDER BY boosted DESC, CAST(f._id AS VARCHAR) ASC
+LIMIT {k}
+"""
 
 
 def _q_trending_terms(spark, sf_dir):
@@ -2112,6 +2134,36 @@ def _q_readability(spark, sf_dir):
     map-only projection of three JVM regexes (no shuffle, no Python);
     the oracle restates the identical formula."""
     return text_ops.readability(_documents(spark, sf_dir))
+
+
+def _q_rank_correlation(spark, sf_dir):
+    """Spearman agreement between the raw lunr ordering and the
+    recency-boosted ordering of the SAME top-50 candidate set — two
+    bounded rank windows over one reused engine result."""
+    from itemsjs_spark.ops import evaluation as eval_ops
+
+    eng = _tx_engine(spark, sf_dir)
+    rb = eng.recency_boosted_topk(
+        "merge sort", "ts", _RECENCY_TAU, _RECENCY_REF, k=50
+    )
+    return eval_ops.rank_correlation(
+        rb.select("_id", "score"),
+        rb.select("_id", F.col("boosted").alias("score")),
+    )
+
+
+def _q_role_transitions(spark, sf_dir):
+    """Conversation-structure analytics: who speaks after whom — one
+    lag window per conversation + a |roles|² groupBy."""
+    return conv_ops.role_transitions(_tx_df(spark, sf_dir))
+
+
+def _q_bucket_anomalies(spark, sf_dir):
+    """Monitoring companion to facet_histogram: hourly event buckets
+    whose count deviates ≥2σ from the mean, moments from exact integer
+    sums so the oracle reproduces the z-scores bit-for-bit."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return stats_ops.bucket_anomalies(ev, "ts", 3600, _ANOM_Z)
 
 
 def _q_tool_chains(spark, sf_dir):
@@ -2925,6 +2977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the round-4 fusion/synonym/cardinality families;
         # their families stay reported (dedup via 5 in-window rows,
         # fuzzy via fulltext_fuzzy, hit context via snippet_search)
+        # ranker-agreement, conversation-structure and bucket-anomaly
+        # analytics (families reported in-window via retrieval_rank_eval,
+        # conversation_stats and facet_stats/transcripts_histogram)
+        "rank_correlation": _q_rank_correlation,
+        "role_transitions": _q_role_transitions,
+        "bucket_anomalies": _q_bucket_anomalies,
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
         "transcripts_time_range": _q_transcripts_time_range,
@@ -4366,20 +4424,65 @@ LIMIT 12
 
     # recency-boosted function score: the full scored set (k=1e9) joined
     # to the corpus epoch, boosted = round(score * exp((ts-ref)/tau), 6)
-    _rb_ft = _ft_sql(
-        "merge sort", 10**9,
-        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
-        corpus="corpus", id_col="_docid",
-    )
-    sqls["recency_boosted_topk"] = f"""
-WITH f AS (SELECT _id, score FROM ({_rb_ft}) q),
-c AS ({_TX_CORPUS_SQL})
-SELECT f._id, f.score,
-       round(f.score * exp((c.ts_epoch - {_RECENCY_REF})
-                           / {_RECENCY_TAU}), 6) AS boosted
-FROM f JOIN c ON c._docid = f._id
-ORDER BY boosted DESC, CAST(f._id AS VARCHAR) ASC
-LIMIT 15
+    sqls["recency_boosted_topk"] = _recency_sql(15)
+
+    # Spearman agreement between the raw and the recency-boosted
+    # ordering of the SAME top-50 candidate set: re-rank both scores
+    # within the set, rho = 1 - 6*sum(d^2)/(n*(n^2-1))
+    sqls["rank_correlation"] = f"""
+WITH t AS ({_recency_sql(50)}),
+r AS (
+  SELECT row_number() OVER (ORDER BY score DESC,
+                            CAST(_id AS VARCHAR) ASC) AS ra,
+         row_number() OVER (ORDER BY boosted DESC,
+                            CAST(_id AS VARCHAR) ASC) AS rb
+  FROM t
+)
+SELECT count(*)::BIGINT AS n_common,
+       CASE WHEN count(*) >= 2 THEN
+         round(1.0 - 6.0 * sum((ra - rb) * (ra - rb))::DOUBLE
+               / (count(*)::DOUBLE
+                  * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0)), 6)
+       END AS spearman_rho
+FROM r
+"""
+
+    # role-transition matrix over consecutive turns, row-normalized
+    sqls["role_transitions"] = f"""
+WITH c AS ({_TX_CORPUS_SQL}),
+p AS (
+  SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS role_from,
+         role AS role_to
+  FROM c
+),
+g AS (
+  SELECT role_from, role_to, count(*)::BIGINT AS n FROM p
+  WHERE role_from IS NOT NULL GROUP BY role_from, role_to
+)
+SELECT role_from, role_to, n,
+       round(n::DOUBLE / (sum(n) OVER (PARTITION BY role_from))::DOUBLE, 6)
+         AS p
+FROM g
+"""
+
+    # z-score anomalous hourly buckets; moments from exact integer sums
+    sqls["bucket_anomalies"] = f"""
+WITH c AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+  WHERE ts IS NOT NULL
+),
+b AS (SELECT (ep // 3600) * 3600 AS bucket, count(*)::BIGINT AS n
+      FROM c GROUP BY 1),
+m AS (SELECT count(*)::BIGINT AS nb, sum(n)::BIGINT AS s,
+             sum(n * n)::BIGINT AS ss FROM b)
+SELECT bucket, n, round((n - mean) / std, 6) AS zscore FROM (
+  SELECT b.bucket, b.n, s::DOUBLE / nb::DOUBLE AS mean,
+         sqrt(greatest(ss::DOUBLE / nb::DOUBLE
+                       - (s::DOUBLE / nb::DOUBLE)
+                         * (s::DOUBLE / nb::DOUBLE), 0.0)) AS std
+  FROM b, m
+) WHERE std > 0 AND abs(round((n - mean) / std, 6)) >= {_ANOM_Z}
 """
 
     # Flesch reading ease: same three regexes, same formula shape

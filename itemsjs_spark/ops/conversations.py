@@ -342,3 +342,40 @@ def tool_chains(
     ).limit(int(k))
     w = Window.orderBy(F.col("n_convs").desc(), F.col("chain").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def role_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Role-transition matrix over consecutive turns — the
+    conversation-structure analytics question "who speaks after whom?"
+    (user→assistant, assistant→tool, …). Returns
+    ``(role_from, role_to, n, p)`` where ``p`` is the row-normalized
+    transition probability ``n / Σ_to n`` rounded to 6 decimals.
+
+    Physical plan: ONE lag window partitioned by conversation (state
+    bounded by conversation length — hot conversations are the skew
+    axis and they are bounded by design), then a groupBy over the
+    |roles|² transition keys (map-side combined). The normalizing
+    window runs over the already-aggregated |roles|²-row table, never
+    the corpus."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    pairs = df.select(
+        F.lag(role_col).over(w).alias("role_from"),
+        F.col(role_col).alias("role_to"),
+    ).filter(F.col("role_from").isNotNull())
+    counts = pairs.groupBy("role_from", "role_to").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = Window.partitionBy("role_from")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double"),
+            6,
+        ),
+    )

@@ -131,3 +131,58 @@ def rank_eval(
         )
     )
     return out
+
+
+def rank_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "_id",
+    score_a: str = "score",
+    score_b: str = "score",
+) -> DataFrame:
+    """Spearman rank correlation between two rankers over their COMMON
+    candidates — the ranker-agreement diagnostic (how much did a boost /
+    fusion / model swap rearrange the ordering?). Returns one row
+    ``(n_common, spearman_rho)`` with
+    ``rho = 1 − 6·Σd² / (n·(n²−1))`` over ranks re-assigned within the
+    intersection (score desc, id-string asc tie-break — the engine-wide
+    cursor convention), rounded to 6 decimals. ``n_common < 2`` yields a
+    NULL rho (correlation is undefined).
+
+    Scale shape: both inputs are top-N candidate lists bounded by their
+    producers (WAND top-k, ANN rerank, boosted top-k), so the join and
+    the two rank windows run over ≤N rows — single-partition windows
+    over a deliberately bounded set, never the corpus."""
+    ra = a.select(
+        F.col(id_col).alias("_id"), F.col(score_a).alias("__sa")
+    )
+    rb = b.select(
+        F.col(id_col).alias("_id"), F.col(score_b).alias("__sb")
+    )
+    j = ra.join(rb, "_id")
+    wa = Window.orderBy(
+        F.col("__sa").desc(), F.col("_id").cast("string").asc()
+    )
+    wb = Window.orderBy(
+        F.col("__sb").desc(), F.col("_id").cast("string").asc()
+    )
+    ranked = j.select(
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    d = (F.col("ra") - F.col("rb")).cast("long")
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.coalesce(F.sum(d * d), F.lit(0)).cast("long").alias("__d2"),
+    )
+    n = F.col("n_common").cast("double")
+    rho = F.when(
+        F.col("n_common") >= 2,
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0) * F.col("__d2").cast("double")
+            / (n * (n * n - F.lit(1.0))),
+            6,
+        ),
+    )
+    return agg.select("n_common", rho.alias("spearman_rho"))

@@ -147,3 +147,54 @@ def facet_cardinality(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bucket_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    interval: int = 3600,
+    z: float = 2.0,
+) -> DataFrame:
+    """Anomalous time buckets: bin events into ``interval``-second
+    buckets, then flag buckets whose count deviates from the mean by at
+    least ``z`` population standard deviations — the monitoring
+    companion to the engine's ``facet_histogram`` (traffic spikes,
+    outage troughs). Returns ``(bucket, n, zscore)`` for flagged
+    buckets; ``zscore`` rounds to 6 decimals.
+
+    The moments are computed EXPLICITLY from exact integer sums
+    (``mean = Σn/B``, ``var = Σn²/B − mean²``) rather than a streaming
+    stddev aggregate, so any engine computing the same two sums
+    reproduces the z-scores bit-for-bit. Plan shape: one
+    map-side-combined groupBy(bucket), one single-row moment aggregate
+    broadcast back over the bucket table (dimension-sized, never the
+    corpus), one filter."""
+    epoch = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({ts_col} AS TIMESTAMP_NTZ))"
+    )
+    step = int(interval)
+    bucket = (F.floor(epoch / F.lit(step)) * F.lit(step)).cast("long")
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    moments = counts.agg(
+        F.count("*").cast("long").alias("__b"),
+        F.sum("n").cast("long").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("__ss"),
+    )
+    withm = counts.crossJoin(F.broadcast(moments))
+    mean = F.col("__s").cast("double") / F.col("__b").cast("double")
+    var = (
+        F.col("__ss").cast("double") / F.col("__b").cast("double")
+        - mean * mean
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    zscore = F.round((F.col("n").cast("double") - mean) / std, 6)
+    return (
+        withm.filter(std > 0)
+        .select("bucket", "n", zscore.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= float(z))
+    )

@@ -234,3 +234,41 @@ def test_tool_chains_respects_turn_order_not_input_order(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
     got = tool_chains(df, k=5).collect()
     assert [r["chain"] for r in got] == ["first>mid>last"]
+
+
+def test_role_transitions_counts_and_normalization(spark):
+    from itemsjs_spark.ops.conversations import role_transitions
+
+    rows = [
+        # conv a: u->a, a->u, u->a ; conv b: t->u (isolated from a)
+        ("a", 0, "user"), ("a", 1, "assistant"), ("a", 2, "user"),
+        ("a", 3, "assistant"),
+        ("b", 0, "tool"), ("b", 1, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        (r["role_from"], r["role_to"]): (r["n"], r["p"])
+        for r in role_transitions(df).collect()
+    }
+    # no cross-conversation edge (a's last turn -> b's first never pairs)
+    assert ("assistant", "tool") not in got
+    assert got[("user", "assistant")] == (2, 1.0)   # user always -> assistant
+    assert got[("assistant", "user")] == (1, 1.0)
+    assert got[("tool", "user")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_role_transitions_probability_splits(spark):
+    from itemsjs_spark.ops.conversations import role_transitions
+
+    rows = [
+        ("c", 0, "user"), ("c", 1, "assistant"),
+        ("c", 2, "user"), ("c", 3, "tool"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        (r["role_from"], r["role_to"]): r["p"]
+        for r in role_transitions(df).collect()
+    }
+    assert got[("user", "assistant")] == 0.5
+    assert got[("user", "tool")] == 0.5

@@ -155,3 +155,30 @@ def test_normalize_text_is_idempotent(spark):
     twice = text.normalize_text(once)
     row = twice.collect()[0]
     assert row["text"] == row["norm_text"] == "Å b c"
+
+
+def _rc(spark, pairs_a, pairs_b):
+    from itemsjs_spark.ops.evaluation import rank_correlation
+
+    a = spark.createDataFrame(pairs_a, "_id string, score double")
+    b = spark.createDataFrame(pairs_b, "_id string, score double")
+    return rank_correlation(a, b).collect()[0]
+
+
+def test_rank_correlation_perfect_agreement(spark):
+    a = [("x", 3.0), ("y", 2.0), ("z", 1.0)]
+    r = _rc(spark, a, a)
+    assert (r["n_common"], r["spearman_rho"]) == (3, 1.0)
+
+
+def test_rank_correlation_perfect_reversal(spark):
+    a = [("x", 3.0), ("y", 2.0), ("z", 1.0)]
+    b = [("x", 1.0), ("y", 2.0), ("z", 3.0)]
+    r = _rc(spark, a, b)
+    assert (r["n_common"], r["spearman_rho"]) == (3, -1.0)
+
+
+def test_rank_correlation_intersection_and_undefined(spark):
+    # only the shared id survives the join -> n=1 -> rho undefined
+    r = _rc(spark, [("x", 1.0), ("w", 5.0)], [("x", 9.0), ("v", 2.0)])
+    assert r["n_common"] == 1 and r["spearman_rho"] is None

@@ -786,3 +786,27 @@ def test_readability_hand_computed(spark):
     # "???" has no [.!?]+? it DOES match [.!?]+ (one run) but no words
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 0)
     assert r2["flesch"] == round(206.835 - 1.015 * 1.0 - 0.0, 6)
+
+
+def test_bucket_anomalies_planted_spike(spark):
+    import datetime as dt
+
+    from itemsjs_spark.ops.stats import bucket_anomalies
+
+    def t(e):
+        return dt.datetime.fromtimestamp(e, dt.timezone.utc).replace(tzinfo=None)
+
+    rows = []
+    # 4 quiet hourly buckets with 1 event, 1 spike bucket with 21:
+    # mean 5, var (4 + 256)/5... = (4*1 + 441)/5 - 25 = 64, std 8,
+    # spike z = (21-5)/8 = 2.0, quiet z = -0.5
+    for h in range(4):
+        rows.append((t(3600 * h),))
+    rows += [(t(3600 * 4 + i),) for i in range(21)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = bucket_anomalies(df, "ts", 3600, z=2.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["bucket"], r["n"], r["zscore"]) == (3600 * 4, 21, 2.0)
+    # raising the threshold past the spike flags nothing
+    assert bucket_anomalies(df, "ts", 3600, z=2.1).count() == 0
