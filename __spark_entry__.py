@@ -2166,6 +2166,54 @@ def _q_bucket_anomalies(spark, sf_dir):
     return stats_ops.bucket_anomalies(ev, "ts", 3600, _ANOM_Z)
 
 
+def _q_asof_last_purchase(spark, sf_dir):
+    """Point-in-time attribution through the as-of join operator
+    (`ops/joins.py`): every click event gains its user's most recent
+    PRIOR purchase (inclusive at equal ts). The purchase side is
+    deduped to one row per (user, ts) by max event_id so both engines'
+    ASOF semantics are deterministic; the Spark side is the union-merge
+    plan (one key exchange + one running window, no pair expansion) and
+    the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — two independent
+    executions of the same temporal-join contract."""
+    from itemsjs_spark.ops.joins import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pv"))
+    )
+    out = asof_join(
+        clicks, purchases, "user_id", "ts",
+        right_cols=["pv"], right_prefix="purchase_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("purchase_ts"),
+        F.round("purchase_pv", 6).alias("purchase_value"),
+    )
+
+
+def _q_turn_latency(spark, sf_dir):
+    """Response-latency analytics over the transcript corpus: per
+    role-transition gap stats (n, mean, exact p50, max seconds) — one
+    conversation-bounded lag window + a |roles|² groupBy."""
+    return conv_ops.turn_latency(_tx_df(spark, sf_dir))
+
+
+def _q_quality_domain_filter(spark, sf_dir):
+    """FineWeb-style per-domain quality-quantile gate: keep each
+    source's documents at or above its OWN q25 quality threshold
+    (dimension-sized threshold table, broadcast join — no corpus
+    self-join)."""
+    return text_ops.quality_quantile_filter(
+        _documents(spark, sf_dir), group_col="source", q=0.25
+    )
+
+
 def _q_tool_chains(spark, sf_dir):
     """Tool-chain mining over agent transcripts: which ordered tool
     sequences do conversations run, and how often. The tool column is
@@ -2935,11 +2983,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": _q_sessionize,
         "neardup_jaccard_pairs": _q_neardup_pairs,
         "neardup_clusters": _q_dedup_clusters,
-        # smoothed bigram-LM perplexity proxy (CCNet-style fluency
-        # filter) — dedup_simhash's slot; the dedup family keeps four
-        # reported rows (jaccard, clusters, decontaminate, incremental)
-        # and simhash stays a below-window driver row
-        "bigram_logprob": _q_bigram_logprob,
+        # as-of (point-in-time) temporal join — a NEW operator family
+        # (Spark has no ASOF built-in; union-merge plan vs DuckDB's
+        # native ASOF LEFT JOIN) — takes bigram_logprob's slot; the
+        # fluency/perplexity family stays reported via quality_lr_score
+        # and bigram_logprob stays a below-window driver row
+        "asof_last_purchase": _q_asof_last_purchase,
         "decontaminate_vs_holdout": _q_decontaminate,
         "domain_mixture_sample": _q_mixture_sample,
         # distributed k-means (clustering family) takes repetition_signals'
@@ -2983,6 +3032,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_correlation": _q_rank_correlation,
         "role_transitions": _q_role_transitions,
         "bucket_anomalies": _q_bucket_anomalies,
+        # per-transition response-latency stats (conversation analytics
+        # family, reported in-window via conversation_stats) and the
+        # FineWeb-style per-domain quality-quantile gate (quality family,
+        # reported in-window via quality_lr_score); bigram_logprob moved
+        # here when the as-of join took its window slot
+        "turn_latency_stats": _q_turn_latency,
+        "quality_domain_filter": _q_quality_domain_filter,
+        "bigram_logprob": _q_bigram_logprob,
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
         "transcripts_time_range": _q_transcripts_time_range,
@@ -4483,6 +4540,63 @@ SELECT bucket, n, round((n - mean) / std, 6) AS zscore FROM (
                          * (s::DOUBLE / nb::DOUBLE), 0.0)) AS std
   FROM b, m
 ) WHERE std > 0 AND abs(round((n - mean) / std, 6)) >= {_ANOM_Z}
+"""
+
+    # as-of temporal join: DuckDB's NATIVE ASOF LEFT JOIN vs the
+    # engine's union-merge window plan — the purchase side is deduped
+    # to one row per (user, ts) so both ASOF semantics are deterministic
+    sqls["asof_last_purchase"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts AS purchase_ts, max_by(value, event_id) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, r0.purchase_ts,
+       round(r0.v, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r0
+  ON l.user_id = r0.user_id AND r0.purchase_ts <= l.ts
+"""
+
+    # per-transition response latency: same lag window, gaps in epoch
+    # seconds, exact median via quantile_cont (Catalyst percentile's
+    # linear-interpolation twin)
+    sqls["turn_latency_stats"] = f"""
+WITH c AS ({_TX_CORPUS_SQL}),
+p AS (
+  SELECT lag(role) OVER w AS role_from, role AS role_to,
+         (ts_epoch - lag(ts_epoch) OVER w)::DOUBLE AS gap_s
+  FROM c
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT role_from, role_to, count(*)::BIGINT AS n,
+       round(avg(gap_s), 6) AS mean_s,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       round(max(gap_s), 6) AS max_s
+FROM p WHERE role_from IS NOT NULL
+GROUP BY role_from, role_to
+"""
+
+    # per-domain quality-quantile gate: quality formula restated, q25
+    # threshold per source via quantile_cont over the rounded scores
+    sqls["quality_domain_filter"] = """
+WITH s AS (
+  SELECT doc_id, source,
+         round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')))
+               + 0.5 * least(len(string_split(text, ' '))::DOUBLE / 50.0,
+                             1.0), 6) AS quality
+  FROM documents
+),
+t AS (
+  SELECT source, round(quantile_cont(quality, 0.25), 6) AS q_threshold
+  FROM s GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality, t.q_threshold
+FROM s JOIN t USING (source)
+WHERE s.quality >= t.q_threshold
 """
 
     # Flesch reading ease: same three regexes, same formula shape

@@ -379,3 +379,41 @@ def role_transitions(
             6,
         ),
     )
+
+
+def turn_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-transition response-latency stats: for every consecutive-turn
+    role transition (user→assistant, assistant→tool, …) aggregate the
+    gap in seconds between the two turns' timestamps — the "how long do
+    responses take after which kind of turn" monitoring question over
+    agent transcripts. Returns ``(role_from, role_to, n, mean_s, p50_s,
+    max_s)``; seconds come from unix-timestamp differences (exact
+    integers for whole-second data) and the float columns round to 6
+    decimals.
+
+    Plan shape mirrors :func:`role_transitions`: ONE lag window bounded
+    by conversation length, then a groupBy over the |roles|² transition
+    keys. ``p50`` uses Catalyst's exact ``percentile`` — safe because
+    each group buffers only its own gap list during aggregation and the
+    transition key space is tiny; swap to ``approx_percentile`` if a
+    corpus ever concentrates 10^12 turns on a handful of transitions
+    (`ops/stats.py` documents the same trade)."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    ep = F.unix_timestamp(F.col(ts_col)).cast("double")
+    pairs = df.select(
+        F.lag(role_col).over(w).alias("role_from"),
+        F.col(role_col).alias("role_to"),
+        (ep - F.lag(ep).over(w)).alias("gap_s"),
+    ).filter(F.col("role_from").isNotNull())
+    return pairs.groupBy("role_from", "role_to").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("gap_s"), 6).alias("mean_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.max("gap_s"), 6).alias("max_s"),
+    )

@@ -600,3 +600,39 @@ def readability(
         n_syll.cast("int").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    q: float = 0.25,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-domain quality-quantile gate (the FineWeb/CCNet-style curation
+    step): score every document with :func:`quality_score`, compute each
+    domain's ``q``-quantile of the (6-decimal-rounded) score, and keep
+    documents at or above their OWN domain's threshold — an absolute
+    cutoff would silently drop whole domains whose style scores low
+    (code, forums) while a per-domain quantile removes each domain's
+    worst tail. Returns the kept rows as ``(doc_id, <group>, quality,
+    q_threshold)``.
+
+    Plan: one map-side-combined groupBy for the threshold table —
+    DIMENSION-sized (one row per domain) — broadcast-joined back onto
+    the scored corpus; no corpus self-join, no window over the corpus.
+    ``exact=True`` uses Catalyst's linear-interpolation ``percentile``
+    (bit-matches DuckDB ``quantile_cont`` on the 6-decimal grid — same
+    trade as `ops/stats.py`); ``exact=False`` swaps in
+    ``approx_percentile`` for corpora where a single domain's value
+    buffer shouldn't live in one aggregation state."""
+    scored = quality_score(df, text_col)
+    fn = "percentile" if exact else "approx_percentile"
+    thr = scored.groupBy(group_col).agg(
+        F.round(F.expr(f"{fn}(quality, {q!r})"), 6).alias("q_threshold")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col("quality") >= F.col("q_threshold"))
+        .select("doc_id", group_col, "quality", "q_threshold")
+    )

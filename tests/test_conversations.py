@@ -272,3 +272,30 @@ def test_role_transitions_probability_splits(spark):
     }
     assert got[("user", "assistant")] == 0.5
     assert got[("user", "tool")] == 0.5
+
+
+def test_turn_latency_stats(spark):
+    from itemsjs_spark.ops.conversations import turn_latency
+
+    rows = [
+        # conv a: user->assistant gaps 10 and 30, assistant->user gap 4
+        ("a", 0, "user", _ts(0)), ("a", 1, "assistant", _ts(10)),
+        ("a", 2, "user", _ts(14)), ("a", 3, "assistant", _ts(44)),
+        # conv b: isolated; its first turn never pairs with conv a's last
+        ("b", 0, "user", _ts(3)), ("b", 1, "assistant", _ts(8)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {
+        (r["role_from"], r["role_to"]): r
+        for r in turn_latency(df).collect()
+    }
+    ua = got[("user", "assistant")]
+    assert ua["n"] == 3
+    assert ua["mean_s"] == 15.0       # (10 + 30 + 5) / 3
+    assert ua["p50_s"] == 10.0
+    assert ua["max_s"] == 30.0
+    assert got[("assistant", "user")]["n"] == 1
+    assert got[("assistant", "user")]["p50_s"] == 4.0
+    assert len(got) == 2

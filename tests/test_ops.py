@@ -810,3 +810,32 @@ def test_bucket_anomalies_planted_spike(spark):
     assert (r["bucket"], r["n"], r["zscore"]) == (3600 * 4, 21, 2.0)
     # raising the threshold past the spike flags nothing
     assert bucket_anomalies(df, "ts", 3600, z=2.1).count() == 0
+
+
+def test_quality_quantile_filter_per_domain(spark):
+    from itemsjs_spark.ops.text import quality_quantile_filter
+
+    # domain A: richer texts; domain B: uniformly poor — an absolute
+    # cutoff would drop B entirely, the per-domain gate keeps B's best
+    rows = [
+        (0, "A", "alpha beta gamma delta epsilon zeta"),
+        (1, "A", "one two three four"),
+        (2, "A", "x x x x x x x x"),
+        (3, "A", "mixed bag of a few words words"),
+        (4, "B", "y y"),
+        (5, "B", "z z z"),
+        (6, "B", "p q"),
+        (7, "B", "r r r r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = quality_quantile_filter(df, q=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # both domains survive, each losing its own worst tail
+    assert by_src.get("B"), "per-domain gate must keep some of domain B"
+    assert by_src.get("A")
+    assert 2 not in by_src["A"]          # A's all-repeat doc is its tail
+    # every kept row satisfies its own threshold
+    for r in kept:
+        assert r["quality"] >= r["q_threshold"]
