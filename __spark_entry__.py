@@ -2214,6 +2214,27 @@ def _q_quality_domain_filter(spark, sf_dir):
     )
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition (`ops/pipeline.py::curate`):
+    exact-dedup → langid gate → quality gate → PII scrub, ONE chained
+    plan with a first-match drop reason per input row. The input plants
+    both failure modes the raw synthetic corpus lacks: the PII inject
+    (so the scrub masks something) runs FIRST, then every doc_id % 97
+    row is duplicated under a shifted id (same injected text — so the
+    canonical-min dedup stage fires on real byte-identical copies)."""
+    from itemsjs_spark.ops.pipeline import curate
+
+    base = (
+        _documents(spark, sf_dir)
+        .withColumn("text", F.expr(_PII_INJECT))
+        .select("doc_id", "source", "text")
+    )
+    dups = base.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return curate(base.unionByName(dups), min_quality=0.55)
+
+
 def _q_tool_chains(spark, sf_dir):
     """Tool-chain mining over agent transcripts: which ordered tool
     sequences do conversations run, and how often. The tool column is
@@ -3039,6 +3060,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here when the as-of join took its window slot
         "turn_latency_stats": _q_turn_latency,
         "quality_domain_filter": _q_quality_domain_filter,
+        # one-plan composition of the proven curation stages (each stage
+        # family reported in-window: dedup_exact semantics via
+        # neardup/incremental rows, langid_learned, quality_lr_score,
+        # pii_scrub)
+        "curation_pipeline": _q_curation_pipeline,
         "bigram_logprob": _q_bigram_logprob,
         "facet_counts": _q_facet_counts,
         "facet_counts_crossed": _q_facet_counts_crossed,
@@ -4203,6 +4229,46 @@ SELECT doc_id,
        regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                       '{URL_RE}', '<URL>', 'g') AS scrubbed_text
 FROM t
+"""
+
+    # curation_pipeline: the same stage formulas restated over the same
+    # planted input (PII inject FIRST, then %97 duplicates under shifted
+    # ids — byte-identical texts so the md5-canonical window fires)
+    sqls["curation_pipeline"] = f"""
+WITH base AS (
+  SELECT doc_id, {_PII_INJECT} AS text FROM documents
+),
+inp AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 97 = 0
+),
+feat AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+         round(len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_LANGID_STOPS})))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')))
+               + 0.5 * least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0),
+               6) AS quality
+  FROM inp
+),
+staged AS (
+  SELECT doc_id, quality,
+         CASE WHEN stopword_ratio >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred,
+         CASE WHEN doc_id <> canon THEN 'exact_dup'
+              WHEN stopword_ratio < 0.03 THEN 'lang'
+              WHEN quality < 0.55 THEN 'quality' END AS drop_reason,
+         text
+  FROM feat
+)
+SELECT doc_id, drop_reason, lang_pred, quality,
+       CASE WHEN drop_reason IS NULL THEN
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{URL_RE}', '<URL>', 'g') END AS scrubbed_text
+FROM staged
 """
 
     fcols = ", ".join(
