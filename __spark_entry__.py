@@ -1608,6 +1608,15 @@ def _q_embedding_neardup(spark, sf_dir):
     )
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization (`ops/embeddings.py::quantize_int8`):
+    one d-row min/max aggregate + map-only per-dimension affine
+    quantize, with the vector's worst dequantization error. The oracle
+    restates the identical (v-mn)/(mx-mn)*255 decision grid."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb_ops.quantize_int8(e)
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -3130,6 +3139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index → ML-features bridge (tf·idf family reported via
         # top_terms_per_group)
         "doc_tfidf_vectors": _q_doc_vectors,
+        # embedding compression (family reported in-window via the ANN
+        # rows): per-dimension affine int8 scalar quantization
+        "embedding_quantize_int8": _q_embedding_quantize,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -4492,6 +4504,30 @@ idf AS (
 SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS weight
 FROM tf JOIN idf USING (term)
 """
+    # int8 scalar quantization: the identical per-dimension affine grid
+    # (round half away from zero on non-negative doubles in both engines)
+    sqls["embedding_quantize_int8"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+st AS (
+  SELECT t.i AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)
+  GROUP BY t.i
+),
+qd AS (
+  SELECT e.vec_id, t.i AS i, v[t.i] AS val, st.mn, st.mx,
+         CASE WHEN st.mx - st.mn = 0 THEN 0
+              ELSE least(255.0, greatest(0.0,
+                     round((v[t.i] - st.mn) / (st.mx - st.mn) * 255, 0)))::INTEGER
+         END AS q0
+  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)
+  JOIN st ON st.pos = t.i
+)
+SELECT vec_id,
+       list(q0 - 128 ORDER BY i) AS qvec,
+       round(max(abs(val - (mn + q0::DOUBLE / 255.0 * (mx - mn)))), 6) AS max_abs_err
+FROM qd GROUP BY vec_id
+"""
+
     sqls["tool_chain_topk"] = _TOOL_CHAINS_SQL
 
     # calendar week histogram: date_trunc boundaries (Mondays), epoch s

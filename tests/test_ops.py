@@ -839,3 +839,37 @@ def test_quality_quantile_filter_per_domain(spark):
     # every kept row satisfies its own threshold
     for r in kept:
         assert r["quality"] >= r["q_threshold"]
+
+
+def test_quantize_int8_range_and_error_bound(spark, emb):
+    out = embeddings.quantize_int8(emb).collect()
+    assert len(out) == emb.count()
+    dim = len(out[0]["qvec"])
+    # per-dim scale bound: worst dequant error <= (mx-mn)/255/2 + rounding
+    stats = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg((F.max("v") - F.min("v")).alias("scale"))
+        .collect()
+    )
+    bound = max(r["scale"] for r in stats) / 255.0 / 2.0 + 1e-6
+    for r in out:
+        assert len(r["qvec"]) == dim
+        assert all(-128 <= q <= 127 for q in r["qvec"])
+        assert r["max_abs_err"] <= bound
+    # the per-dim extremes hit the endpoints of the int8 range
+    mins = [min(r["qvec"][i] for r in out) for i in range(dim)]
+    maxs = [max(r["qvec"][i] for r in out) for i in range(dim)]
+    assert all(m == -128 for m in mins)
+    assert all(m == 127 for m in maxs)
+
+
+def test_quantize_int8_constant_dim_is_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [3.5, 0.0]), (2, [3.5, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in embeddings.quantize_int8(df).collect()}
+    # constant dim quantizes to code 0-128 with zero error
+    assert out[1]["qvec"][0] == -128 and out[2]["qvec"][0] == -128
+    assert out[1]["qvec"] == [-128, -128] and out[2]["qvec"] == [-128, 127]
+    assert out[1]["max_abs_err"] == 0.0 and out[2]["max_abs_err"] == 0.0
