@@ -1617,6 +1617,22 @@ def _q_embedding_quantize(spark, sf_dir):
     return emb_ops.quantize_int8(e)
 
 
+_PCA_ITERS = 10
+
+
+def _q_pca_project(spark, sf_dir):
+    """PCA dim-reduction (`ops/embeddings.py::pca_power_fit/project`):
+    one Arrow partial-Gram corpus pass + driver-side deterministic
+    power iteration (10 steps x 2 components, Hotelling deflation, all
+    decisions rounded 6), then a map-only broadcast-literal projection.
+    The oracle unrolls the identical steps as plain CTE stages — like
+    kmeans, the contract is the fixed iteration schedule, portable
+    across engines."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    mu, comps = emb_ops.pca_power_fit(e, n_components=2, iters=_PCA_ITERS)
+    return emb_ops.pca_project(e, mu, [v for _, v in comps])
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -3139,9 +3155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index → ML-features bridge (tf·idf family reported via
         # top_terms_per_group)
         "doc_tfidf_vectors": _q_doc_vectors,
-        # embedding compression (family reported in-window via the ANN
-        # rows): per-dimension affine int8 scalar quantization
+        # embedding compression + dim reduction (family reported
+        # in-window via the ANN rows)
         "embedding_quantize_int8": _q_embedding_quantize,
+        "embedding_pca_project": _q_pca_project,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -4527,6 +4544,91 @@ SELECT vec_id,
        round(max(abs(val - (mn + q0::DOUBLE / 255.0 * (mx - mn)))), 6) AS max_abs_err
 FROM qd GROUP BY vec_id
 """
+
+    # PCA power method unrolled: float mean/gram/cov stages (each value
+    # rounded to 6), then the ITERATION in exact integer micro-units —
+    # with every input on the 1e-6 grid, float matvec sums land exactly
+    # on decimal rounding ties (x0=0.125 puts ~25% of step-1 values on
+    # one) and the normalize amplifies each cross-engine tie-flip ~70x,
+    # so the iteration uses BIGINT/HUGEINT round-half-away division
+    # (order-independent, exact — identical to pca_power_fit's Python
+    # ints by construction). MATERIALIZED everywhere: the norm
+    # subquery references each stage twice and DuckDB would otherwise
+    # inline the whole chain exponentially.
+    def _rdiv_sql(a: str, b: int) -> str:
+        return (
+            f"CASE WHEN {a} >= 0 THEN (2 * ({a}) + {b}) // {2 * b} "
+            f"ELSE -(((-2) * ({a}) + {b}) // {2 * b}) END"
+        )
+
+    _pca_parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "mu AS MATERIALIZED (SELECT t.i AS i, round(avg(v[t.i]), 6) AS m FROM e, "
+        "LATERAL unnest(range(1, len(v) + 1)) t(i) GROUP BY 1)",
+        "gr AS MATERIALIZED (SELECT t.i AS i, u.j AS j, round(avg(v[t.i] * v[u.j]), 6) AS g "
+        "FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i), "
+        "LATERAL unnest(range(1, len(v) + 1)) u(j) GROUP BY 1, 2)",
+        "cv0 AS MATERIALIZED (SELECT gr.i, gr.j, "
+        "CAST(round(round(g - a.m * b.m, 6) * 1000000) AS BIGINT) AS c "
+        "FROM gr JOIN mu a ON a.i = gr.i JOIN mu b ON b.i = gr.j)",
+    ]
+    for _c in range(2):
+        _pca_parts.append(
+            f"p{_c}x0 AS MATERIALIZED (SELECT i, "
+            f"CAST(round(1000000.0 / sqrt((SELECT count(*) FROM mu))) AS BIGINT) "
+            f"AS x FROM mu)"
+        )
+        for _t in range(1, _PCA_ITERS + 1):
+            _pca_parts.append(
+                f"p{_c}s{_t} AS MATERIALIZED (SELECT cv.i AS i, sum(cv.c * p.x) AS s "
+                f"FROM cv{_c} cv JOIN p{_c}x{_t - 1} p ON p.i = cv.j GROUP BY 1)"
+            )
+            _pca_parts.append(
+                f"p{_c}w{_t} AS MATERIALIZED (SELECT i, "
+                f"{_rdiv_sql('s', 10**6)} AS w FROM p{_c}s{_t})"
+            )
+            _pca_parts.append(
+                f"p{_c}n{_t} AS MATERIALIZED (SELECT "
+                f"CAST(round(sqrt(sum(w * w)::DOUBLE)) AS BIGINT) AS nm "
+                f"FROM p{_c}w{_t})"
+            )
+            _pca_parts.append(
+                f"p{_c}x{_t} AS MATERIALIZED (SELECT i, "
+                f"CASE WHEN w >= 0 THEN (2 * w * 1000000 + nm) // (2 * nm) "
+                f"ELSE -(((-2) * w * 1000000 + nm) // (2 * nm)) END AS x "
+                f"FROM p{_c}w{_t}, p{_c}n{_t})"
+            )
+        if _c == 0:
+            _pca_parts.append(
+                f"l0 AS MATERIALIZED (SELECT {_rdiv_sql('s', 10**12)} AS l "
+                f"FROM (SELECT sum((cv.c * a.x)::HUGEINT * b.x) AS s "
+                f"FROM cv0 cv JOIN p0x{_PCA_ITERS} a ON a.i = cv.i "
+                f"JOIN p0x{_PCA_ITERS} b ON b.i = cv.j) t)"
+            )
+            _pca_parts.append(
+                f"cv1 AS MATERIALIZED (SELECT i, j, {_rdiv_sql('dd', 10**12)} AS c "
+                f"FROM (SELECT cv.i AS i, cv.j AS j, "
+                f"cv.c * 1000000000000 - (l.l * a.x) * b.x AS dd "
+                f"FROM cv0 cv CROSS JOIN l0 l JOIN p0x{_PCA_ITERS} a ON a.i = cv.i "
+                f"JOIN p0x{_PCA_ITERS} b ON b.i = cv.j) t)"
+            )
+    sqls["embedding_pca_project"] = (
+        "WITH "
+        + ",\n".join(_pca_parts)
+        + f""",
+ctr AS (
+  SELECT e.vec_id, t.i AS i, v[t.i] - mu.m AS cvl
+  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)
+  JOIN mu ON mu.i = t.i
+)
+SELECT ctr.vec_id,
+       round(sum(ctr.cvl * (c0.x / 1000000.0)), 6) AS pc0,
+       round(sum(ctr.cvl * (c1.x / 1000000.0)), 6) AS pc1
+FROM ctr JOIN p0x{_PCA_ITERS} c0 ON c0.i = ctr.i
+JOIN p1x{_PCA_ITERS} c1 ON c1.i = ctr.i
+GROUP BY ctr.vec_id
+"""
+    )
 
     sqls["tool_chain_topk"] = _TOOL_CHAINS_SQL
 

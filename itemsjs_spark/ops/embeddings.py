@@ -616,3 +616,156 @@ def quantize_int8(
             F.array_max(F.transform("__v", _err)), 6
         ).alias("max_abs_err"),
     )
+
+
+def pca_power_fit(
+    corpus: DataFrame,
+    emb_col: str = "embedding",
+    n_components: int = 2,
+    iters: int = 10,
+):
+    """Distributed PCA fit via the deterministic power method: returns
+    ``(mu, [(eigenvalue, component), ...])`` after exactly ``iters``
+    matrix-vector steps per component with Hotelling deflation between
+    components. Like ``kmeans_fit``, the CONTRACT is the fixed
+    iteration schedule, not convergence (convergence follows the
+    eigengap — near-isotropic inputs keep rotating); every decision
+    value is rounded to 6 decimals so an independent engine (the DuckDB
+    oracle unrolls the same steps as plain CTEs) reproduces the
+    components exactly.
+
+    Distributed shape: ONE corpus pass — an Arrow ``mapInPandas`` folds
+    each partition into a d x d partial Gram matrix, per-dim sums and a
+    count with vectorized numpy matmuls (nothing per-row in Python),
+    emitting d^2+d+1 rows per partition; a groupBy sum reduces them and
+    ~d^2 rows reach the driver. The O(d^2 * iters) power iteration runs
+    on the driver — it is dimension-sized, not corpus-sized. At 10^12
+    vectors the cost is the single pass.
+
+    Decision grid shared with the oracle: mu_i = round(S_i/n, 6);
+    gram_ij = round(G_ij/n, 6); cov_ij = round(gram_ij - mu_i*mu_j, 6);
+    then the ITERATION runs in exact integer micro-units (1e-6):
+    c = rint(cov*1e6), v0 = rint(1e6/sqrt(d)), w = rdiv(sum c*v, 1e6),
+    nm = rint(sqrt(sum w^2)), v = rdiv(w*1e6, nm), eigenvalue
+    l = rdiv(sum (c*v_i)*v_j, 1e12), deflation
+    C' = rdiv(c*1e12 - (l*v_i)*v_j, 1e12), where rdiv is
+    round-half-away integer division. Floats cannot carry this
+    portably: with every input on the 1e-6 grid, matvec sums land
+    EXACTLY on decimal rounding ties (x0 = 0.125 puts ~25% of step-1
+    values on a tie) and the normalize divides by a small norm,
+    amplifying each cross-engine tie-flip ~70x per step. Integer
+    arithmetic is order-independent and exact in both engines
+    (BIGINT/HUGEINT in the oracle, Python ints here).
+    """
+    import math
+
+    import numpy as np
+
+    e = corpus.select(F.col(emb_col).cast("array<double>").alias("__v"))
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        G, S, n = None, None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            if G is None:
+                d = X.shape[1]
+                G, S = np.zeros((d, d)), np.zeros(d)
+            G += X.T @ X
+            S += X.sum(axis=0)
+            n += len(X)
+        if n == 0:
+            return
+        d = len(S)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.concat(
+            [
+                pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "s": G.ravel()}),
+                pd.DataFrame({"i": np.arange(d), "j": -1, "s": S}),
+                pd.DataFrame({"i": [-1], "j": [-1], "s": [float(n)]}),
+            ]
+        )
+
+    rows = (
+        e.mapInPandas(gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    n = next(r["s"] for r in rows if r["i"] == -1)
+    sums = {r["i"]: r["s"] for r in rows if r["i"] >= 0 and r["j"] == -1}
+    d = len(sums)
+    mu = np.round(np.array([sums[i] for i in range(d)]) / n, 6)
+    C = np.zeros((d, d))
+    for r in rows:
+        if r["i"] >= 0 and r["j"] >= 0:
+            C[r["i"], r["j"]] = r["s"]
+    C = np.round(np.round(C / n, 6) - (mu[:, None] * mu[None, :]), 6)
+
+    def _ri(v):
+        return (
+            int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+        )
+
+    def _rdiv(a, b):
+        return (2 * a + b) // (2 * b) if a >= 0 else -((-2 * a + b) // (2 * b))
+
+    D6, D12 = 10**6, 10**12
+    Ci = [[_ri(float(C[i, j]) * 1e6) for j in range(d)] for i in range(d)]
+    comps = []
+    for _ in range(int(n_components)):
+        x = [_ri(1e6 / math.sqrt(d))] * d
+        for _ in range(int(iters)):
+            w = [
+                _rdiv(sum(Ci[i][j] * x[j] for j in range(d)), D6)
+                for i in range(d)
+            ]
+            nm = _ri(math.sqrt(float(sum(wi * wi for wi in w))))
+            x = [_rdiv(wi * D6, nm) for wi in w]
+        lam = _rdiv(
+            sum(
+                (Ci[i][j] * x[i]) * x[j]
+                for i in range(d)
+                for j in range(d)
+            ),
+            D12,
+        )
+        comps.append((lam / 1e6, [xi / 1e6 for xi in x]))
+        Ci = [
+            [
+                _rdiv(Ci[i][j] * D12 - (lam * x[i]) * x[j], D12)
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+    return [float(m) for m in mu], comps
+
+
+def pca_project(
+    corpus: DataFrame,
+    mu: Sequence[float],
+    components: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Map-only projection onto fitted components: pc_c =
+    round(sum_i (v_i - mu_i) * x_ci, 6). mu and the components ship as
+    broadcast literals (d doubles each) inside the scan's codegen stage
+    — no join, no shuffle, no Python."""
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    v = F.col(emb_col).cast("array<double>")
+    centered = F.zip_with(v, mu_arr, lambda a, b: a - b)
+    cols = [F.col(id_col)]
+    for c, comp in enumerate(components):
+        x_arr = F.array(*[F.lit(float(x)) for x in comp])
+        s = F.aggregate(
+            F.zip_with(centered, x_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        cols.append(F.round(s, 6).alias(f"pc{c}"))
+    return corpus.select(*cols)

@@ -873,3 +873,42 @@ def test_quantize_int8_constant_dim_is_exact(spark):
     assert out[1]["qvec"][0] == -128 and out[2]["qvec"][0] == -128
     assert out[1]["qvec"] == [-128, -128] and out[2]["qvec"] == [-128, 127]
     assert out[1]["max_abs_err"] == 0.0 and out[2]["max_abs_err"] == 0.0
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    # deterministic anisotropic corpus: dominant direction u with small
+    # deterministic off-axis jitter -> the power method must align pc0
+    # with u and order the components by captured variance
+    import math
+
+    d = 8
+    u = [1.0 / math.sqrt(d)] * d
+    rows = []
+    for t in range(200):
+        a = math.sin(t * 0.7) * 5.0  # dominant coordinate
+        vec = [
+            a * u[i] + 0.1 * math.cos(t * 1.3 + i) for i in range(d)
+        ]
+        rows.append((t, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mu, comps = embeddings.pca_power_fit(df, n_components=2, iters=15)
+    (l1, x1), (l2, x2) = comps
+    cos = abs(sum(a * b for a, b in zip(x1, u)))
+    assert cos > 0.95, cos
+    assert l1 > l2 > 0
+    out = embeddings.pca_project(df, mu, [x1, x2]).collect()
+    n = len(out)
+    v0 = sum(r["pc0"] ** 2 for r in out) / n - (sum(r["pc0"] for r in out) / n) ** 2
+    v1 = sum(r["pc1"] ** 2 for r in out) / n - (sum(r["pc1"] for r in out) / n) ** 2
+    assert v0 > v1
+    # captured variance along x1 tracks the reported eigenvalue
+    assert abs(v0 - l1) < 0.05 * l1
+
+
+def test_pca_components_unit_norm_and_deterministic(spark, emb):
+    mu, comps = embeddings.pca_power_fit(emb, n_components=2, iters=4)
+    for lam, x in comps:
+        nrm = sum(v * v for v in x) ** 0.5
+        assert abs(nrm - 1.0) < 1e-3
+    mu2, comps2 = embeddings.pca_power_fit(emb, n_components=2, iters=4)
+    assert mu == mu2 and comps == comps2
