@@ -1523,6 +1523,33 @@ _PII_INJECT = (
 )
 
 
+# deterministic fenced-code injection (the synthetic corpus carries no
+# markdown): two closed blocks — a tagged python one and an untagged
+# one — plus, on every doc_id % 5 row, a trailing UNCLOSED fence that
+# must never match. The same concat expression runs in the Spark query
+# and the DuckDB oracle.
+_CODE_INJECT = (
+    "concat(text, chr(10), '```python', chr(10), 'print(', doc_id, ')', "
+    "chr(10), 'x = ', doc_id, ' + 1', chr(10), '```', chr(10), 'tail', "
+    "chr(10), '```', chr(10), 'plain block ', doc_id, chr(10), '```', "
+    "CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), '```bash', chr(10), "
+    "'unclosed') ELSE '' END)"
+)
+
+
+# the engine pattern verbatim: backslash-n stays a regex escape in both
+# the Java regex and the RE2 single-quoted SQL literal
+_CODE_FENCE_SQL = text_ops.CODE_FENCE_RE
+
+
+def _q_code_blocks(spark, sf_dir):
+    """Fenced code-block extraction (`ops/text.py::extract_code_blocks`):
+    map-only regexp_extract_all + zip + posexplode, one row per closed
+    block with its info-string language and line count."""
+    df = _documents(spark, sf_dir).withColumn("text", F.expr(_CODE_INJECT))
+    return text_ops.extract_code_blocks(df)
+
+
 def _q_pii_scrub(spark, sf_dir):
     df = _documents(spark, sf_dir).withColumn("text", F.expr(_PII_INJECT))
     return text_ops.pii_scrub(df).select(
@@ -3028,7 +3055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clusters, simhash, decontaminate, incremental)
         "event_sessionize": _q_sessionize,
         "neardup_jaccard_pairs": _q_neardup_pairs,
-        "neardup_clusters": _q_dedup_clusters,
+        # structured extraction (NEW family): fenced code-block mining
+        # over transcripts takes neardup_clusters' window slot — the
+        # dedup family keeps three reported rows (jaccard, decontaminate,
+        # incremental); clustering moves below-window
+        "extract_code_blocks": _q_code_blocks,
         # as-of (point-in-time) temporal join — a NEW operator family
         # (Spark has no ASOF built-in; union-merge plan vs DuckDB's
         # native ASOF LEFT JOIN) — takes bigram_logprob's slot; the
@@ -3085,6 +3116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here when the as-of join took its window slot
         "turn_latency_stats": _q_turn_latency,
         "quality_domain_filter": _q_quality_domain_filter,
+        # near-dup clustering (label propagation) — moved below-window
+        # when extract_code_blocks took its slot; dedup family stays
+        # reported via jaccard/simhash/decontaminate/incremental rows
+        "neardup_clusters": _q_dedup_clusters,
         # one-plan composition of the proven curation stages (each stage
         # family reported in-window: dedup_exact semantics via
         # neardup/incremental rows, langid_learned, quality_lr_score,
@@ -4248,6 +4283,24 @@ SELECT d0.doc_id,
 FROM documents d0
 LEFT JOIN n ON d0.doc_id = n.doc_id
 LEFT JOIN r ON d0.doc_id = r.doc_id
+"""
+
+    # code-block extraction: the same fence pattern (inline-flag DOTALL
+    # group runs identically under Java regex and RE2) over the same
+    # injected input; matches align positionally across the two group
+    # extractions in both engines
+    sqls["extract_code_blocks"] = f"""
+WITH t AS (SELECT doc_id, {_CODE_INJECT} AS text FROM documents),
+m AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_CODE_FENCE_SQL}', 1) AS langs,
+         regexp_extract_all(text, '{_CODE_FENCE_SQL}', 2) AS codes
+  FROM t
+)
+SELECT doc_id, (u.i - 1)::INTEGER AS block_idx,
+       langs[u.i] AS lang, codes[u.i] AS code,
+       len(string_split(codes[u.i], chr(10)))::INTEGER AS n_lines
+FROM m, LATERAL unnest(range(1, len(codes) + 1)) u(i)
 """
 
     sqls["pii_scrub"] = f"""

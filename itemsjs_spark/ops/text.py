@@ -636,3 +636,40 @@ def quality_quantile_filter(
         .filter(F.col("quality") >= F.col("q_threshold"))
         .select("doc_id", group_col, "quality", "q_threshold")
     )
+
+
+# fenced markdown code block: optional info-string language tag, then
+# everything (non-greedy, DOTALL via an inline-flag group so the same
+# pattern runs under Java regex and RE2) up to the closing fence
+CODE_FENCE_RE = "```([A-Za-z0-9_+-]*)\\n((?s:.*?))```"
+
+
+def extract_code_blocks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Structured extraction of fenced markdown code blocks — the
+    standard first step when mining code from agent transcripts /
+    chat corpora. Returns one row per block:
+    ``(id, block_idx, lang, code, n_lines)`` in document order;
+    documents without a closed fence contribute no rows (an unclosed
+    trailing fence never matches).
+
+    Map-only JVM plan: two ``regexp_extract_all`` projections (lang
+    group, body group — matches align positionally by construction)
+    zipped and posexploded inside the scan's codegen stage. No Python,
+    no shuffle, no join: at 10^12 turns the cost is the one corpus
+    pass that reads the text column."""
+    langs = F.regexp_extract_all(F.col(text_col), F.lit(CODE_FENCE_RE), 1)
+    codes = F.regexp_extract_all(F.col(text_col), F.lit(CODE_FENCE_RE), 2)
+    blocks = F.zip_with(
+        langs, codes, lambda l, c: F.struct(l.alias("lang"), c.alias("code"))
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(blocks).alias("block_idx", "__b")
+    ).select(
+        id_col,
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.col("__b.lang").alias("lang"),
+        F.col("__b.code").alias("code"),
+        F.size(F.split("__b.code", "\n")).cast("int").alias("n_lines"),
+    )

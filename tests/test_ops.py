@@ -912,3 +912,26 @@ def test_pca_components_unit_norm_and_deterministic(spark, emb):
         assert abs(nrm - 1.0) < 1e-3
     mu2, comps2 = embeddings.pca_power_fit(emb, n_components=2, iters=4)
     assert mu == mu2 and comps == comps2
+
+
+def test_extract_code_blocks_order_lang_and_unclosed(spark):
+    doc = (
+        "intro\n```python\na = 1\nb = 2\n```\nmiddle\n```\nplain\n```\n"
+        "trailing ```bash\nunclosed"
+    )
+    df = spark.createDataFrame([(1, doc), (2, "no fences here")],
+                               "doc_id long, text string")
+    out = text.extract_code_blocks(df).collect()
+    assert [r["doc_id"] for r in out] == [1, 1]
+    b0, b1 = sorted(out, key=lambda r: r["block_idx"])
+    assert (b0["lang"], b0["code"], b0["n_lines"]) == ("python", "a = 1\nb = 2\n", 3)
+    assert (b1["lang"], b1["code"], b1["n_lines"]) == ("", "plain\n", 2)
+
+
+def test_extract_code_blocks_nongreedy_stops_at_first_fence(spark):
+    doc = "```js\nx\n```\ngap\n```js\ny\n```"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = sorted(text.extract_code_blocks(df).collect(),
+                 key=lambda r: r["block_idx"])
+    assert len(out) == 2
+    assert out[0]["code"] == "x\n" and out[1]["code"] == "y\n"
