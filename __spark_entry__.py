@@ -1541,6 +1541,51 @@ _CODE_INJECT = (
 # the Java regex and the RE2 single-quoted SQL literal
 _CODE_FENCE_SQL = text_ops.CODE_FENCE_RE
 
+# plant WITHIN-doc repetition (the raw synthetic corpus has none): the
+# doc's own text and a shared footer each appear twice
+_PARA_INJECT = (
+    "concat(text, chr(10), chr(10), 'footer boilerplate', chr(10), "
+    "chr(10), text, chr(10), chr(10), 'footer boilerplate')"
+)
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Intra-document paragraph dedup (`ops/text.py::dedup_paragraphs`):
+    keep the first occurrence of each paragraph within its own doc,
+    reassembled in order — the C4/Gopher within-doc step, distinct from
+    corpus-level chunk_dedup."""
+    df = _documents(spark, sf_dir).withColumn("text", F.expr(_PARA_INJECT))
+    return text_ops.dedup_paragraphs(df)
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 512, 20
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (`ops/sketches.py`): the sketch is
+    depth x width counters regardless of vocabulary size — the bounded-
+    memory path exact term counting doesn't have at 10^12 turns. The
+    query returns the exact top-20 terms with BOTH counts so the CMS
+    overestimate guarantee (est >= exact) is visible in the row values;
+    the oracle rebuilds the identical md5-bucketed sketch in SQL."""
+    from itemsjs_spark.ops import sketches
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("term").asc()
+    ).limit(_CMS_TOPK)
+    sk = sketches.cms_build(tok, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = sketches.cms_estimate(
+        top.select("term"), sk, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return top.join(F.broadcast(est), "term").select(
+        "term", "exact_count", "est_count"
+    )
+
 
 def _q_code_blocks(spark, sf_dir):
     """Fenced code-block extraction (`ops/text.py::extract_code_blocks`):
@@ -3120,6 +3165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # when extract_code_blocks took its slot; dedup family stays
         # reported via jaccard/simhash/decontaminate/incremental rows
         "neardup_clusters": _q_dedup_clusters,
+        # within-doc paragraph dedup (C4/Gopher intra-doc step; dedup
+        # family reported in-window) and bounded-memory CMS heavy
+        # hitters (term-frequency family reported via trending_terms)
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # one-plan composition of the proven curation stages (each stage
         # family reported in-window: dedup_exact semantics via
         # neardup/incremental rows, langid_learned, quality_lr_score,
@@ -4283,6 +4333,49 @@ SELECT d0.doc_id,
 FROM documents d0
 LEFT JOIN n ON d0.doc_id = n.doc_id
 LEFT JOIN r ON d0.doc_id = r.doc_id
+"""
+
+    # within-doc paragraph dedup: same split/first-occurrence/reassemble
+    # over the same planted repetition
+    sqls["dedup_paragraphs"] = f"""
+WITH t AS (SELECT doc_id, {_PARA_INJECT} AS text FROM documents),
+s AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras FROM t),
+p AS (SELECT doc_id, u.i AS pos, paras[u.i] AS para, len(paras) AS n_paras
+      FROM s, LATERAL unnest(range(1, len(paras) + 1)) u(i)),
+k AS (SELECT doc_id, pos, para, n_paras FROM (
+        SELECT p.*, min(pos) OVER (PARTITION BY doc_id, para) AS mn FROM p
+      ) WHERE pos = mn)
+SELECT doc_id, max(n_paras)::INTEGER AS n_paras, count(*)::BIGINT AS n_kept,
+       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+    # count-min sketch rebuilt in SQL: identical md5-prefix bucket hash,
+    # identical depth/width, min over rows for the estimates
+    _cms_b = lambda term: (
+        "(" + _hex8_int(f"md5(d.r::VARCHAR || ':' || {term})")
+        + f") % {_CMS_WIDTH}"
+    )
+    sqls["cms_heavy_hitters"] = f"""
+WITH tok AS (
+  SELECT u.t AS term FROM documents,
+  LATERAL unnest(string_split(text, ' ')) u(t) WHERE u.t <> ''
+),
+ex AS (SELECT term, count(*)::BIGINT AS exact_count FROM tok GROUP BY term),
+top AS (SELECT term, exact_count FROM ex
+        ORDER BY exact_count DESC, term ASC LIMIT {_CMS_TOPK}),
+cms AS (
+  SELECT d.r AS r, {_cms_b('term')} AS b, count(*)::BIGINT AS cnt
+  FROM tok, LATERAL unnest(range(0, {_CMS_DEPTH})) d(r)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT t.term, t.exact_count, d.r AS r, {_cms_b('t.term')} AS b
+  FROM top t, LATERAL unnest(range(0, {_CMS_DEPTH})) d(r)
+)
+SELECT p.term, p.exact_count, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+FROM probe p LEFT JOIN cms c ON c.r = p.r AND c.b = p.b
+GROUP BY 1, 2
 """
 
     # code-block extraction: the same fence pattern (inline-flag DOTALL

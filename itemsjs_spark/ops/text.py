@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..analysis.lunr_analysis import STOP_WORDS
@@ -672,4 +672,44 @@ def extract_code_blocks(
         F.col("__b.lang").alias("lang"),
         F.col("__b.code").alias("code"),
         F.size(F.split("__b.code", "\n")).cast("int").alias("n_lines"),
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """WITHIN-document paragraph dedup (the C4/Gopher intra-doc step —
+    distinct from `ops/dedup.py::chunk_dedup`, which removes chunks
+    repeated ACROSS the corpus): split on ``sep``, keep only the FIRST
+    occurrence of each paragraph inside its own document, reassemble in
+    original order. Returns ``(id, n_paras, n_kept, clean_text)``.
+
+    Plan: posexplode -> min(pos) window partitioned by (doc, paragraph)
+    — window state is bounded by a single document's paragraph count,
+    never the corpus — -> one algebraic sort_array(collect_list)
+    reassembly groupBy. Two shuffles both keyed by the document id; at
+    10^12 turns nothing exceeds per-doc state."""
+    w = Window.partitionBy(id_col, "para")
+    parts = F.split(F.col(text_col), sep)
+    p = df.select(
+        F.col(id_col),
+        F.size(parts).cast("int").alias("n_paras"),
+        F.posexplode(parts).alias("pos", "para"),
+    )
+    kept = p.withColumn("mn", F.min("pos").over(w)).filter(
+        F.col("pos") == F.col("mn")
+    )
+    return kept.groupBy(id_col).agg(
+        F.max("n_paras").alias("n_paras"),
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
     )

@@ -935,3 +935,31 @@ def test_extract_code_blocks_nongreedy_stops_at_first_fence(spark):
                  key=lambda r: r["block_idx"])
     assert len(out) == 2
     assert out[0]["code"] == "x\n" and out[1]["code"] == "y\n"
+
+
+def test_dedup_paragraphs_keeps_first_in_order(spark):
+    doc = "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"
+    df = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    r = text.dedup_paragraphs(df).collect()[0]
+    assert (r["n_paras"], r["n_kept"]) == (5, 3)
+    assert r["clean_text"] == "alpha\n\nbeta\n\ngamma"
+
+
+def test_cms_estimate_upper_bounds_exact_counts(spark, docs):
+    from itemsjs_spark.ops import sketches
+
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    sk = sketches.cms_build(tok, depth=4, width=512)
+    assert sk.count() <= 4 * 512
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact"))
+    est = sketches.cms_estimate(exact.select("term"), sk, depth=4, width=512)
+    joined = exact.join(est, "term").collect()
+    assert len(joined) == exact.count()
+    n_total = tok.count()
+    for r in joined:
+        assert r["est_count"] >= r["exact"], r
+        # CMS overestimate bound (loose, deterministic check: the min
+        # over rows can't exceed exact + the total mass in one bucket)
+        assert r["est_count"] <= r["exact"] + n_total
