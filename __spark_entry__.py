@@ -2156,6 +2156,16 @@ def _q_transcripts_topk(spark, sf_dir):
     )
 
 
+def _q_significant_terms(spark, sf_dir):
+    """ES-style significant_terms: terms overrepresented in the
+    role=tool result set vs the whole transcript corpus — foreground
+    docids semi-drive one postings join, lift = (fg·N)/(fgT·bg)."""
+    eng = _tx_engine(spark, sf_dir)
+    return eng.significant_terms(
+        {"filters": {"role": ["tool"]}}, k=15, min_fg=2
+    )
+
+
 def _q_transcripts_hit_context(spark, sf_dir):
     """Context-window retrieval (extension): top-10 hits for the
     north-rule query, each with the ±2 surrounding turns of its
@@ -3170,6 +3180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hitters (term-frequency family reported via trending_terms)
         "dedup_paragraphs": _q_dedup_paragraphs,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        # result-set-vs-corpus term analytics (family reported in-window
+        # via trending_terms / top_terms_per_group)
+        "significant_terms": _q_significant_terms,
         # one-plan composition of the proven curation stages (each stage
         # family reported in-window: dedup_exact semantics via
         # neardup/incremental rows, langid_learned, quality_lr_score,
@@ -4775,6 +4788,28 @@ JOIN p1x{_PCA_ITERS} c1 ON c1.i = ctr.i
 GROUP BY ctr.vec_id
 """
     )
+
+    # significant terms: role=tool restates as doc_id % 3 = 2 in the
+    # transcript derivation; lunr tokenization via the shared stem CASE;
+    # lift divides exact integer products
+    sqls["significant_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY term),
+fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM tok
+       WHERE doc_id % 3 = 2 GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+f AS (SELECT count(*)::DOUBLE AS ft FROM documents WHERE doc_id % 3 = 2)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       round((fg.fg_df::DOUBLE * n.nd) / (f.ft * bg.bg_df::DOUBLE), 6) AS lift
+FROM fg JOIN bg USING (term), n, f
+WHERE fg.fg_df >= 2
+ORDER BY lift DESC, fg.fg_df DESC, fg.term ASC
+LIMIT 15
+"""
 
     sqls["tool_chain_topk"] = _TOOL_CHAINS_SQL
 

@@ -2441,6 +2441,75 @@ class SearchEngine:
         )
         return ranked.filter(F.col("__rn") <= int(k)).drop("__rn")
 
+    def significant_terms(
+        self,
+        input: Optional[Dict[str, Any]] = None,
+        k: int = 10,
+        min_fg: int = 2,
+    ) -> DataFrame:
+        """Significant terms (extension; the ES `significant_terms`
+        aggregation): terms overrepresented in a filtered result set
+        versus the whole corpus — ``(term, fg_df, bg_df, lift)`` with
+        lift = (fg_df·N) / (fg_total·bg_df), ordered by (lift desc,
+        fg_df desc, term asc). ``input`` is the same payload `search`
+        takes (filters / query / range_filters); ``min_fg`` suppresses
+        one-off terms.
+
+        Physical plan: the foreground docid set derives exactly like
+        `result_df` (compiled predicate on the docs scan — pushable
+        columns, no join), then semi-drives ONE join into the postings
+        cache on `_docid` (hash-partitioned by `_docid`: the big side
+        never shuffles), one map-side-combined groupBy(term), a
+        dimension-sized terms join for bg_df, TakeOrdered top-k. Cost ∝
+        the foreground documents' postings — never corpus-squared. The
+        lift's numerator/denominator are exact integer products in
+        doubles, so both engines divide identical values."""
+        idx = self.index
+        if idx.postings is None:
+            raise EngineError(
+                "significant_terms needs row-level postings (blocks-only "
+                "indexes would decode the full store; reopen with postings)"
+            )
+        input = dict(input or {})
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        fg_docs = base.filter(
+            ir_to_column(compiled.final_pred, hits is not None)
+        ).select(DOCID)
+        fg_total = fg_docs.count()
+        if fg_total == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, lift double"
+            )
+        self._ensure_fulltext_materialized()
+        fg = (
+            idx.postings.join(fg_docs, DOCID)
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("fg_df"))
+        )
+        lift = F.round(
+            (F.col("fg_df").cast("double") * F.lit(float(idx.n_docs)))
+            / (F.lit(float(fg_total)) * F.col("df").cast("double")),
+            6,
+        )
+        return (
+            fg.join(idx.terms.select("term", "df"), "term")
+            .filter(F.col("fg_df") >= int(min_fg))
+            .select(
+                "term",
+                "fg_df",
+                F.col("df").cast("long").alias("bg_df"),
+                lift.alias("lift"),
+            )
+            .orderBy(
+                F.col("lift").desc(),
+                F.col("fg_df").desc(),
+                F.col("term").asc(),
+            )
+            .limit(int(k))
+        )
+
     def trending_terms(
         self,
         ts_field: str,

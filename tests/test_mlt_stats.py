@@ -220,3 +220,50 @@ def test_facet_value_suggest_orders_and_cases(spark):
     assert eng.facet_value_suggest("cat", "al", k=1).collect()[0]["key"] == "Alpha"
     with pytest.raises(EngineError, match="unknown facet field"):
         eng.facet_value_suggest("nope", "a")
+
+
+@pytest.fixture(scope="module")
+def sig_eng(spark):
+    # kind=a docs all contain 'jargon'; only one background doc does.
+    items = [
+        {"id": 1, "kind": "a", "text": "jargon shared alpha"},
+        {"id": 2, "kind": "a", "text": "jargon shared beta"},
+        {"id": 3, "kind": "a", "text": "jargon gamma alpha"},
+        {"id": 4, "kind": "b", "text": "shared delta epsilon"},
+        {"id": 5, "kind": "b", "text": "shared zeta eta"},
+        {"id": 6, "kind": "b", "text": "jargon theta iota"},
+    ]
+    return itemsjs_spark(
+        spark,
+        items,
+        {
+            "aggregations": {"kind": {"size": 10}},
+            "searchableFields": ["text"],
+            "custom_id_field": "id",
+        },
+    )
+
+
+def test_significant_terms_lift_and_order(sig_eng):
+    rows = sig_eng.significant_terms(
+        {"filters": {"kind": ["a"]}}, k=10, min_fg=2
+    ).collect()
+    got = {r["term"]: r for r in rows}
+    # jargon: fg 3/3 vs bg 4/6 -> lift (3*6)/(3*4) = 1.5
+    assert got["jargon"]["fg_df"] == 3 and got["jargon"]["bg_df"] == 4
+    assert got["jargon"]["lift"] == pytest.approx(1.5, abs=1e-6)
+    # shared (stems to 'share'): fg 2/3 vs bg 4/6 -> lift 1.0; ranks below
+    assert got["share"]["lift"] == pytest.approx(1.0, abs=1e-6)
+    assert rows[0]["term"] in ("jargon", "alpha")
+    # min_fg=2 suppresses the one-off fg terms (alpha has fg 2 -> kept)
+    assert "gamma" not in got and "beta" not in got
+    assert got["alpha"]["fg_df"] == 2
+    # lift = (2*6)/(3*2) = 2.0 -> alpha actually outranks jargon
+    assert got["alpha"]["lift"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_significant_terms_empty_filter_set(sig_eng):
+    out = sig_eng.significant_terms(
+        {"filters": {"kind": ["nope"]}}, k=5
+    )
+    assert out.count() == 0
