@@ -311,6 +311,9 @@ def headline_queries(spark, eng):
         "ann_lsh_topk",
         "ann_ivf_topk",
         "similar_items",
+        # one-pass chained curation (dedup→langid→quality→PII) — the
+        # end-to-end composition's corpus-pass throughput
+        "curation_pipeline",
     ):
         qs[name] = lambda name=name: Q[name](spark, SF_DIR).count()
     return qs
