@@ -1558,6 +1558,19 @@ def _q_dedup_paragraphs(spark, sf_dir):
     return text_ops.dedup_paragraphs(df)
 
 
+# plant a per-source scrape banner so the LCP strip recovers the body
+_BOILER_INJECT = "concat('HDR[', source, '] :: ', text)"
+
+
+def _q_strip_boilerplate(spark, sf_dir):
+    """Per-group boilerplate strip (`ops/text.py::strip_common_prefix`):
+    the longest common prefix of a source's documents (= LCP of the
+    lexicographic min and max — one dimension-sized aggregate) removed
+    from every document of that source."""
+    df = _documents(spark, sf_dir).withColumn("text", F.expr(_BOILER_INJECT))
+    return text_ops.strip_common_prefix(df)
+
+
 _CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 512, 20
 
 
@@ -3183,6 +3196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result-set-vs-corpus term analytics (family reported in-window
         # via trending_terms / top_terms_per_group)
         "significant_terms": _q_significant_terms,
+        # per-source boilerplate strip (text-cleanup family reported
+        # in-window via normalize_text)
+        "strip_boilerplate": _q_strip_boilerplate,
         # one-plan composition of the proven curation stages (each stage
         # family reported in-window: dedup_exact semantics via
         # neardup/incremental rows, langid_learned, quality_lr_score,
@@ -4346,6 +4362,29 @@ SELECT d0.doc_id,
 FROM documents d0
 LEFT JOIN n ON d0.doc_id = n.doc_id
 LEFT JOIN r ON d0.doc_id = r.doc_id
+"""
+
+    # boilerplate strip: LCP(min, max) per source restated with a
+    # position expansion; single-doc groups and empty bounds guard to 0
+    sqls["strip_boilerplate"] = f"""
+WITH t AS (SELECT doc_id, source, {_BOILER_INJECT} AS text FROM documents),
+d AS (SELECT source, min(text) AS mn, max(text) AS mx, count(*) AS n
+      FROM t GROUP BY source),
+l AS (
+  SELECT d.source,
+         CASE WHEN max(d.n) >= 2 THEN coalesce(
+           min(CASE WHEN substr(d.mn, u.i::INTEGER, 1)
+                         <> substr(d.mx, u.i::INTEGER, 1)
+                    THEN u.i - 1 END),
+           max(least(length(d.mn), length(d.mx))))
+         ELSE 0 END::INTEGER AS prefix_len
+  FROM d, LATERAL unnest(range(1, least(length(mn), length(mx)) + 1)) u(i)
+  GROUP BY d.source
+)
+SELECT t.doc_id, t.source,
+       coalesce(l.prefix_len, 0) AS prefix_len,
+       substr(t.text, coalesce(l.prefix_len, 0) + 1) AS stripped_text
+FROM t LEFT JOIN l USING (source)
 """
 
     # within-doc paragraph dedup: same split/first-occurrence/reassemble

@@ -963,3 +963,26 @@ def test_cms_estimate_upper_bounds_exact_counts(spark, docs):
         # CMS overestimate bound (loose, deterministic check: the min
         # over rows can't exceed exact + the total mass in one bucket)
         assert r["est_count"] <= r["exact"] + n_total
+
+
+def test_strip_common_prefix_per_group(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "HDR :: alpha body"),
+            (2, "s1", "HDR :: beta body"),
+            (3, "s1", "HDR :: gamma"),
+            (4, "s2", "other header | xyz"),
+            (5, "s2", "other header | abc"),
+            (6, "s3", "lonely full text"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in text.strip_common_prefix(df).collect()}
+    assert out[1]["prefix_len"] == len("HDR :: ")
+    assert out[1]["stripped_text"] == "alpha body"
+    assert out[3]["stripped_text"] == "gamma"
+    assert out[4]["prefix_len"] == len("other header | ")
+    assert out[5]["stripped_text"] == "abc"
+    # single-doc groups strip nothing
+    assert out[6]["prefix_len"] == 0
+    assert out[6]["stripped_text"] == "lonely full text"
