@@ -147,6 +147,25 @@ def _ft_query(qtext: str, k: int):
     return run
 
 
+_MSM_Q, _MSM_M, _MSM_K = "spark stream window", 2, 40
+
+
+def _q_fulltext_min_should_match(spark, sf_dir):
+    """OR-mode admission (min_should_match, extension — the reference is
+    strictly conjunctive): docs matching >= 2 of the 3 query tokens,
+    scored by the identical lunr dot product over the matched terms.
+    Same one-aggregation plan as the conjunctive path; the admission is
+    a popcount predicate on the already-aggregated token mask."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.fulltext_hits(_MSM_Q, min_should_match=_MSM_M)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(_MSM_K)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
 def _q_search_after(spark, sf_dir):
     """Keyset pagination (extension): page 2 of 'spark' resumed from
     page 1's last (_score, _id) cursor — a pure filter predicate below
@@ -598,6 +617,7 @@ def _ft_sql(
     qtext: str, k: int, extra_ctes: str = "", corpus: str = "documents",
     id_col: str = "doc_id", fuzzy: bool = False, where_scored: str = "",
     synonyms: Optional[Dict[str, List[str]]] = None,
+    min_match: Optional[int] = None,
 ) -> str:
     """lunr-1.0.0 scoring restated in ANSI SQL over ``corpus`` (a table
     or a CTE defined by ``extra_ctes``) keyed by ``id_col``. ``fuzzy``
@@ -698,7 +718,8 @@ qw1 AS (
 ),
 cand AS (
   SELECT tf.doc_id FROM tf JOIN qw ON tf.term = qw.term
-  GROUP BY tf.doc_id HAVING count(DISTINCT qw.tok_idx) = {n}
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT qw.tok_idx) {f">= {min_match}" if min_match is not None else f"= {n}"}
 ),
 scored AS (
   SELECT tf.doc_id AS _id, sum(qw1.w * tf.tf * qw1.idf) / max(mag.m) AS score
@@ -3060,7 +3081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "training_pairs": _q_training_pairs,
         "top_terms_per_group": _q_top_terms,
-        "related_terms_pmi": _q_related_terms,
+        # min_should_match OR-mode admission (query-semantics family,
+        # NEW: the reference is strictly conjunctive) — takes
+        # related_terms_pmi's slot; term analytics stays reported via
+        # trending_terms + top_terms_per_group
+        "fulltext_min_should_match": _q_fulltext_min_should_match,
         # itemsjs core operators (SURVEY.md §2)
         # plain facet counting (facet_counts) parked below the window —
         # the family stays reported via facet_counts_crossed (same
@@ -3175,6 +3200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
         "rank_correlation": _q_rank_correlation,
+        # PMI co-occurrence analytics (displaced by
+        # fulltext_min_should_match; trending_terms + top_terms_per_group
+        # keep the term-analytics family in-window)
+        "related_terms_pmi": _q_related_terms,
         "role_transitions": _q_role_transitions,
         "bucket_anomalies": _q_bucket_anomalies,
         # per-transition response-latency stats (conversation analytics
@@ -4634,6 +4663,11 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
+    # OR-mode admission: identical lunr scoring SQL, the conjunctive
+    # HAVING = n relaxed to HAVING >= m
+    sqls["fulltext_min_should_match"] = _ft_sql(
+        _MSM_Q, _MSM_K, min_match=_MSM_M
+    )
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

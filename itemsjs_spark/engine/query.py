@@ -797,6 +797,7 @@ class SearchEngine:
         query: str,
         fuzzy: bool = False,
         synonyms: Optional[Dict[str, Sequence[str]]] = None,
+        require_all_tokens: bool = True,
     ) -> Optional[Tuple[scoring.QueryVector, Dict[str, float]]]:
         """Analyze a query against the terms dictionary: tokenize →
         pipeline → prefix-expand → lunr query vector. Driver-side and
@@ -805,7 +806,10 @@ class SearchEngine:
         ``fuzzy`` rewrites dictionary-missing tokens to their nearest
         term first (`_fuzzy_rewrite`); ``synonyms`` then rewrites
         configured tokens to their expansion lists
-        (`_synonym_rewrite`)."""
+        (`_synonym_rewrite`). ``require_all_tokens=False`` (the
+        min_should_match OR path) keeps the vector even when some
+        tokens have no prefix expansion — those tokens simply can
+        never match, which the popcount admission accounts for."""
         idx = self.index
         if idx.terms is None:
             return None
@@ -851,8 +855,13 @@ class SearchEngine:
             expand=lambda tok: by_token[tok],
             idf_of=lambda t: idf_map[t],
         )
-        if not qv.has_some_token or not qv.all_tokens_expandable:
+        if not qv.has_some_token:
+            return None
+        if require_all_tokens and not qv.all_tokens_expandable:
             # a token with no trie path empties the conjunctive intersection
+            return None
+        if not qv.weights:
+            # OR path with zero expandable tokens: nothing can match
             return None
         return qv, idf_map
 
@@ -1171,6 +1180,7 @@ class SearchEngine:
         query: str,
         fuzzy: bool = False,
         synonyms: Optional[Dict[str, Sequence[str]]] = None,
+        min_should_match: Optional[int] = None,
     ) -> DataFrame:
         """DataFrame (_docid, __score) of lunr-ranked hits; ordering is a
         property of the consumer (ORDER BY __score DESC, str(_docid) ASC).
@@ -1181,11 +1191,25 @@ class SearchEngine:
         configured tokens to their expansion lists before scoring
         (`_synonym_rewrite`); both rewrites are driver-side token-list
         transforms, so every downstream plan (expansion, scoring,
-        co-partitioned aggregate) is unchanged."""
+        co-partitioned aggregate) is unchanged.
+
+        ``min_should_match`` (extension beyond the reference — the
+        reference's multi-token queries are strictly conjunctive,
+        SURVEY.md §2.4) switches admission to OR-mode: a doc qualifies
+        when it matches at least ``m`` of the query's token positions
+        (clamped to [1, n_tokens]; m == n_tokens ≡ conjunctive). Scores
+        are the identical lunr dot product over the matched terms only —
+        the admission mask is already aggregated per doc, so the switch
+        is one popcount predicate on the same plan (no extra shuffle)."""
         idx = self.index
         empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
         try:
-            analyzed = self._query_vector(query, fuzzy=fuzzy, synonyms=synonyms)
+            analyzed = self._query_vector(
+                query,
+                fuzzy=fuzzy,
+                synonyms=synonyms,
+                require_all_tokens=min_should_match is None,
+            )
         except _ExpansionTooLarge:
             if synonyms:
                 # the distributed fallback re-analyzes from raw text and
@@ -1195,7 +1219,9 @@ class SearchEngine:
                     "this query's prefix expansion exceeds driver capacity"
                 )
             return self._live(
-                self._fulltext_hits_distributed_expansion(query)
+                self._fulltext_hits_distributed_expansion(
+                    query, min_should_match=min_should_match
+                )
             )
         if analyzed is None:
             return empty
@@ -1277,11 +1303,21 @@ class SearchEngine:
                 F.lit(0.0),
                 lambda acc, x: acc + x["c"],
             ) / F.lit(qv.magnitude)
+        keep = self._admission_pred(full_mask, qv.n_tokens, min_should_match)
         return self._live(
-            per_doc.filter(F.col("mask") == full_mask)
-            .withColumn(SCORE, score)
-            .select(DOCID, SCORE)
+            per_doc.filter(keep).withColumn(SCORE, score).select(DOCID, SCORE)
         )
+
+    @staticmethod
+    def _admission_pred(
+        full_mask: int, n_tokens: int, min_should_match: Optional[int]
+    ) -> Column:
+        """Doc-admission predicate over the aggregated token mask:
+        conjunctive equality by default, popcount ≥ m in OR-mode."""
+        if min_should_match is None:
+            return F.col("mask") == full_mask
+        m = max(1, min(int(min_should_match), n_tokens))
+        return F.bit_count("mask") >= m
 
     def _phrase_field(self, field: Optional[str]) -> Optional[str]:
         """Resolve the text field a phrase query runs over (first
@@ -2679,7 +2715,9 @@ class SearchEngine:
             )
         return d.crossJoin(p).select("n_docs", "n_terms", "n_postings")
 
-    def _fulltext_hits_distributed_expansion(self, query: str) -> DataFrame:
+    def _fulltext_hits_distributed_expansion(
+        self, query: str, min_should_match: Optional[int] = None
+    ) -> DataFrame:
         """Scale path for prefix expansions too large for the driver
         (e.g. a 1-char query against a 10^12-turn vocabulary): the whole
         lunr query vector — expansion, similarity boosts, magnitude,
@@ -2730,7 +2768,9 @@ class SearchEngine:
                 F.count_distinct("tok_idx").alias("nt"),
             ).collect()[0]
             n_distinct = len(set(tokens))
-            if not stats["nt"] or stats["nt"] < n_distinct or not stats["ss"]:
+            if not stats["nt"] or not stats["ss"]:
+                return empty
+            if min_should_match is None and stats["nt"] < n_distinct:
                 # some token has no expansion → conjunctive AND is empty
                 return empty
             magnitude = math.sqrt(float(stats["ss"]))
@@ -2773,10 +2813,9 @@ class SearchEngine:
         score = F.aggregate(
             "contribs", F.lit(0.0), lambda acc, x: acc + x["c"]
         ) / F.lit(magnitude)
+        keep = self._admission_pred(full_mask, len(tokens), min_should_match)
         return (
-            per_doc.filter(F.col("mask") == full_mask)
-            .withColumn(SCORE, score)
-            .select(DOCID, SCORE)
+            per_doc.filter(keep).withColumn(SCORE, score).select(DOCID, SCORE)
         )
 
     def _candidates(
