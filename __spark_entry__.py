@@ -150,6 +150,72 @@ def _ft_query(qtext: str, k: int):
 _MSM_Q, _MSM_M, _MSM_K = "spark stream window", 2, 40
 
 
+# saved-query rules for the percolator row: term rules, a mixed rule,
+# a filters-only routing rule
+_PERC_RULES: List[Dict[str, Any]] = [
+    {"id": "alert_sparkjoin", "query": "spark join"},
+    {"id": "alert_stream_en", "query": "stream window", "filters": {"lang": ["en"]}},
+    {"id": "route_src0", "filters": {"source": ["src0"]}},
+    {"id": "alert_vector", "query": "vector"},
+]
+
+
+def _q_percolate(spark, sf_dir):
+    """Reverse search (percolator, extension): which saved alert rules
+    does each document trigger? Exact-analyzed term conjunction +
+    reference facet-filter semantics; rules broadcast, one postings
+    subset scan + one exploded-facet-key join, a single aggregation
+    (`query.py::percolate`)."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.percolate(_PERC_RULES).select(
+        "query_id", F.col(DOCID).alias("_id")
+    )
+
+
+def _percolate_sql(rules: List[Dict[str, Any]]) -> str:
+    """Restate percolation in SQL: the rules are analyzed with the SAME
+    pipeline at SQL-build time, then matched as VALUES tables against a
+    first-principles re-tokenization of the corpus."""
+    pipeline = build_pipeline()
+    term_vals: List[str] = []
+    facet_vals: List[str] = []
+    n_vals: List[str] = []
+    for rule in rules:
+        qid, units = rule["id"], 0
+        for tok in sorted(set(pipeline(tokenize(rule.get("query") or "")))):
+            term_vals.append(f"('{qid}', '{tok}', 't:{tok}')")
+            units += 1
+        for fld, vs in (rule.get("filters") or {}).items():
+            for v in vs:
+                facet_vals.append(f"('{qid}', '{fld}', '{v}', 'f:{fld}')")
+            units += 1
+        if units:
+            n_vals.append(f"('{qid}', {units})")
+    assert term_vals and facet_vals  # the driver rule set exercises both
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+tr(qid, term, unit) AS (VALUES {', '.join(term_vals)}),
+fr(qid, field, val, unit) AS (VALUES {', '.join(facet_vals)}),
+n(qid, n_units) AS (VALUES {', '.join(n_vals)}),
+sat AS (
+  SELECT tr.qid, dt.doc_id, tr.unit FROM dt JOIN tr ON dt.term = tr.term
+  UNION
+  SELECT fr.qid, d.doc_id, fr.unit FROM documents d
+  JOIN fr ON (CASE fr.field WHEN 'lang' THEN d.lang
+              WHEN 'source' THEN d.source END) = fr.val
+)
+SELECT sat.qid AS query_id, sat.doc_id AS _id
+FROM sat JOIN n ON n.qid = sat.qid
+GROUP BY sat.qid, sat.doc_id, n.n_units
+HAVING count(DISTINCT sat.unit) = n.n_units
+"""
+
+
 def _q_fulltext_min_should_match(spark, sf_dir):
     """OR-mode admission (min_should_match, extension — the reference is
     strictly conjunctive): docs matching >= 2 of the 3 query tokens,
@@ -3076,7 +3142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compose stays reported via transcripts_histogram (same range
         # predicate machinery plus binning)
         "trending_terms": _q_trending_terms,
-        "recency_boosted_topk": _q_recency_boost,
+        # percolator / reverse search (NEW family: stored alert rules
+        # matched against the corpus) — takes recency_boosted_topk's
+        # slot; function-score search stays reported via the fulltext
+        # rows and trending_terms' recency weighting
+        "percolate_queries": _q_percolate,
         "transcripts_histogram": _q_transcripts_histogram,
         "conversation_stats": _q_conversation_stats,
         "training_pairs": _q_training_pairs,
@@ -3200,6 +3270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
         "rank_correlation": _q_rank_correlation,
+        # recency-boosted function-score search (displaced by
+        # percolate_queries; the fulltext family keeps five in-window
+        # rows and trending_terms keeps the recency weighting reported)
+        "recency_boosted_topk": _q_recency_boost,
         # PMI co-occurrence analytics (displaced by
         # fulltext_min_should_match; trending_terms + top_terms_per_group
         # keep the term-analytics family in-window)
@@ -4668,6 +4742,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["fulltext_min_should_match"] = _ft_sql(
         _MSM_Q, _MSM_K, min_match=_MSM_M
     )
+    sqls["percolate_queries"] = _percolate_sql(_PERC_RULES)
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

@@ -2118,6 +2118,102 @@ class SearchEngine:
             .select(F.col(DOCID), s.alias(SCORE))
         )
 
+    def percolate(self, saved: Sequence[Dict[str, Any]]) -> DataFrame:
+        """Reverse search (extension; Elasticsearch-percolator-style):
+        match a dimension-sized table of SAVED queries against the
+        indexed corpus, returning ``(query_id, _docid)`` pairs — the
+        alerting/routing primitive of a streaming ingest pipeline (which
+        stored alerts does each incoming batch trigger?).
+
+        Each saved query is ``{"id", "query"?, "filters"?}``. Semantics:
+        the doc must contain EVERY analyzed token of ``query`` as an
+        exact term (term-level conjunction — no prefix expansion: alert
+        rules want exact analyzed matching, and an expansion per rule ×
+        10^12 turns would be unbounded), and for every ``filters`` field
+        at least one listed value (OR within field, AND across fields,
+        the reference's conjunctive-filter semantics). A rule with
+        neither tokens nor filters matches nothing.
+
+        Plan: rules are analyzed driver-side into requirement units —
+        one unit per distinct term, one per filter field. Term units
+        join the pruned postings subset (term-IN pushdown); filter units
+        join the exploded ``__fk_`` keys of ONLY the involved fields.
+        One union + one (query_id, docid) aggregation whose distinct-
+        unit count must equal the rule's arity: two broadcast joins and
+        a single shuffle regardless of rule count."""
+        idx = self.index
+        term_rows: List[Tuple[str, str, str]] = []  # (qid, term, unit)
+        facet_rows: List[Tuple[str, str, str, str]] = []  # (qid, fld, key, unit)
+        n_units: Dict[str, int] = {}
+        for rule in saved:
+            qid = str(rule["id"])
+            units = 0
+            for tok in sorted(set(self.pipeline(tokenize(rule.get("query") or "")))):
+                term_rows.append((qid, tok, "t:" + tok))
+                units += 1
+            for fld, values in (rule.get("filters") or {}).items():
+                if fld not in idx.facet_fields:
+                    raise EngineError(
+                        "Panic. The key does not exist in facets lists."
+                    )
+                for v in values:
+                    facet_rows.append((qid, fld, js_key(v), "f:" + fld))
+                units += 1
+            if units:
+                n_units[qid] = units
+        spark = self.spark
+        empty = spark.createDataFrame(
+            [], f"query_id string, {DOCID} long"
+        )
+        if not n_units:
+            return empty
+        sats: List[DataFrame] = []
+        if term_rows:
+            tr = spark.createDataFrame(
+                term_rows, "query_id string, term string, unit string"
+            )
+            subset = idx.postings_subset(sorted({t for _, t, _ in term_rows}))
+            sats.append(
+                subset.join(F.broadcast(tr), "term").select(
+                    "query_id", DOCID, "unit"
+                )
+            )
+        if facet_rows:
+            fr = spark.createDataFrame(
+                facet_rows, "query_id string, field string, key string, unit string"
+            )
+            fields = sorted({f for _, f, _, _ in facet_rows})
+            pairs = [
+                self._live(idx.docs)
+                .select(
+                    F.col(DOCID),
+                    F.lit(fld).alias("field"),
+                    F.explode(FK_PREFIX + fld).alias("key"),
+                )
+                for fld in fields
+            ]
+            doc_keys = pairs[0]
+            for p in pairs[1:]:
+                doc_keys = doc_keys.unionByName(p)
+            sats.append(
+                doc_keys.join(F.broadcast(fr), ["field", "key"])
+                .select("query_id", DOCID, "unit")
+                .distinct()
+            )
+        sat = sats[0]
+        for s in sats[1:]:
+            sat = sat.unionByName(s)
+        arity = F.create_map(
+            *[x for q, n in sorted(n_units.items()) for x in (F.lit(q), F.lit(n))]
+        )
+        matched = (
+            sat.groupBy("query_id", DOCID)
+            .agg(F.count_distinct("unit").alias("__n"))
+            .filter(F.col("__n") == arity[F.col("query_id")])
+            .select("query_id", DOCID)
+        )
+        return self._live(matched)
+
     def facet_histogram(
         self,
         field: str,
