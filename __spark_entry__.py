@@ -1687,6 +1687,63 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def _q_hll_cardinality(spark, sf_dir):
+    """HyperLogLog distinct counting (`ops/sketches.py::hll_cardinality`):
+    per-source distinct-token estimate from a 256-register sketch — the
+    bounded-memory answer to COUNT(DISTINCT) at 10^12 turns (the shuffle
+    carries registers, not values). The estimate itself is oracle-exact:
+    deterministic md5 bucketing + integer rank ladder + one IEEE
+    division, so DuckDB reproduces it bit-for-bit; the exact count sits
+    beside it in the row values."""
+    from itemsjs_spark.ops import sketches
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("value")
+    ).filter(F.col("value") != "")
+    est = sketches.hll_cardinality(tok, group_cols=["source"])
+    exact = tok.groupBy("source").agg(
+        F.count_distinct("value").alias("exact_distinct")
+    )
+    return exact.join(est, "source").select(
+        "source", "exact_distinct", "est_distinct"
+    )
+
+
+def _hll_sql() -> str:
+    from itemsjs_spark.ops import sketches
+
+    def hex_int(first: int, n: int) -> str:
+        e = _sql_nib("hx", first)
+        for p in range(first + 1, first + n):
+            e = f"({e} * 16 + {_sql_nib('hx', p)})"
+        return e
+
+    rho = sketches.hll_rho_case_sql(hex_int(3, 8))
+    return f"""
+WITH tok AS (
+  SELECT source, u.t AS value FROM documents,
+  LATERAL unnest(string_split(text, ' ')) u(t) WHERE u.t <> ''
+),
+h AS (SELECT source, md5('hll:' || value) AS hx FROM tok),
+regs AS (
+  SELECT source, {hex_int(1, 2)} AS b, max({rho}) AS mj
+  FROM h GROUP BY 1, 2
+),
+est AS (
+  SELECT source, round({sketches.hll_alpha_num()!r} /
+    (sum(1::BIGINT << (33 - mj))
+     + ({sketches.HLL_M} - count(*)) * (1::BIGINT << 33))::DOUBLE, 6)
+    AS est_distinct
+  FROM regs GROUP BY source
+),
+ex AS (SELECT source, count(DISTINCT value)::BIGINT AS exact_distinct
+       FROM tok GROUP BY source)
+SELECT ex.source, ex.exact_distinct, est.est_distinct
+FROM ex JOIN est USING (source)
+"""
+
+
 def _q_code_blocks(spark, sf_dir):
     """Fenced code-block extraction (`ops/text.py::extract_code_blocks`):
     map-only regexp_extract_all + zip + posexplode, one row per closed
@@ -3166,7 +3223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of facet_counts_crossed — conjunctive facet crossing stays
         # reported via facet_blocks_filter_algebra (the same crossing
         # over the blocks path) and aggregation_endpoint
-        "readability_score": _q_readability,
+        # HyperLogLog distinct counting (sketch family, NEW in-window:
+        # cms_heavy_hitters sits below) — takes readability_score's
+        # slot; the text-quality family stays reported via
+        # quality_lr_score and curation_pipeline
+        "hll_cardinality": _q_hll_cardinality,
         "search_after_page": _q_search_after,
         "disjunctive_bucket_counts": _q_disjunctive_counts,
         "negative_bucket_counts": _q_negative_counts,
@@ -3270,6 +3331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
         "rank_correlation": _q_rank_correlation,
+        # Flesch readability (displaced by hll_cardinality; text-quality
+        # stays reported via quality_lr_score + curation_pipeline)
+        "readability_score": _q_readability,
         # recency-boosted function-score search (displaced by
         # percolate_queries; the fulltext family keeps five in-window
         # rows and trending_terms keeps the recency weighting reported)
@@ -4743,6 +4807,7 @@ FROM x GROUP BY user_id, x.session_idx
         _MSM_Q, _MSM_K, min_match=_MSM_M
     )
     sqls["percolate_queries"] = _percolate_sql(_PERC_RULES)
+    sqls["hll_cardinality"] = _hll_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

@@ -81,3 +81,89 @@ def cms_estimate(
     return joined.groupBy(term_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+#
+# Exact COUNT(DISTINCT) over 10^12 turns needs a value-sized shuffle; a
+# HyperLogLog register file is 2^b max-rank counters regardless of
+# cardinality. This implementation is DETERMINISTIC AND ENGINE-PORTABLE:
+# the bucket is an md5 hex prefix, the rank (rho) is an integer CASE
+# ladder over a 32-bit md5 slice, and the estimate is one IEEE division
+# of exact integers — so an independent engine (the DuckDB oracle)
+# reproduces the ESTIMATE bit-for-bit, which `approx_count_distinct`
+# (Spark's native HLL++) can never offer a hash-equal check for.
+#
+# The reported value is the RAW HLL estimator alpha*m^2/sum(2^-M_j).
+# The small-range (linear-counting) bias correction is deliberately
+# omitted: it needs ln(), whose last-ulp behavior is libm-dependent, so
+# it cannot be cross-engine exact. Callers wanting the corrected figure
+# can apply m*ln(m/V) driver-side from the returned register stats.
+
+HLL_B = 8  # bucket bits -> m = 256 registers, std error ~1.04/sqrt(m) = 6.5%
+HLL_M = 1 << HLL_B
+
+
+def hll_alpha_num(m: int = HLL_M) -> float:
+    """alpha_m * m^2 * 2^33 — the whole numerator as ONE python float,
+    inlined verbatim on both the Spark and the SQL side so the final
+    division is the only floating-point operation."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << 33)
+
+
+def hll_rho_case_sql(x_expr: str) -> str:
+    """Leading-zero rank of a 32-bit integer SQL expression as an
+    integer CASE ladder (1 + #leading zero bits; 33 when x == 0) —
+    shared decision text for any SQL engine."""
+    whens = " ".join(
+        f"WHEN {x_expr} >= {1 << (32 - r)} THEN {r}" for r in range(1, 33)
+    )
+    return f"(CASE {whens} ELSE 33 END)"
+
+
+def _hll_rho(x: Column) -> Column:
+    col = F.when(x >= F.lit(1 << 31), 1)
+    for r in range(2, 33):
+        col = col.when(x >= F.lit(1 << (32 - r)), r)
+    return col.otherwise(33)
+
+
+def hll_cardinality(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: list | None = None,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group distinct-count estimate: (*group_cols, est_distinct).
+
+    Plan: map-only (group, bucket, rho) projection, then TWO bounded
+    aggregations — max(rho) per (group, bucket) (map-side combine caps
+    every task's state at groups x 256 registers however many raw rows
+    it scans) and the per-group register fold. The shuffle carries
+    registers, not values: distinct counting at corpus scale costs one
+    exchange of ~256 rows per group."""
+    g = list(group_cols or [])
+    hx = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(value_col).cast("string"))
+    )
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    x = F.conv(F.substring(hx, 3, 8), 16, 10).cast("long")
+    regs = (
+        df.select(*g, bucket.alias("b"), _hll_rho(x).alias("rho"))
+        .groupBy(*g, "b")
+        .agg(F.max("rho").alias("mj"))
+    )
+    # S = sum over ALL m registers of 2^(33 - M_j); absent buckets have
+    # M_j = 0 and contribute 2^33 each. Exact BIGINT arithmetic
+    # (S <= 256 * 2^33 = 2^41 << 2^63), order-independent.
+    s_total = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - mj)")) + (
+        F.lit(HLL_M) - F.count("*")
+    ) * F.lit(1 << 33)
+    return regs.groupBy(*g).agg(
+        F.round(
+            F.lit(hll_alpha_num()) / s_total.cast("double"), 6
+        ).alias("est_distinct")
+    )

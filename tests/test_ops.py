@@ -986,3 +986,69 @@ def test_strip_common_prefix_per_group(spark):
     # single-doc groups strip nothing
     assert out[6]["prefix_len"] == 0
     assert out[6]["stripped_text"] == "lonely full text"
+
+
+def test_hll_estimate_close_and_duplicate_insensitive(spark):
+    from itemsjs_spark.ops import sketches
+
+    vals = spark.range(0, 2000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("value")
+    )
+    est = sketches.hll_cardinality(vals).collect()[0]["est_distinct"]
+    assert abs(est - 2000) / 2000 < 0.15
+    # duplicates never move a max-rank register
+    dup = vals.union(vals).union(vals)
+    est_dup = sketches.hll_cardinality(dup).collect()[0]["est_distinct"]
+    assert est_dup == est
+
+
+def test_hll_grouped_registers_are_independent(spark):
+    from itemsjs_spark.ops import sketches
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("x"), F.col("id")).alias("value"),
+    )
+    rows = {
+        r["g"]: r["est_distinct"]
+        for r in sketches.hll_cardinality(df, group_cols=["g"]).collect()
+    }
+    assert set(rows) == {"0", "1", "2"}
+    for g, est in rows.items():
+        assert abs(est - 1000) / 1000 < 0.2, (g, est)
+
+
+def test_hll_matches_sql_restatement(spark):
+    import duckdb
+
+    from itemsjs_spark.ops import sketches
+
+    pdf = (
+        spark.range(0, 500)
+        .select(F.concat(F.lit("t"), (F.col("id") % 311)).alias("value"))
+        .toPandas()
+    )
+    got = sketches.hll_cardinality(
+        spark.createDataFrame(pdf)
+    ).collect()[0]["est_distinct"]
+    x = "(strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)"
+    for p in range(4, 11):
+        x = f"({x} * 16 + (strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1))"
+    rho = sketches.hll_rho_case_sql(x)
+    con = duckdb.connect()
+    con.register("vals", pdf)
+    sql = f"""
+WITH h AS (SELECT md5('hll:' || value) AS hx FROM vals),
+regs AS (
+  SELECT (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b,
+         max({rho}) AS mj
+  FROM h GROUP BY 1
+)
+SELECT round({sketches.hll_alpha_num()!r} /
+  (sum(1::BIGINT << (33 - mj)) + (256 - count(*)) * (1::BIGINT << 33))::DOUBLE,
+  6) AS est
+FROM regs
+"""
+    want = con.sql(sql).fetchone()[0]
+    assert got == want
