@@ -1687,6 +1687,71 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_SPAN_L = 5
+# plant a cross-doc duplicated tail on every third document (the
+# canonical first occurrence survives; the copies' tails vanish)
+_SPAN_INJECT = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text,"
+    " ' shared boiler tail one two three four five') ELSE text END"
+)
+
+
+def _q_dedup_spans(spark, sf_dir):
+    """Cross-doc duplicated-span removal (`ops/dedup.py::dedup_spans`):
+    the Lee-et-al exact-substring dedup, token-5-gram approximated —
+    non-canonical occurrences of any corpus-duplicated 5-gram are cut
+    out of the text, first occurrence kept."""
+    df = _documents(spark, sf_dir).withColumn("text", F.expr(_SPAN_INJECT))
+    return dedup_ops.dedup_spans(df, span=_SPAN_L)
+
+
+def _dedup_spans_sql() -> str:
+    leads = " || chr(31) || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, _SPAN_L)]
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split({_SPAN_INJECT}, ' ') AS toks
+           FROM documents),
+tok AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS r
+  FROM (
+    SELECT doc_id, u.i AS i, toks[u.i] AS tok
+    FROM t, LATERAL unnest(range(1, len(toks) + 1)) u(i)
+  ) WHERE tok <> ''
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+occ AS (
+  SELECT doc_id, r, gram FROM (
+    SELECT doc_id, r, {leads} AS gram
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY r)
+  ) WHERE gram IS NOT NULL
+),
+occ2 AS (
+  SELECT doc_id, r,
+         count(*) OVER (PARTITION BY gram) AS cnt,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, r) AS rn
+  FROM occ
+),
+cov AS (
+  SELECT DISTINCT doc_id, r + u.k AS r
+  FROM occ2, LATERAL unnest(range(0, {_SPAN_L})) u(k)
+  WHERE cnt > 1 AND rn > 1
+),
+kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, r)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY r) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(tot.n_tokens, 0)::BIGINT AS n_tokens,
+       (coalesce(tot.n_tokens, 0) - coalesce(agg.n_kept, 0))::BIGINT AS n_dropped,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _q_hll_cardinality(spark, sf_dir):
     """HyperLogLog distinct counting (`ops/sketches.py::hll_cardinality`):
     per-source distinct-token estimate from a 256-register sketch — the
@@ -3237,7 +3302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query-time synonym expansion (rewrite family; spellcheck's
         # fuzzy-suggest slot — the fuzzy rewrite stays reported via
         # fulltext_fuzzy, prefix lookups via suggest_prefix)
-        "synonym_search": _q_synonym_search,
+        # duplicated-SPAN removal (Lee et al. exact-substring dedup,
+        # 5-gram approximated — NEW sub-family: content rewriting, not
+        # pair detection) — takes synonym_search's slot; the query-
+        # rewrite family stays reported via fulltext_fuzzy
+        "dedup_spans": _q_dedup_spans,
         # plain WAND top-k and append-snapshot rows parked below the
         # window: the WAND family stays reported via
         # search_wand_filtered_page (filtered block-max WAND + paging)
@@ -3334,6 +3403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Flesch readability (displaced by hll_cardinality; text-quality
         # stays reported via quality_lr_score + curation_pipeline)
         "readability_score": _q_readability,
+        # query-time synonym expansion (displaced by dedup_spans; the
+        # query-rewrite family stays reported via fulltext_fuzzy)
+        "synonym_search": _q_synonym_search,
         # recency-boosted function-score search (displaced by
         # percolate_queries; the fulltext family keeps five in-window
         # rows and trending_terms keeps the recency weighting reported)
@@ -4808,6 +4880,7 @@ FROM x GROUP BY user_id, x.session_idx
     )
     sqls["percolate_queries"] = _percolate_sql(_PERC_RULES)
     sqls["hll_cardinality"] = _hll_sql()
+    sqls["dedup_spans"] = _dedup_spans_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

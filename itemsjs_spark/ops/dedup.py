@@ -412,3 +412,104 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_overlap") >= F.lit(min_hits))
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), n-gram-approximated: their suffix array
+    finds duplicated byte ranges; here a token ``span``-gram marks a
+    duplicated range, which is what a distributed engine can do in
+    bounded aggregations (a global suffix array is a single giant sort).
+
+    Semantics: tokenize on whitespace (empties dropped, tokens
+    renumbered 0..n-1 per doc); every window of ``span`` consecutive
+    tokens is a gram; a gram occurring more than once corpus-wide is
+    duplicated; its globally FIRST occurrence (min (doc_id, rank)) is
+    canonical and survives; every token covered by any NON-canonical
+    occurrence of a duplicated gram is dropped. Overlapping duplicated
+    grams chain, so a long repeated region disappears wholesale (keeping
+    its first occurrence), exactly like the suffix-array method.
+
+    Returns (id_col, n_tokens, n_dropped, clean_text) for EVERY input
+    row. Plan: one per-doc window (rank + leads — per-doc-bounded
+    state), one gram aggregation (count + algebraic min canonical, so
+    map-side combine bounds the shuffle at distinct-gram size), one
+    join back (each occurrence meets exactly one stats row — no pair
+    expansion; a hot gram costs its own occurrence count, never a
+    product), one anti-join, one per-doc reassembly groupBy."""
+    from pyspark.sql import Window
+
+    sep = "\x1f"
+    w = Window.partitionBy(id_col).orderBy("__p")
+    toks = (
+        df.select(
+            id_col, F.posexplode(F.split(text_col, " ")).alias("__p", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            id_col,
+            "tok",
+            (F.row_number().over(w) - 1).alias("r"),
+            F.count("*").over(Window.partitionBy(id_col)).alias("__n"),
+        )
+    )
+    wr = Window.partitionBy(id_col).orderBy("r")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(wr) for i in range(1, span)
+    ]
+    # concat_ws skips NULLs, so gate on the farthest lead (leads are
+    # monotone within the partition: only the last span-1 ranks lack one)
+    gram = F.when(
+        parts[-1].isNotNull(), F.concat_ws(sep, *parts)
+    ).alias("gram")
+    occ = toks.select(id_col, "r", gram).filter(F.col("gram").isNotNull())
+    stats = (
+        occ.groupBy("gram")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("r"))).alias("__can"),
+        )
+        .filter(F.col("__cnt") > 1)
+    )
+    bad = occ.join(stats, "gram").filter(
+        ~(
+            (F.col(id_col) == F.col(f"__can.{id_col}"))
+            & (F.col("r") == F.col("__can.r"))
+        )
+    )
+    covered = bad.select(
+        id_col, F.explode(F.sequence(F.col("r"), F.col("r") + span - 1)).alias("r")
+    ).distinct()
+    kept = toks.join(covered, [id_col, "r"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.max("__n").alias("n_tokens"),
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("r", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = toks.groupBy(id_col).agg(F.max("__n").alias("__tot"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(agg.drop("n_tokens"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__tot"), F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce(F.col("__tot"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1052,3 +1052,44 @@ FROM regs
 """
     want = con.sql(sql).fetchone()[0]
     assert got == want
+
+
+def test_dedup_spans_drops_non_canonical_cross_doc_repeats(spark):
+    boiler = "the quick brown fox jumps over lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha " + boiler),
+            (2, "beta " + boiler + " tail"),
+            (3, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_spans(df, span=5).collect()}
+    # first occurrence (doc 1) is canonical and survives whole
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["clean_text"] == "alpha " + boiler
+    # doc 2's copy of the whole region chains away via overlapping grams
+    assert out[2]["clean_text"] == "beta tail"
+    assert (out[2]["n_tokens"], out[2]["n_dropped"]) == (10, 8)
+    assert out[3]["n_dropped"] == 0
+
+
+def test_dedup_spans_within_doc_repeat(spark):
+    df = spark.createDataFrame(
+        [(7, "a b c d e f a b c d e f")], "doc_id long, text string"
+    )
+    r = dedup.dedup_spans(df, span=5).collect()[0]
+    assert (r["n_tokens"], r["n_dropped"]) == (12, 6)
+    assert r["clean_text"] == "a b c d e f"
+
+
+def test_dedup_spans_short_docs_untouched_and_all_rows_returned(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, ""), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_spans(df, span=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "tiny doc"
+    assert (out[2]["n_tokens"], out[2]["clean_text"]) == (0, "")
+    assert out[3]["n_dropped"] == 0
