@@ -1687,6 +1687,57 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph (`ops/graph.py`):
+    which states dominate long-run user behavior. Exact integer
+    micro-unit power iteration (3 damped steps), so the oracle — the
+    same iterations unrolled as CTEs — matches every iterate
+    bit-for-bit."""
+    from itemsjs_spark.ops import graph as graph_ops
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return graph_ops.pagerank(edges, iters=3)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    steps = []
+    prev = "p0"
+    for i in range(1, iters + 1):
+        cur = f"p{i}"
+        steps.append(f"""
+{cur} AS (
+  SELECT nd.node,
+         ((150000000 // nn.n) + 85 * coalesce(s.s, 0) // 100)::BIGINT AS pr
+  FROM nd CROSS JOIN nn LEFT JOIN (
+    SELECT w.dst AS node, sum(p.pr * w.w // o.od) AS s
+    FROM w JOIN {prev} p ON p.node = w.src JOIN o ON o.src = w.src
+    GROUP BY w.dst
+  ) s ON s.node = nd.node
+)""")
+        prev = cur
+    return f"""
+WITH e AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+w AS (SELECT src, dst, count(*)::BIGINT AS w FROM e
+      WHERE dst IS NOT NULL GROUP BY 1, 2),
+o AS (SELECT src, sum(w)::BIGINT AS od FROM w GROUP BY 1),
+nd AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
+nn AS (SELECT count(*)::BIGINT AS n FROM nd),
+p0 AS (SELECT node, (1000000000 // nn.n)::BIGINT AS pr FROM nd CROSS JOIN nn),
+{','.join(steps)}
+SELECT node, pr AS pr_micro, round(pr / 1000000000.0, 6) AS pagerank
+FROM {prev}
+"""
+
+
 _SPAN_L = 5
 # plant a cross-doc duplicated tail on every third document (the
 # canonical first occurrence survives; the copies' tails vanish)
@@ -3270,7 +3321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows and trending_terms' recency weighting
         "percolate_queries": _q_percolate,
         "transcripts_histogram": _q_transcripts_histogram,
-        "conversation_stats": _q_conversation_stats,
+        # PageRank (graph-centrality family, NEW) — takes
+        # conversation_stats' slot; conversation analytics stays
+        # reported via event_sessionize + tool_chain_topk
+        "graph_pagerank": _q_pagerank,
         "training_pairs": _q_training_pairs,
         "top_terms_per_group": _q_top_terms,
         # min_should_match OR-mode admission (query-semantics family,
@@ -3400,6 +3454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
         "rank_correlation": _q_rank_correlation,
+        # per-conversation turn stats (displaced by graph_pagerank;
+        # conversation analytics stays reported via event_sessionize and
+        # tool_chain_topk)
+        "conversation_stats": _q_conversation_stats,
         # Flesch readability (displaced by hll_cardinality; text-quality
         # stays reported via quality_lr_score + curation_pipeline)
         "readability_score": _q_readability,
@@ -4881,6 +4939,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["percolate_queries"] = _percolate_sql(_PERC_RULES)
     sqls["hll_cardinality"] = _hll_sql()
     sqls["dedup_spans"] = _dedup_spans_sql()
+    sqls["graph_pagerank"] = _pagerank_sql(3)
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)
