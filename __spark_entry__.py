@@ -1687,6 +1687,27 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def _q_composite_agg(spark, sf_dir):
+    """Composite aggregation (`query.py::composite_buckets`): multi-
+    field buckets over the 'spark' result set, resumed past after-key
+    ('en','src3') — the keyset bucket walk (a filter predicate below
+    the top-size, never an offset scan)."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.composite_buckets(
+        ["lang", "source"], size=12, after=["en", "src3"],
+        input={"query": "spark"},
+    )
+
+
+def _composite_sql() -> str:
+    return f"""
+SELECT d.lang, d.source, count(*)::BIGINT AS doc_count
+FROM documents d JOIN ({_ft_sql("spark", 10**9)}) q ON q._id = d.doc_id
+WHERE (d.lang > 'en') OR (d.lang = 'en' AND d.source > 'src3')
+GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 12
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (`ops/graph.py`):
     which states dominate long-run user behavior. Exact integer
@@ -3454,6 +3475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
         "rank_correlation": _q_rank_correlation,
+        # composite aggregation: keyset-paged multi-field buckets (the
+        # paging family is reported in-window via search_after_page and
+        # aggregation_endpoint)
+        "composite_agg_page": _q_composite_agg,
         # per-conversation turn stats (displaced by graph_pagerank;
         # conversation analytics stays reported via event_sessionize and
         # tool_chain_topk)
@@ -4940,6 +4965,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["hll_cardinality"] = _hll_sql()
     sqls["dedup_spans"] = _dedup_spans_sql()
     sqls["graph_pagerank"] = _pagerank_sql(3)
+    sqls["composite_agg_page"] = _composite_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

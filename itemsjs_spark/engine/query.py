@@ -2292,6 +2292,58 @@ class SearchEngine:
             .agg(F.count("*").alias("doc_count"))
         )
 
+    def composite_buckets(
+        self,
+        fields: Sequence[str],
+        size: int = 10,
+        after: Optional[Sequence[str]] = None,
+        input: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """Composite aggregation (extension; the Elasticsearch composite
+        agg): multi-field buckets — one per combination of the given
+        facet fields' values co-occurring on a document of the filtered
+        result set — ordered by the key tuple ascending, paged by
+        ``after`` (resume strictly past that key tuple). The after-key
+        is a pure filter predicate below the top-``size``, so walking
+        all buckets of a 10^12-turn corpus never offset-scans: page N
+        costs page 1. Multi-valued facet fields contribute one bucket
+        per value combination, matching the reference's explode-at-index
+        semantics. Returns (*fields, doc_count)."""
+        idx = self.index
+        for f in fields:
+            if f not in idx.facet_fields:
+                raise EngineError(
+                    "Panic. The key does not exist in facets lists."
+                )
+        if after is not None and len(after) != len(fields):
+            raise EngineError("after key arity must match fields")
+        input = input or {}
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        flt = base.filter(
+            ir_to_column(compiled.final_pred, hits is not None)
+        )
+        # chained explodes: a map-only generator pipeline (one bucket per
+        # per-doc value combination), then ONE groupBy shuffle
+        cross = flt.select(*[F.col(FK_PREFIX + f) for f in fields])
+        for f in fields:
+            cross = cross.select("*", F.explode(FK_PREFIX + f).alias(f)).drop(
+                FK_PREFIX + f
+            )
+        out = cross.groupBy(*fields).agg(F.count("*").alias("doc_count"))
+        if after is not None:
+            # strict lexicographic "greater than the after tuple"
+            pred = F.lit(False)
+            eqs = F.lit(True)
+            for f, a in zip(fields, after):
+                pred = pred | (eqs & (F.col(f) > F.lit(str(a))))
+                eqs = eqs & (F.col(f) == F.lit(str(a)))
+            out = out.filter(pred)
+        return out.orderBy(*[F.col(f).asc() for f in fields]).limit(
+            int(size)
+        )
+
     def facet_value_suggest(
         self, field: str, prefix: str, k: int = 10
     ) -> DataFrame:
