@@ -1687,6 +1687,50 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_WILDCARD_PAT, _WILDCARD_K = "s?a*", 50
+
+
+def _q_wildcard_search(spark, sf_dir):
+    """Wildcard term search (`query.py::wildcard_hits`): pattern matched
+    against the analyzed dictionary (prefix-pruned range scan), docs
+    score Σ tf·idf over their matching terms."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.wildcard_hits(_WILDCARD_PAT)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(_WILDCARD_K)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
+def _wildcard_sql() -> str:
+    like = _WILDCARD_PAT.replace("*", "%").replace("?", "_")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id, tok.term, count(*)::DOUBLE / max(doclen.n) AS tf
+  FROM tok JOIN doclen USING (doc_id) GROUP BY tok.doc_id, tok.term
+),
+idf AS (
+  SELECT term,
+         1.0 + ln((SELECT count(*)::DOUBLE FROM documents) / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tok GROUP BY term
+),
+m AS (SELECT term, idf FROM idf WHERE term LIKE '{like}')
+SELECT tf.doc_id AS _id, round(sum(m.idf * tf.tf), 6) AS score
+FROM tf JOIN m USING (term)
+GROUP BY tf.doc_id
+ORDER BY score DESC, CAST(tf.doc_id AS VARCHAR) ASC
+LIMIT {_WILDCARD_K}
+"""
+
+
 def _q_composite_agg(spark, sf_dir):
     """Composite aggregation (`query.py::composite_buckets`): multi-
     field buckets over the 'spark' result set, resumed past after-key
@@ -3475,6 +3519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
         "rank_correlation": _q_rank_correlation,
+        # wildcard term search (query-type family reported in-window via
+        # substring_search / fulltext_fuzzy / suggest_prefix)
+        "wildcard_search": _q_wildcard_search,
         # composite aggregation: keyset-paged multi-field buckets (the
         # paging family is reported in-window via search_after_page and
         # aggregation_endpoint)
@@ -4966,6 +5013,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["dedup_spans"] = _dedup_spans_sql()
     sqls["graph_pagerank"] = _pagerank_sql(3)
     sqls["composite_agg_page"] = _composite_sql()
+    sqls["wildcard_search"] = _wildcard_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

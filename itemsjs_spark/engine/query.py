@@ -2292,6 +2292,102 @@ class SearchEngine:
             .agg(F.count("*").alias("doc_count"))
         )
 
+    def wildcard_hits(
+        self, pattern: str, max_expansion: int = 1024
+    ) -> DataFrame:
+        """Wildcard TERM search (extension; the Lucene WildcardQuery):
+        ``*`` = any run, ``?`` = one char, matched against the analyzed
+        term dictionary (terms are post-pipeline, i.e. stemmed — like
+        Lucene, wildcard patterns skip analysis). Docs containing any
+        matching term are returned with score = Σ tf·idf over their
+        matching terms (a wildcard is one token whose expansion is the
+        match set, so expansion union — not conjunction — applies;
+        scoring is the extension's own, there is no lunr wildcard to be
+        parity with).
+
+        Scale: the literal prefix before the first wildcard prunes the
+        term-sorted dictionary to a range scan (the FST-walk analog);
+        the match set is driver-bounded by ``max_expansion`` (a pattern
+        like ``*`` is refused, not silently truncated), then the usual
+        pruned postings-subset join + one aggregation."""
+        idx = self.index
+        empty = self.spark.createDataFrame(
+            [], f"{DOCID} long, {SCORE} double"
+        )
+        if idx.terms is None:
+            return empty
+        self._ensure_fulltext_materialized()
+        pat = pattern.strip().lower()
+        if not pat:
+            return empty
+        like = (
+            pat.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        terms = idx.terms
+        prefix = re.split(r"[*?]", pat, maxsplit=1)[0]
+        if prefix:
+            terms = terms.filter(
+                (F.col("term") >= prefix) & (F.col("term") < prefix + "￿")
+            )
+        matched = (
+            terms.filter(F.col("term").like(like))
+            .select("term", "idf")
+            .limit(max_expansion + 1)
+            .collect()
+        )
+        if len(matched) > max_expansion:
+            raise EngineError(
+                f"wildcard {pattern!r} expands past {max_expansion} terms; "
+                "narrow the pattern (or raise max_expansion)"
+            )
+        if not matched:
+            return empty
+        rows = sorted((r["term"], float(r["idf"])) for r in matched)
+        subset = idx.postings_subset([t for t, _ in rows])
+        if len(rows) <= self.MAX_MAP_LITERAL_TERMS:
+            wmap = F.create_map(
+                *[x for t, w in rows for x in (F.lit(t), F.lit(w))]
+            )
+            tidmap = F.create_map(
+                *[
+                    x
+                    for i, (t, _) in enumerate(rows)
+                    for x in (F.lit(t), F.lit(i))
+                ]
+            )
+            joined = subset.withColumn("w", wmap[F.col("term")])
+        else:
+            wdf = self.spark.createDataFrame(rows, "term string, w double")
+            joined = subset.join(F.broadcast(wdf), "term")
+            tidmap = None
+        c = F.col("w") * F.col("tf")
+        if len(rows) <= self.WIDE_SUM_MAX_TERMS:
+            # deterministic fixed-term-order fold (same trick as the
+            # lunr scorer's wide-sum path)
+            joined = joined.withColumn("tid", tidmap[F.col("term")])
+            per_doc = joined.groupBy(DOCID).agg(
+                *[
+                    F.sum(F.when(F.col("tid") == i, c)).alias(f"_c{i}")
+                    for i in range(len(rows))
+                ]
+            )
+            score = F.lit(0.0)
+            for i in range(len(rows)):
+                score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        else:
+            per_doc = joined.groupBy(DOCID).agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("term"), c.alias("c")))
+                ).alias("contribs")
+            )
+            score = F.aggregate(
+                "contribs", F.lit(0.0), lambda acc, x: acc + x["c"]
+            )
+        return self._live(
+            per_doc.withColumn(SCORE, score).select(DOCID, SCORE)
+        )
+
     def composite_buckets(
         self,
         fields: Sequence[str],
