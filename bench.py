@@ -288,6 +288,19 @@ def headline_queries(spark, eng):
     qs["query_plus_facet"] = lambda: eng.result_df(
         {"query": "broadcast join", "filters": {"role": ["assistant"]}}
     ).count()
+    # percolation (reverse search): 8 stored alert rules matched against
+    # the whole corpus in one pass — the alerting primitive's throughput
+    _rules = [
+        {"id": "r1", "query": "shuffle partition"},
+        {"id": "r2", "query": "broadcast join"},
+        {"id": "r3", "query": "executor timeout", "filters": {"role": ["assistant"]}},
+        {"id": "r4", "query": "scan", "filters": {"tool": ["bash"]}},
+        {"id": "r5", "filters": {"tool": ["sql"]}},
+        {"id": "r6", "query": "stage retry"},
+        {"id": "r7", "query": "checkpoint"},
+        {"id": "r8", "query": "skew salt", "filters": {"role": ["user"]}},
+    ]
+    qs["percolate_8rules"] = lambda: eng.percolate(list(_rules)).count()
     # BPE: merges train once (driver-side over the bounded word-frequency
     # table — untimed setup); the TIMED part is the Arrow-batched apply
     from pyspark.sql import functions as F
