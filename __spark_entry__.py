@@ -1752,6 +1752,30 @@ GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 12
 """
 
 
+def _q_facet_rollup(spark, sf_dir):
+    """Hierarchical facet rollup (`query.py::facet_rollup`): doc counts
+    at (lang, source), (lang,) and () over the 'spark' result set in
+    ONE pass — Catalyst's Expand under rollup(), one shuffle for all
+    levels (the reference recomputes each bucket surface separately)."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.facet_rollup(["lang", "source"], input={"query": "spark"})
+
+
+def _facet_rollup_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT d.lang, d.source
+  FROM documents d JOIN ({_ft_sql("spark", 10**9)}) q ON q._id = d.doc_id
+)
+SELECT lang, source, 2 AS level, count(*)::BIGINT AS doc_count
+FROM b GROUP BY 1, 2
+UNION ALL
+SELECT lang, NULL, 1, count(*)::BIGINT FROM b GROUP BY 1
+UNION ALL
+SELECT NULL, NULL, 0, count(*)::BIGINT FROM b
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph (`ops/graph.py`):
     which states dominate long-run user behavior. Exact integer
@@ -3519,6 +3543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
         "rank_correlation": _q_rank_correlation,
+        # hierarchical rollup (grouping-sets family; bucket counting is
+        # reported in-window via facet_counts_crossed and the stacked
+        # counter rows)
+        "facet_rollup": _q_facet_rollup,
         # wildcard term search (query-type family reported in-window via
         # substring_search / fulltext_fuzzy / suggest_prefix)
         "wildcard_search": _q_wildcard_search,
@@ -5014,6 +5042,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["graph_pagerank"] = _pagerank_sql(3)
     sqls["composite_agg_page"] = _composite_sql()
     sqls["wildcard_search"] = _wildcard_sql()
+    sqls["facet_rollup"] = _facet_rollup_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

@@ -2440,6 +2440,52 @@ class SearchEngine:
             int(size)
         )
 
+    def facet_rollup(
+        self,
+        fields: Sequence[str],
+        input: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """Hierarchical facet rollup (extension; the reference has no
+        grouping sets — SURVEY.md §2.2): doc counts at every prefix
+        level of the given facet fields — (f1, f2, ...), (f1,), () —
+        in ONE pass (Catalyst's Expand operator under ``rollup()``, one
+        shuffle for all levels; N separate groupBys would rescan the
+        result set N times). ``level`` counts the non-aggregated
+        fields, so a NULL-valued facet key can't masquerade as a
+        subtotal row. Composes with query/filters like every bucket
+        surface. Returns (*fields, level, doc_count)."""
+        idx = self.index
+        for f in fields:
+            if f not in idx.facet_fields:
+                raise EngineError(
+                    "Panic. The key does not exist in facets lists."
+                )
+        input = input or {}
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        flt = base.filter(
+            ir_to_column(compiled.final_pred, hits is not None)
+        )
+        cross = flt.select(*[F.col(FK_PREFIX + f) for f in fields])
+        for f in fields:
+            cross = cross.select("*", F.explode(FK_PREFIX + f).alias(f)).drop(
+                FK_PREFIX + f
+            )
+        n = len(fields)
+        return (
+            cross.rollup(*fields)
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.grouping_id().alias("__gid"),
+            )
+            .select(
+                *fields,
+                (F.lit(n) - F.bit_count("__gid")).cast("int").alias("level"),
+                "doc_count",
+            )
+        )
+
     def facet_value_suggest(
         self, field: str, prefix: str, k: int = 10
     ) -> DataFrame:

@@ -82,3 +82,35 @@ def test_composite_unknown_field_panics(eng):
         eng.composite_buckets(["nope"])
     with pytest.raises(EngineError, match="arity"):
         eng.composite_buckets(["cat", "tag"], after=["x"])
+
+
+def test_facet_rollup_levels(eng):
+    rows = {
+        (r["cat"], r["tag"], r["level"]): r["doc_count"]
+        for r in eng.facet_rollup(["cat", "tag"]).collect()
+    }
+    # leaf level: same combinations as the composite cross
+    assert rows[("x", "a", 2)] == 2 and rows[("y", "c", 2)] == 1
+    # per-cat subtotals count value COMBINATIONS (multi-valued docs
+    # contribute once per tag value)
+    assert rows[("x", None, 1)] == 3  # (1,a),(1,b),(2,a)
+    assert rows[("y", None, 1)] == 3
+    assert rows[("z", None, 1)] == 1
+    # grand total
+    assert rows[(None, None, 0)] == 7
+
+
+def test_facet_rollup_composes_with_filters(eng):
+    rows = {
+        (r["cat"], r["tag"], r["level"]): r["doc_count"]
+        for r in eng.facet_rollup(
+            ["cat", "tag"], input={"filters": {"cat": ["y"]}}
+        ).collect()
+    }
+    assert (None, None, 0) in rows and rows[(None, None, 0)] == 3
+    assert all(c in ("y", None) for c, _, _ in rows)
+
+
+def test_facet_rollup_unknown_field_panics(eng):
+    with pytest.raises(EngineError, match="does not exist in facets"):
+        eng.facet_rollup(["nope"])
