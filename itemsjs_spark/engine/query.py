@@ -2142,22 +2142,22 @@ class SearchEngine:
         unit count must equal the rule's arity: two broadcast joins and
         a single shuffle regardless of rule count."""
         idx = self.index
-        term_rows: List[Tuple[str, str, str]] = []  # (qid, term, unit)
-        facet_rows: List[Tuple[str, str, str, str]] = []  # (qid, fld, key, unit)
+        term_rows: List[Tuple[str, str, int]] = []  # (qid, term, unit id)
+        facet_rows: List[Tuple[str, str, str, int]] = []  # (qid, fld, key, uid)
         n_units: Dict[str, int] = {}
         for rule in saved:
             qid = str(rule["id"])
             units = 0
             for tok in sorted(set(self.pipeline(tokenize(rule.get("query") or "")))):
-                term_rows.append((qid, tok, "t:" + tok))
+                term_rows.append((qid, tok, units))
                 units += 1
             for fld, values in (rule.get("filters") or {}).items():
                 if fld not in idx.facet_fields:
                     raise EngineError(
                         "Panic. The key does not exist in facets lists."
                     )
-                for v in values:
-                    facet_rows.append((qid, fld, js_key(v), "f:" + fld))
+                for k in dict.fromkeys(js_key(v) for v in values):
+                    facet_rows.append((qid, fld, k, units))
                 units += 1
             if units:
                 n_units[qid] = units
@@ -2170,7 +2170,7 @@ class SearchEngine:
         sats: List[DataFrame] = []
         if term_rows:
             tr = spark.createDataFrame(
-                term_rows, "query_id string, term string, unit string"
+                term_rows, "query_id string, term string, unit int"
             )
             subset = idx.postings_subset(sorted({t for _, t, _ in term_rows}))
             sats.append(
@@ -2180,7 +2180,7 @@ class SearchEngine:
             )
         if facet_rows:
             fr = spark.createDataFrame(
-                facet_rows, "query_id string, field string, key string, unit string"
+                facet_rows, "query_id string, field string, key string, unit int"
             )
             fields = sorted({f for _, f, _, _ in facet_rows})
             pairs = [
@@ -2195,20 +2195,32 @@ class SearchEngine:
             doc_keys = pairs[0]
             for p in pairs[1:]:
                 doc_keys = doc_keys.unionByName(p)
-            sats.append(
-                doc_keys.join(F.broadcast(fr), ["field", "key"])
-                .select("query_id", DOCID, "unit")
-                .distinct()
+            fsat = doc_keys.join(F.broadcast(fr), ["field", "key"]).select(
+                "query_id", DOCID, "unit"
             )
+            # a doc can satisfy one filter unit through several values
+            # only on a MULTI-valued facet field — scalar fields emit at
+            # most one key per doc, so the dedup exchange is skipped
+            dtypes = dict(idx.docs.dtypes)
+            if any(
+                dtypes.get(f, "").startswith("array") for f in fields
+            ):
+                fsat = fsat.distinct()
+            sats.append(fsat)
         sat = sats[0]
         for s in sats[1:]:
             sat = sat.unionByName(s)
         arity = F.create_map(
             *[x for q, n in sorted(n_units.items()) for x in (F.lit(q), F.lit(n))]
         )
+        # every branch emits at most ONE row per (rule, doc, unit) — the
+        # term side because (term, docid) is unique in postings and a
+        # rule's term list is distinct, the facet side via .distinct()
+        # (a doc can match several values of one filter field) — so the
+        # arity check is a plain count, no distinct-aggregate machinery
         matched = (
             sat.groupBy("query_id", DOCID)
-            .agg(F.count_distinct("unit").alias("__n"))
+            .agg(F.count("*").alias("__n"))
             .filter(F.col("__n") == arity[F.col("query_id")])
             .select("query_id", DOCID)
         )

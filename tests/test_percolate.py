@@ -120,3 +120,27 @@ def test_percolate_respects_tombstones(spark):
         {"id": "f", "filters": {"cat": ["x"]}},
     ]))
     assert got == {("t", 2), ("f", 2)}
+
+
+def test_multivalued_field_counts_unit_once(spark):
+    items = [
+        {"id": 1, "tags": ["a", "b"], "text": "zebra"},
+        {"id": 2, "tags": ["a"], "text": "zebra"},
+        {"id": 3, "tags": ["c"], "text": "zebra"},
+    ]
+    e = itemsjs_spark(
+        spark,
+        items,
+        {
+            "searchableFields": ["text"],
+            "custom_id_field": "id",
+            "aggregations": {"tags": {}},
+        },
+    )
+    # doc 1 matches BOTH listed values of one field: the unit must count
+    # once, so the rule's arity check still passes (and only once)
+    got = _pairs(e.percolate([
+        {"id": "m", "query": "zebra", "filters": {"tags": ["a", "b"]}},
+        {"id": "dupvals", "filters": {"tags": ["a", "a"]}},
+    ]))
+    assert got == {("m", 1), ("m", 2), ("dupvals", 1), ("dupvals", 2)}
