@@ -1687,6 +1687,60 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_BM25_Q, _BM25_K, _BM25_K1, _BM25_B = "spark join stream", 50, 1.2, 0.75
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """True BM25 mode (`query.py::bm25_topk`): Robertson/Lucene BM25
+    over the opt-in raw-count postings (lunr tf folds doc length away,
+    so the artifact is separate), OR-mode admission. The PARITY scorer
+    stays lunr 1.0.0; this is the standard-IR extra SURVEY.md §2.4
+    calls for."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.bm25_topk(_BM25_Q, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+    return hits.select(
+        F.col(DOCID).alias("_id"), F.round("__score", 6).alias("score")
+    )
+
+
+def _bm25_sql() -> str:
+    pipeline = build_pipeline()
+    toks = sorted(set(pipeline(tokenize(_BM25_Q))))
+    qvals = ", ".join(f"('{t}')" for t in toks)
+    k1p1, one_b = repr(_BM25_K1 + 1.0), repr(1.0 - _BM25_B)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+cnt AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+s AS (SELECT (SELECT sum(dl) FROM dl)::DOUBLE /
+             (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM cnt GROUP BY 1),
+q(tok) AS (VALUES {qvals}),
+w AS (
+  SELECT dfs.term,
+         ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5))
+           AS idf
+  FROM q JOIN dfs ON dfs.term = q.tok
+),
+scored AS (
+  SELECT cnt.doc_id AS _id,
+         sum(w.idf * (cnt.c::DOUBLE * {k1p1})
+             / (cnt.c::DOUBLE
+                + {_BM25_K1!r} * ({one_b}
+                   + {_BM25_B!r} * dl.dl::DOUBLE / s.avgdl))) AS score
+  FROM cnt JOIN w USING (term) JOIN dl USING (doc_id), s
+  GROUP BY cnt.doc_id
+)
+SELECT _id, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
+LIMIT {_BM25_K}
+"""
+
+
 _WILDCARD_PAT, _WILDCARD_K = "s?a*", 50
 
 
@@ -3547,6 +3601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reported in-window via facet_counts_crossed and the stacked
         # counter rows)
         "facet_rollup": _q_facet_rollup,
+        # true-BM25 scoring mode (the parity scorer is lunr 1.0.0 —
+        # reported in-window via every fulltext row; this is the
+        # SURVEY §2.4 standard-IR extra)
+        "bm25_topk": _q_bm25_topk,
         # wildcard term search (query-type family reported in-window via
         # substring_search / fulltext_fuzzy / suggest_prefix)
         "wildcard_search": _q_wildcard_search,
@@ -5043,6 +5101,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["composite_agg_page"] = _composite_sql()
     sqls["wildcard_search"] = _wildcard_sql()
     sqls["facet_rollup"] = _facet_rollup_sql()
+    sqls["bm25_topk"] = _bm25_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

@@ -768,6 +768,74 @@ def tokenize_postings(
     )
 
 
+def bm25_postings(
+    docs: DataFrame,
+    text_fields: Sequence[Tuple[str, float]],
+    configuration: Dict[str, Any],
+) -> DataFrame:
+    """Raw-count postings for the BM25 scoring mode (opt-in; see
+    ``SearchEngine.enable_bm25``): (term, _docid, c, dl) where ``c`` is
+    the term's occurrence count across all searchable fields treated as
+    ONE unboosted stream and ``dl`` that stream's post-pipeline token
+    count. Same Arrow tokenization closure family as
+    ``tokenize_postings`` (identical pipeline flags), so BM25 and lunr
+    modes agree on what a token is. lunr's normalized tf cannot recover
+    these (tf = c/len folds the length away), hence the separate
+    artifact — same opt-in pattern as positional/trigram postings."""
+    pipeline_flags = dict(
+        is_exact_search=bool(configuration.get("isExactSearch")),
+        remove_stop_word_filter=bool(configuration.get("removeStopWordFilter")),
+    )
+    unique_present = list(
+        dict.fromkeys(f for f, _ in text_fields if f in docs.columns)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField(DOCID, T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("dl", T.LongType()),
+        ]
+    )
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from collections import Counter
+
+        pipeline = build_pipeline(**pipeline_flags)
+        for pdf in batches:
+            terms: List[str] = []
+            ids: List[int] = []
+            cs: List[int] = []
+            dls: List[int] = []
+            idvals = pdf[DOCID].tolist()
+            col_map = {f: pdf[f].tolist() for f in unique_present}
+            for i, did in enumerate(idvals):
+                stream: List[str] = []
+                for f in unique_present:
+                    v = col_map[f][i]
+                    if v is not None and not isinstance(v, (list, tuple)):
+                        if isinstance(v, np.ndarray):
+                            v = v.tolist()
+                        elif isinstance(v, float) and math.isnan(v):
+                            v = None
+                    stream.extend(pipeline(tokenize(v)))
+                dl = len(stream)
+                did = int(did)
+                for term, c in Counter(stream).items():
+                    terms.append(term)
+                    ids.append(did)
+                    cs.append(int(c))
+                    dls.append(dl)
+            yield pd.DataFrame(
+                {"term": terms, DOCID: ids, "c": cs, "dl": dls}
+            )
+
+    return docs.select(DOCID, *unique_present).mapInPandas(
+        tok, schema=out_schema
+    )
+
+
 def trigram_postings(docs: DataFrame, field: str) -> DataFrame:
     """DISTINCT (gram, _docid) char-trigram rows of the LOWERCASED raw
     ``field`` text — the substring-search index artifact (pg_trgm

@@ -2400,6 +2400,132 @@ class SearchEngine:
             per_doc.withColumn(SCORE, score).select(DOCID, SCORE)
         )
 
+    def enable_bm25(self) -> None:
+        """Materialize the BM25 scoring artifacts (opt-in, same pattern
+        as enable_positions/enable_trigrams): raw-count postings
+        (term, _docid, c, dl) via `indexer.bm25_postings` — lunr's
+        normalized tf folds the doc length away, so BM25 needs its own
+        pass — plus the per-term document frequencies and the corpus
+        average length. One tokenization job + one dimension aggregate,
+        cached for the engine's lifetime."""
+        if getattr(self, "_bm25cache", None) is not None:
+            return
+        from .indexer import bm25_postings
+
+        idx = self.index
+        counts = bm25_postings(
+            idx.docs, idx.text_fields, idx.configuration
+        ).persist()
+        dfs = counts.groupBy("term").agg(F.count("*").alias("df")).persist()
+        total_dl = (
+            counts.select(DOCID, "dl")
+            .groupBy(DOCID)
+            .agg(F.max("dl").alias("dl"))
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+        ) or 0
+        # Lucene avgdl: total stream tokens / ALL docs (empty docs count)
+        avgdl = float(total_dl) / max(idx.n_docs, 1)
+        self._bm25cache = (counts, dfs, avgdl)
+
+    def release_bm25(self) -> None:
+        cache = getattr(self, "_bm25cache", None)
+        if cache is not None:
+            cache[0].unpersist()
+            cache[1].unpersist()
+            self._bm25cache = None
+
+    def bm25_topk(
+        self,
+        query: str,
+        k: int,
+        k1: float = 1.2,
+        b: float = 0.75,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """True BM25 top-k (extension; SURVEY.md §2.4 — the PARITY
+        scorer is lunr 1.0.0 TF-IDF, this is the standard-IR mode a
+        production deployment would add): Robertson/Lucene BM25 with
+        idf = ln(1 + (N - df + 0.5)/(df + 0.5)) and length-normalized
+        tf saturation, exact analyzed terms (no prefix expansion —
+        BM25 engines match whole terms), OR-mode admission with
+        ``min_should_match`` (Lucene's default 1). Duplicate query
+        tokens collapse (qtf = 1). Plan: term-IN pruned scan of the
+        raw-count postings, map-literal weights, ONE aggregation with
+        the deterministic fixed-term-order fold. Returns
+        (_docid, __score) like the lunr scorer."""
+        empty = self.spark.createDataFrame(
+            [], f"{DOCID} long, {SCORE} double"
+        )
+        tokens = sorted(set(self.pipeline(tokenize(query))))
+        if not tokens:
+            return empty
+        self.enable_bm25()
+        counts, dfs, avgdl = self._bm25cache
+        n = self.index.n_docs
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in dfs.filter(F.col("term").isin(tokens)).collect()
+        }
+        present = [t for t in tokens if t in df_map]
+        if not present:
+            return empty
+        m = max(1, min(int(min_should_match), len(tokens)))
+        idf = {
+            t: math.log(
+                1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5)
+            )
+            for t in present
+        }
+        wmap = F.create_map(
+            *[x for t in present for x in (F.lit(t), F.lit(idf[t]))]
+        )
+        mmap = F.create_map(
+            *[
+                x
+                for i, t in enumerate(present)
+                for x in (F.lit(t), F.lit(1 << i))
+            ]
+        )
+        tidmap = F.create_map(
+            *[x for i, t in enumerate(present) for x in (F.lit(t), F.lit(i))]
+        )
+        subset = counts.filter(F.col("term").isin(present))
+        joined = (
+            subset.withColumn("w", wmap[F.col("term")])
+            .withColumn("mask", mmap[F.col("term")])
+            .withColumn("tid", tidmap[F.col("term")])
+        )
+        c = F.col("c").cast("double")
+        denom = c + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        contrib = F.col("w") * (c * F.lit(k1 + 1.0)) / denom
+        per_doc = joined.groupBy(DOCID).agg(
+            F.bit_or("mask").alias("mask"),
+            *[
+                F.sum(F.when(F.col("tid") == i, contrib)).alias(f"_c{i}")
+                for i in range(len(present))
+            ],
+        )
+        score = F.lit(0.0)
+        for i in range(len(present)):
+            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        out = (
+            self._live(
+                per_doc.filter(F.bit_count("mask") >= m)
+                .withColumn(SCORE, score)
+                .select(DOCID, SCORE)
+            )
+            .orderBy(
+                F.round(F.col(SCORE), 6).desc(),
+                F.col(DOCID).cast("string").asc(),
+            )
+            .limit(int(k))
+        )
+        return out
+
     def composite_buckets(
         self,
         fields: Sequence[str],
