@@ -79,10 +79,23 @@ def read_transcripts(
 
     ``source`` is a catalog table name (contains no ``/``) or a path.
     ``format`` defaults to the catalog for table names and parquet for
-    paths; pass ``"iceberg"`` for path-based Iceberg warehouses.
-    ``options`` forwards reader options (e.g. Iceberg's snapshot-id /
-    as-of-timestamp time travel)."""
+    paths; pass ``"iceberg"`` for path-based Iceberg warehouses, or
+    ``"json"`` / ``"csv"`` for text interchange dumps (the migration
+    path from the reference's JSON item arrays): both read with the
+    EXPLICIT transcript schema — schema inference over a 10^12-turn
+    dump would be a full extra pass AND would type ts as string —
+    and CSV defaults to ``header=true``. ``options`` forwards reader
+    options (e.g. Iceberg's snapshot-id / as-of-timestamp time
+    travel, CSV delimiters, JSON timestampFormat)."""
     reader = spark.read
+    if format in ("json", "csv"):
+        ddl = (
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        reader = reader.schema(ddl)
+        if format == "csv" and "header" not in (options or {}):
+            reader = reader.option("header", "true")
     for k, v in (options or {}).items():
         reader = reader.option(k, str(v))
     try:

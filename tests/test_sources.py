@@ -59,3 +59,40 @@ def test_iceberg_gate_message(spark, corpus_path):
 def test_bad_path_is_a_clear_error(spark):
     with pytest.raises(SourceError, match="cannot read transcript source"):
         read_transcripts(spark, os.path.join("/nonexistent", "x.parquet"))
+
+
+def test_read_jsonl_transcripts_round_trip(spark, corpus_path, tmp_path):
+    base = read_transcripts(spark, corpus_path)
+    jdir = str(tmp_path / "jsonl")
+    base.coalesce(1).write.json(jdir)
+    got = read_transcripts(spark, jdir, format="json")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b
+
+
+def test_read_csv_transcripts_round_trip(spark, corpus_path, tmp_path):
+    base = read_transcripts(spark, corpus_path)
+    cdir = str(tmp_path / "csv")
+    base.coalesce(1).write.option("header", "true").csv(cdir)
+    got = read_transcripts(spark, cdir, format="csv")
+    assert dict(got.dtypes)["turn_idx"] == "int"
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b
+
+
+def test_json_source_feeds_the_engine(spark, corpus_path, tmp_path):
+    from itemsjs_spark.engine import itemsjs_spark
+
+    base = read_transcripts(spark, corpus_path)
+    jdir = str(tmp_path / "jfeed")
+    base.write.json(jdir)
+    eng = itemsjs_spark(
+        spark,
+        read_transcripts(spark, jdir, format="json"),
+        {"aggregations": {"role": {}}, "searchableFields": ["text"]},
+        order_by=["conv_id", "turn_idx"],
+    )
+    assert eng.fulltext_hits("spark").count() > 0
