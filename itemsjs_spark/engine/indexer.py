@@ -345,6 +345,10 @@ class Index:
     # positional_fields)
     trigram: Optional[DataFrame] = None
     trigram_fields: List[str] = dc_field(default_factory=list)
+    # opt-in BM25 raw-count postings (term, _docid, c, dl) — see
+    # `bm25_postings` / `SearchEngine.enable_bm25`; written term-sorted
+    # so query-term selection prunes row groups
+    bm25: Optional[DataFrame] = None
     # durable tombstones (SearchEngine.save_tombstones): a (_docid)
     # table of deleted docs — Lucene's persisted live-docs analog. A
     # reopened engine adopts it, so deletes survive restarts without
@@ -449,6 +453,16 @@ class Index:
                 .sortWithinPartitions("field", "gram", DOCID)
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, "trigram"))
+            )
+        if self.bm25 is not None:
+            (
+                self.bm25.repartitionByRange(
+                    max(self.spark.sparkContext.defaultParallelism, 1),
+                    "term",
+                )
+                .sortWithinPartitions("term", DOCID)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "bm25"))
             )
         if self.tombstones is not None:
             self.tombstones.write.mode("overwrite").parquet(
@@ -563,6 +577,9 @@ class Index:
         trigram = None
         if fs.exists(os.path.join(path, "trigram")):
             trigram = spark.read.parquet(os.path.join(path, "trigram"))
+        bm25 = None
+        if fs.exists(os.path.join(path, "bm25")):
+            bm25 = spark.read.parquet(os.path.join(path, "bm25"))
         tombstones = None
         # "tombstones.new": a save_tombstones crash between delete and
         # rename leaves only the completed .new dir — adopt it (same
@@ -587,6 +604,7 @@ class Index:
             positional_fields=list(meta.get("positional_fields") or []),
             trigram=trigram,
             trigram_fields=list(meta.get("trigram_fields") or []),
+            bm25=bm25,
             tombstones=tombstones,
             docid_ceiling=meta.get("docid_ceiling"),
             block_meta=dict(meta.get("block_meta") or {}),

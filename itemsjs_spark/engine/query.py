@@ -2413,9 +2413,15 @@ class SearchEngine:
         from .indexer import bm25_postings
 
         idx = self.index
-        counts = bm25_postings(
-            idx.docs, idx.text_fields, idx.configuration
-        ).persist()
+        if idx.bm25 is not None:
+            # disk-backed artifact (Index.read adoption): term-sorted
+            # parquet, so the per-query term-IN filter prunes row groups
+            counts = idx.bm25.persist()
+        else:
+            counts = bm25_postings(
+                idx.docs, idx.text_fields, idx.configuration
+            ).persist()
+            idx.bm25 = counts  # Index.write persists it from here on
         dfs = counts.groupBy("term").agg(F.count("*").alias("df")).persist()
         total_dl = (
             counts.select(DOCID, "dl")

@@ -103,3 +103,35 @@ def test_bm25_respects_tombstones_with_stale_df(spark):
     for d in after:  # stale df: surviving scores unchanged
         assert after[d] == before[d]
     e.release_bm25()
+
+
+def test_bm25_artifact_persists_and_reopens_without_retokenize(
+    spark, tmp_path, monkeypatch
+):
+    from itemsjs_spark.engine import indexer as idxmod
+    from itemsjs_spark.engine.indexer import Index
+    from itemsjs_spark.engine.query import SearchEngine
+
+    items = [
+        {"id": i, "cat": "x", "text": t} for i, t in DOCS.items()
+    ]
+    e = itemsjs_spark(
+        spark, items,
+        {"searchableFields": ["text"], "custom_id_field": "id",
+         "aggregations": {"cat": {}}},
+    )
+    want = _hits(e.bm25_topk("zebra yak", k=10))
+    e.enable_bm25()  # materialize, so write() persists the artifact
+    path = str(tmp_path / "idx")
+    e.index.write(path)
+    e.release_bm25()
+
+    # the reopened index must serve BM25 from disk: poison the builder
+    def boom(*a, **k):
+        raise AssertionError("bm25_postings re-ran on a disk artifact")
+
+    monkeypatch.setattr(idxmod, "bm25_postings", boom)
+    reopened = SearchEngine(Index.read(spark, path))
+    got = _hits(reopened.bm25_topk("zebra yak", k=10))
+    assert got == want
+    reopened.release_bm25()
