@@ -1687,6 +1687,70 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_SUMM_INJECT = (
+    "concat('the common intro sentence appears everywhere. ', text,"
+    " '. closing ', md5(text))"
+)
+
+
+def _q_extractive_summary(spark, sf_dir):
+    """Extractive summarization (`ops/text.py::extractive_summary`):
+    per doc, the sentence with the highest length-normalized idf mass —
+    TextRank-lite. Injected sentence structure: a shared (low-idf)
+    intro, the doc's own text, a unique (high-idf) closing."""
+    df = _documents(spark, sf_dir).withColumn("text", F.expr(_SUMM_INJECT))
+    return text_ops.extractive_summary(df)
+
+
+def _extractive_summary_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_SUMM_INJECT} AS text FROM documents),
+sa AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'),
+           chr(30)) AS arr
+  FROM t
+),
+sents AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sent_idx,
+         s AS sentence
+  FROM (
+    SELECT doc_id, u.i AS i, trim(arr[u.i]) AS s
+    FROM sa, LATERAL unnest(range(1, len(arr) + 1)) u(i)
+  ) WHERE s <> ''
+),
+tk AS (
+  SELECT DISTINCT doc_id, sent_idx, u.t AS tok
+  FROM sents,
+  LATERAL unnest(string_split_regex(lower(sentence), '[^a-z0-9'']+')) u(t)
+  WHERE u.t <> '' AND u.t NOT IN ({_STOP_SQL})
+),
+dfs AS (
+  SELECT tok,
+         ln((SELECT count(*)::DOUBLE FROM documents)
+            / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tk GROUP BY tok
+),
+scored AS (
+  SELECT tk.doc_id, tk.sent_idx,
+         round(sum(dfs.idf) / count(*), 6) AS score
+  FROM tk JOIN dfs USING (tok)
+  GROUP BY tk.doc_id, tk.sent_idx
+),
+ranked AS (
+  SELECT doc_id, sent_idx, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, sent_idx ASC) AS rk
+  FROM scored
+)
+SELECT r.doc_id, r.sent_idx, s.sentence, r.score
+FROM ranked r JOIN sents s USING (doc_id, sent_idx)
+WHERE r.rk <= 1
+"""
+
+
 _BM25_Q, _BM25_K, _BM25_K1, _BM25_B = "spark join stream", 50, 1.2, 0.75
 
 
@@ -3601,6 +3665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reported in-window via facet_counts_crossed and the stacked
         # counter rows)
         "facet_rollup": _q_facet_rollup,
+        # extractive summarization (text family reported in-window via
+        # quality_lr_score / dedup_spans / extract_code_blocks)
+        "extractive_summary": _q_extractive_summary,
         # true-BM25 scoring mode (the parity scorer is lunr 1.0.0 —
         # reported in-window via every fulltext row; this is the
         # SURVEY §2.4 standard-IR extra)
@@ -5102,6 +5169,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["wildcard_search"] = _wildcard_sql()
     sqls["facet_rollup"] = _facet_rollup_sql()
     sqls["bm25_topk"] = _bm25_sql()
+    sqls["extractive_summary"] = _extractive_summary_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

@@ -766,3 +766,84 @@ def strip_common_prefix(
         F.col("prefix_len"),
         F.expr(f"substr({text_col}, prefix_len + 1)").alias("stripped_text"),
     )
+
+
+def extractive_summary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_sentences: int = 1,
+) -> DataFrame:
+    """Extractive summarization, TextRank-lite: per document, keep the
+    ``n_sentences`` sentences whose idf-weighted token mass is highest —
+    the cheap "which sentence carries this doc's information" primitive
+    a training pipeline uses for previews, highlight seeds, or short-
+    context distillation targets.
+
+    Sentence score = Σ over its distinct non-stopword tokens of corpus
+    idf (ln(N/df), df counted doc-level), length-normalized by the
+    sentence's token count (so long rambles don't win by mass alone),
+    rounded to 6 decimals before ranking; ties break to the earlier
+    sentence. Returns (id_col, sent_idx, sentence, round(score, 6)).
+
+    Plan: sentence split + posexplode (map-only), token explode, ONE
+    doc-level df aggregate (dimension-sized, broadcast back), one
+    (doc, sentence) aggregation, one per-doc window for the top-n —
+    per-doc-bounded state everywhere; the only corpus-wide exchange is
+    the df aggregate any tf-idf derivation needs."""
+    sid = F.col(id_col)
+    # sentence boundary = ender + whitespace, marked with a sentinel then
+    # split — the lookbehind-free phrasing RE2 engines (the SQL oracle)
+    # can restate exactly
+    sent_arr = F.split(
+        F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\x1e"), "\x1e"
+    )
+    sents = df.select(
+        sid,
+        F.posexplode(
+            F.filter(
+                F.transform(sent_arr, lambda s: F.trim(s)),
+                lambda s: s != "",
+            )
+        ).alias("sent_idx", "sentence"),
+    )
+    toks = sents.select(
+        sid,
+        "sent_idx",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("sentence"), r"[^a-z0-9']+"),
+                    lambda t: (t != "")
+                    & ~t.isin(*[w for w in STOP_WORDS if w]),
+                )
+            )
+        ).alias("tok"),
+    )
+    n_docs = df.count()
+    dfs = (
+        toks.select(sid, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf", F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+    )
+    scored = (
+        toks.join(dfs, "tok")
+        .groupBy(sid, "sent_idx")
+        .agg(F.sum("idf").alias("__mass"), F.count("*").alias("__n"))
+        .withColumn(
+            "score", F.round(F.col("__mass") / F.col("__n"), 6)
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("sent_idx").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_sentences)
+        .join(sents, [id_col, "sent_idx"])
+        .select(id_col, "sent_idx", "sentence", "score")
+    )

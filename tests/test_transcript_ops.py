@@ -200,3 +200,40 @@ def test_recency_boost_reranks_full_scored_set(ts_eng):
 
 def test_recency_boost_empty_query(ts_eng):
     assert ts_eng.recency_boosted_topk("nosuchterm", "ts", 500.0, 5000).count() == 0
+
+
+def test_extractive_summary_picks_high_idf_sentence(spark):
+    from itemsjs_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "common words here. unique zebra quark. common words here."),
+            (2, "common words here. another plain sentence."),
+        ],
+        "doc_id long, text string",
+    )
+    import math
+    top = {r["doc_id"]: r for r in t.extractive_summary(df).collect()}
+    assert top[1]["sentence"] == "unique zebra quark."
+    assert top[1]["score"] == round(math.log(2), 6)
+    assert top[2]["sentence"] == "another plain sentence."
+    # n=2: the runner-up is the EARLIER of the tied zero-score sentences
+    two = sorted(
+        (r["doc_id"], r["sent_idx"])
+        for r in t.extractive_summary(df, n_sentences=2).collect()
+    )
+    assert two == [(1, 0), (1, 1), (2, 0), (2, 1)]
+
+
+def test_extractive_summary_ignores_stopword_mass(spark):
+    from itemsjs_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [(1, "the of and with is. tiny quark!")],
+        "doc_id long, text string",
+    )
+    rows = t.extractive_summary(df, n_sentences=5).collect()
+    by_idx = {r["sent_idx"]: r for r in rows}
+    # the stopword-only sentence contributes no tokens at all
+    assert set(by_idx) == {1}
+    assert by_idx[1]["sentence"] == "tiny quark!"
