@@ -2669,8 +2669,7 @@ def _q_transcripts_conv_topk(spark, sf_dir):
 
 
 _TREND_SPLIT = 1704067200 + 250 * 37
-_RECENCY_REF = 1704067200 + 500 * 37
-_RECENCY_TAU = 7200.0
+_RECENCY_TAU = 7200.0  # decay anchored at the corpus max ts (engine derives it)
 _ANOM_Z = 2.0
 
 
@@ -2687,7 +2686,7 @@ def _recency_sql(k: int) -> str:
 WITH f AS (SELECT _id, score FROM ({ft}) q),
 c AS ({_TX_CORPUS_SQL})
 SELECT f._id, f.score,
-       round(f.score * exp((c.ts_epoch - {_RECENCY_REF})
+       round(f.score * exp((c.ts_epoch - (SELECT max(ts_epoch) FROM c))
                            / {_RECENCY_TAU}), 6) AS boosted
 FROM f JOIN c ON c._docid = f._id
 ORDER BY boosted DESC, CAST(f._id AS VARCHAR) ASC
@@ -2712,7 +2711,7 @@ def _q_recency_boost(spark, sf_dir):
     corpus derivation."""
     eng = _tx_engine(spark, sf_dir)
     return eng.recency_boosted_topk(
-        "merge sort", "ts", _RECENCY_TAU, _RECENCY_REF, k=15
+        "merge sort", "ts", _RECENCY_TAU, k=15
     )
 
 
@@ -2731,7 +2730,7 @@ def _q_rank_correlation(spark, sf_dir):
 
     eng = _tx_engine(spark, sf_dir)
     rb = eng.recency_boosted_topk(
-        "merge sort", "ts", _RECENCY_TAU, _RECENCY_REF, k=50
+        "merge sort", "ts", _RECENCY_TAU, k=50
     )
     return eval_ops.rank_correlation(
         rb.select("_id", "score"),

@@ -3050,7 +3050,7 @@ class SearchEngine:
         query: str,
         ts_field: str,
         tau_s: float,
-        ref_epoch: int,
+        ref_epoch: Optional[int] = None,
         k: int = 10,
     ) -> DataFrame:
         """Function-score search (extension): lunr relevance multiplied
@@ -3075,6 +3075,14 @@ class SearchEngine:
         if ts_field not in self.index.docs.columns:
             raise EngineError(f"unknown timestamp field {ts_field!r}")
         slim = self.index.docs.select(DOCID, epoch.alias("__ep"))
+        if ref_epoch is None:
+            # anchor the decay at the corpus max ("freshness from now"):
+            # (ts - ref) <= 0 keeps decay in (0, 1] and boosted scores
+            # O(score) — a far-past anchor blows exp() up to 1e9+ where
+            # the 6-decimal grid sits on double-precision ulps and two
+            # engines legitimately disagree on the last digit (observed
+            # at sf0.1). One dimension-cheap aggregate.
+            ref_epoch = slim.agg(F.max("__ep")).collect()[0][0] or 0
         base = F.round(F.col(SCORE), 6)
         decay = F.exp(
             (F.col("__ep").cast("double") - F.lit(float(ref_epoch)))
