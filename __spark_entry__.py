@@ -1687,6 +1687,73 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_EXPLAIN_Q, _EXPLAIN_K = "spark join", 10
+
+
+def _q_explain_topk(spark, sf_dir):
+    """Lucene-explain analog (`query.py::explain_hits`): per-(doc, term)
+    score breakdown for the query's top-10 docs; contributions sum to
+    the doc's lunr score."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.explain_hits(_EXPLAIN_Q, k_docs=_EXPLAIN_K).select(
+        F.col(DOCID).alias("_id"), "term", "contribution"
+    )
+
+
+def _explain_sql() -> str:
+    pipeline = build_pipeline()
+    tokens = pipeline(tokenize(_EXPLAIN_Q))
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id, tok.term, count(*)::DOUBLE / max(doclen.n) AS tf
+  FROM tok JOIN doclen USING (doc_id) GROUP BY tok.doc_id, tok.term
+),
+idf AS (
+  SELECT term,
+         1.0 + ln((SELECT count(*)::DOUBLE FROM documents) / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tok GROUP BY term
+),
+q(tok_idx, tok) AS (VALUES {values}),
+qw AS (
+  SELECT q.tok_idx, q.tok, i.term, i.idf,
+         i.idf * (CASE WHEN i.term = q.tok THEN 1.0
+                  ELSE 1.0 / ln(greatest(3, length(i.term) - length(q.tok))) END) AS w
+  FROM q JOIN idf i ON i.term LIKE q.tok || '%'
+),
+mag AS (SELECT sqrt(sum(w * w)) AS m FROM qw),
+qw1 AS (
+  SELECT term, idf, w FROM (
+    SELECT qw.*, row_number() OVER (PARTITION BY term ORDER BY tok_idx) AS rn FROM qw
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT tf.doc_id FROM tf JOIN qw ON tf.term = qw.term
+  GROUP BY tf.doc_id HAVING count(DISTINCT qw.tok_idx) = {len(tokens)}
+),
+scored AS (
+  SELECT tf.doc_id AS _id, sum(qw1.w * tf.tf * qw1.idf) / max(mag.m) AS score
+  FROM tf JOIN qw1 ON tf.term = qw1.term JOIN cand ON cand.doc_id = tf.doc_id, mag
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT _id FROM scored
+  ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
+  LIMIT {_EXPLAIN_K}
+)
+SELECT tf.doc_id AS _id, qw1.term,
+       round(qw1.w * tf.tf * qw1.idf / mag.m, 6) AS contribution
+FROM tf JOIN qw1 ON tf.term = qw1.term
+JOIN top ON top._id = tf.doc_id, mag
+"""
+
+
 _SUMM_INJECT = (
     "concat('the common intro sentence appears everywhere. ', text,"
     " '. closing ', md5(text))"
@@ -3664,6 +3731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reported in-window via facet_counts_crossed and the stacked
         # counter rows)
         "facet_rollup": _q_facet_rollup,
+        # Lucene-explain analog: per-(doc, term) score breakdown (the
+        # scoring family is reported in-window via every fulltext row)
+        "explain_topk": _q_explain_topk,
         # extractive summarization (text family reported in-window via
         # quality_lr_score / dedup_spans / extract_code_blocks)
         "extractive_summary": _q_extractive_summary,
@@ -5169,6 +5239,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["facet_rollup"] = _facet_rollup_sql()
     sqls["bm25_topk"] = _bm25_sql()
     sqls["extractive_summary"] = _extractive_summary_sql()
+    sqls["explain_topk"] = _explain_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

@@ -2400,6 +2400,57 @@ class SearchEngine:
             per_doc.withColumn(SCORE, score).select(DOCID, SCORE)
         )
 
+    def explain_hits(self, query: str, k_docs: int = 10) -> DataFrame:
+        """Per-(doc, term) relevance breakdown for a query's top-k docs
+        — the Lucene ``explain`` analog (extension): ``contribution`` =
+        query_weight(term) × idf(term) × tf(doc, term) / |q|, and a
+        doc's contributions sum to its ``fulltext_hits`` score (before
+        the final display rounding). Plan: the normal scorer picks the
+        top-k docids, then one more term-pruned postings-subset scan
+        joins that k-row broadcast — cost ∝ k × expanded terms, never
+        the hit set."""
+        empty = self.spark.createDataFrame(
+            [], f"{DOCID} long, term string, contribution double"
+        )
+        try:
+            analyzed = self._query_vector(query)
+        except _ExpansionTooLarge:
+            raise EngineError(
+                "explain needs the driver-side query vector; this "
+                "query's prefix expansion exceeds driver capacity"
+            )
+        if analyzed is None:
+            return empty
+        qv, idf_map = analyzed
+        top = (
+            self.fulltext_hits(query)
+            .orderBy(
+                F.round(F.col(SCORE), 6).desc(),
+                F.col(DOCID).cast("string").asc(),
+            )
+            .limit(int(k_docs))
+            .select(DOCID)
+        )
+        rows = sorted(
+            (t, float(qv.weights[t] * idf_map[t])) for t in qv.weights
+        )
+        subset = self.index.postings_subset([t for t, _ in rows])
+        if len(rows) <= self.MAX_MAP_LITERAL_TERMS:
+            wmap = F.create_map(
+                *[x for t, w in rows for x in (F.lit(t), F.lit(w))]
+            )
+            joined = subset.withColumn("w", wmap[F.col("term")])
+        else:
+            wdf = self.spark.createDataFrame(rows, "term string, w double")
+            joined = subset.join(F.broadcast(wdf), "term")
+        contribution = F.round(
+            F.col("w") * F.col("tf") / F.lit(qv.magnitude), 6
+        )
+        return (
+            joined.join(F.broadcast(top), DOCID)
+            .select(DOCID, "term", contribution.alias("contribution"))
+        )
+
     def enable_bm25(self) -> None:
         """Materialize the BM25 scoring artifacts (opt-in, same pattern
         as enable_positions/enable_trigrams): raw-count postings

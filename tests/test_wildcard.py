@@ -68,3 +68,23 @@ def test_wildcard_case_folds_and_misses_cleanly(eng):
 def test_wildcard_expansion_cap_refuses(eng):
     with pytest.raises(EngineError, match="expands past"):
         eng.wildcard_hits("*a*", max_expansion=2)
+
+
+def test_explain_hits_contributions_sum_to_score(eng):
+    import pytest as _pt
+
+    scores = _hits(eng.fulltext_hits("zebra yak"))
+    rows = eng.explain_hits("zebra yak", k_docs=10).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["_docid"], {})[r["term"]] = r["contribution"]
+    assert set(per_doc) == set(scores)
+    for d, terms in per_doc.items():
+        assert set(terms) == {"zebra", "yak"}
+        assert sum(terms.values()) == _pt.approx(scores[d], abs=3e-6)
+
+
+def test_explain_hits_k_bounds_docs(eng):
+    rows = eng.explain_hits("zebra", k_docs=1).collect()
+    assert len({r["_docid"] for r in rows}) == 1
+    assert eng.explain_hits("qqqq").count() == 0
