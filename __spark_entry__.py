@@ -684,6 +684,7 @@ def _ft_sql(
     id_col: str = "doc_id", fuzzy: bool = False, where_scored: str = "",
     synonyms: Optional[Dict[str, List[str]]] = None,
     min_match: Optional[int] = None,
+    raw_scores: bool = False,
 ) -> str:
     """lunr-1.0.0 scoring restated in ANSI SQL over ``corpus`` (a table
     or a CTE defined by ``extra_ctes``) keyed by ``id_col``. ``fuzzy``
@@ -698,7 +699,10 @@ def _ft_sql(
     against the analyzed tokens, rewritten positions renumbered by
     ``row_number() OVER (ORDER BY original_pos, expansion_pos)`` — the
     conjunctive arity then comes from the REWRITTEN list
-    (``SELECT count(*) FROM q``), not the typed one."""
+    (``SELECT count(*) FROM q``), not the typed one. ``raw_scores``
+    emits the UNROUNDED full scored set (no order/limit) for nesting
+    inside oracles that combine scores before their own rounding
+    (boosting/rescore)."""
     pipeline = build_pipeline()
     tokens = pipeline(tokenize(qtext))
     values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
@@ -792,9 +796,10 @@ scored AS (
   FROM tf JOIN qw1 ON tf.term = qw1.term JOIN cand ON cand.doc_id = tf.doc_id, mag
   GROUP BY tf.doc_id
 )
-SELECT _id, round(score, 6) AS score FROM scored {where_scored}
+{"SELECT _id, score FROM scored " + where_scored if raw_scores else
+ f'''SELECT _id, round(score, 6) AS score FROM scored {where_scored}
 ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
-LIMIT {k}
+LIMIT {k}'''}
 """
 
 
@@ -1751,6 +1756,199 @@ SELECT tf.doc_id AS _id, qw1.term,
        round(qw1.w * tf.tf * qw1.idf / mag.m, 6) AS contribution
 FROM tf JOIN qw1 ON tf.term = qw1.term
 JOIN top ON top._id = tf.doc_id, mag
+"""
+
+
+_REGEXP_PAT, _REGEXP_K = "s(can|ort|low)", 50
+
+
+def _q_regexp_search(spark, sf_dir):
+    """Regexp term search (`query.py::regexp_hits`, the Lucene
+    RegexpQuery analog): whole-term anchored pattern over the analyzed
+    dictionary (leading-literal range prune), docs score Σ tf·idf over
+    their matching terms."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.regexp_hits(_REGEXP_PAT)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(_REGEXP_K)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
+def _regexp_sql() -> str:
+    # whole-term anchoring == DuckDB regexp_full_match; the pattern uses
+    # only the RE2∩java.util.regex common subset (alternation, classes)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id, tok.term, count(*)::DOUBLE / max(doclen.n) AS tf
+  FROM tok JOIN doclen USING (doc_id) GROUP BY tok.doc_id, tok.term
+),
+idf AS (
+  SELECT term,
+         1.0 + ln((SELECT count(*)::DOUBLE FROM documents) / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tok GROUP BY term
+),
+m AS (SELECT term, idf FROM idf WHERE regexp_full_match(term, '{_REGEXP_PAT}'))
+SELECT tf.doc_id AS _id, round(sum(m.idf * tf.tf), 6) AS score
+FROM tf JOIN m USING (term)
+GROUP BY tf.doc_id
+ORDER BY score DESC, CAST(tf.doc_id AS VARCHAR) ASC
+LIMIT {_REGEXP_K}
+"""
+
+
+_COLLAPSE_Q, _COLLAPSE_K, _COLLAPSE_INNER = "spark join", 8, 2
+
+
+def _q_collapse_search(spark, sf_dir):
+    """Field collapsing (`query.py::collapse_hits`, the ES `collapse`
+    analog): the 'spark join' relevance page deduplicated to one doc
+    per source (top-8 groups by their best hit) with 2 inner hits per
+    paged group — representative pick is one algebraic min(struct)
+    aggregation, inner hits a window bounded to the 8 paged groups."""
+    eng = _doc_engine(spark, sf_dir)
+    out = eng.collapse_hits(
+        _COLLAPSE_Q, "source", k=_COLLAPSE_K, inner_k=_COLLAPSE_INNER
+    )
+    return out.select(
+        "source",
+        "rank_in_group",
+        F.col(DOCID).alias("_id"),
+        F.round(F.col("__score"), 6).alias("score"),
+    )
+
+
+def _collapse_sql() -> str:
+    return f"""
+WITH s AS ({_ft_sql(_COLLAPSE_Q, 10**9)}),
+r AS (
+  SELECT d.source, s._id, s.score,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY s.score DESC, CAST(s._id AS VARCHAR) ASC
+         ) AS rank_in_group
+  FROM s JOIN documents d ON d.doc_id = s._id
+),
+page AS (
+  SELECT source FROM r WHERE rank_in_group = 1
+  ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT {_COLLAPSE_K}
+)
+SELECT r.source, r.rank_in_group, r._id, r.score
+FROM r JOIN page USING (source)
+WHERE r.rank_in_group <= {_COLLAPSE_INNER}
+"""
+
+
+_TOPHITS_Q, _TOPHITS_N = "merge sort", 3
+
+
+def _q_top_hits_buckets(spark, sf_dir):
+    """Per-bucket top hits (`query.py::top_hits_per_bucket`, the ES
+    `top_hits` sub-aggregation analog): for EVERY lang bucket the 3
+    best 'merge sort' docs — salted two-phase top-n, so a hot bucket
+    never sorts on one task."""
+    eng = _doc_engine(spark, sf_dir)
+    out = eng.top_hits_per_bucket(_TOPHITS_Q, "lang", n=_TOPHITS_N)
+    return out.select(
+        "lang",
+        F.col("rank").alias("hit_rank"),
+        F.col(DOCID).alias("_id"),
+        F.round(F.col("__score"), 6).alias("score"),
+    )
+
+
+def _top_hits_sql() -> str:
+    return f"""
+WITH s AS ({_ft_sql(_TOPHITS_Q, 10**9)}),
+r AS (
+  SELECT d.lang, s._id, s.score,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY s.score DESC, CAST(s._id AS VARCHAR) ASC
+         ) AS hit_rank
+  FROM s JOIN documents d ON d.doc_id = s._id
+)
+SELECT lang, hit_rank, _id, score FROM r WHERE hit_rank <= {_TOPHITS_N}
+"""
+
+
+_BOOSTING_POS, _BOOSTING_NEG, _BOOSTING_NB, _BOOSTING_K = (
+    "spark join", "slow", 0.4, 40,
+)
+
+
+def _q_boosting_search(spark, sf_dir):
+    """Boosting query (`query.py::boosting_hits`, the ES `boosting`
+    analog): 'spark join' hits keep their score, demoted ×0.4 where
+    the doc also matches 'slow' — demoted docs stay in the ranking
+    (unlike a NOT filter)."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.boosting_hits(_BOOSTING_POS, _BOOSTING_NEG, _BOOSTING_NB)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(_BOOSTING_K)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
+def _boosting_sql() -> str:
+    # both sides UNROUNDED: the engine rounds once, after the demotion
+    # multiply — the oracle must place its single round identically
+    return f"""
+WITH p AS ({_ft_sql(_BOOSTING_POS, 10**9, raw_scores=True)}),
+n AS ({_ft_sql(_BOOSTING_NEG, 10**9, raw_scores=True)})
+SELECT p._id,
+       round(CASE WHEN n._id IS NULL THEN p.score
+             ELSE p.score * {_BOOSTING_NB} END, 6) AS score
+FROM p LEFT JOIN n USING (_id)
+ORDER BY score DESC, CAST(p._id AS VARCHAR) ASC
+LIMIT {_BOOSTING_K}
+"""
+
+
+_RESCORE_Q, _RESCORE_RQ, _RESCORE_WIN, _RESCORE_W = "spark", "merge sort", 30, 2.0
+
+
+def _q_rescore_topk(spark, sf_dir):
+    """Query rescoring (`query.py::rescore_hits`, the ES `rescore`
+    analog): the top-30 'spark' docs re-ranked by base + 2.0×secondary
+    ('merge sort'; 0 where it misses) — the secondary query never
+    scans beyond its own hit set."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.rescore_hits(
+        _RESCORE_Q, _RESCORE_RQ, window_size=_RESCORE_WIN,
+        rescore_weight=_RESCORE_W,
+    )
+    s = F.round(F.col("__score"), 6)
+    return hits.orderBy(
+        s.desc(), F.col(DOCID).cast("string").asc()
+    ).select(F.col(DOCID).alias("_id"), s.alias("score"))
+
+
+def _rescore_sql() -> str:
+    # window selection uses the BASE rounded ordering (engine contract);
+    # the combined score sums raw scores, rounding once at the end
+    return f"""
+WITH b AS ({_ft_sql(_RESCORE_Q, 10**9, raw_scores=True)}),
+win AS (
+  SELECT _id, score FROM b
+  ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
+  LIMIT {_RESCORE_WIN}
+),
+sec AS ({_ft_sql(_RESCORE_RQ, 10**9, raw_scores=True)})
+SELECT win._id,
+       round(win.score + {_RESCORE_W} * coalesce(sec.score, 0.0), 6) AS score
+FROM win LEFT JOIN sec USING (_id)
+ORDER BY score DESC, CAST(win._id AS VARCHAR) ASC
 """
 
 
@@ -3734,6 +3932,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene-explain analog: per-(doc, term) score breakdown (the
         # scoring family is reported in-window via every fulltext row)
         "explain_topk": _q_explain_topk,
+        # ES-surface extensions over the same scorer (family reported
+        # in-window via the fulltext rows): regexp term query, field
+        # collapsing, per-bucket top_hits, boosting, rescore
+        "regexp_search": _q_regexp_search,
+        "collapse_search": _q_collapse_search,
+        "top_hits_buckets": _q_top_hits_buckets,
+        "boosting_search": _q_boosting_search,
+        "rescore_topk": _q_rescore_topk,
         # extractive summarization (text family reported in-window via
         # quality_lr_score / dedup_spans / extract_code_blocks)
         "extractive_summary": _q_extractive_summary,
@@ -5240,6 +5446,11 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["bm25_topk"] = _bm25_sql()
     sqls["extractive_summary"] = _extractive_summary_sql()
     sqls["explain_topk"] = _explain_sql()
+    sqls["regexp_search"] = _regexp_sql()
+    sqls["collapse_search"] = _collapse_sql()
+    sqls["top_hits_buckets"] = _top_hits_sql()
+    sqls["boosting_search"] = _boosting_sql()
+    sqls["rescore_topk"] = _rescore_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

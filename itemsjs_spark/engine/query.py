@@ -2048,6 +2048,188 @@ class SearchEngine:
             .limit(int(n_groups))
         )
 
+    def collapse_hits(
+        self,
+        query: str,
+        collapse_field: str,
+        k: int = 10,
+        inner_k: int = 1,
+    ) -> DataFrame:
+        """Field collapsing (extension; the Elasticsearch ``collapse``
+        request): the relevance page deduplicated to ONE document per
+        ``collapse_field`` group — each group is represented by its
+        best hit (score desc, then str(docid) asc, the engine's
+        relevance tie-break), the page holds the top ``k`` groups
+        ordered by their representative, and ``inner_k`` > 1 appends
+        each paged group's next-best hits ("inner hits"). Returns
+        (collapse_field, rank_in_group 1-based, _docid, __score) —
+        rank 1 rows are the collapsed page itself.
+
+        Physical plan: score once; the representative per group is ONE
+        algebraic min(struct(-score, docid_str, ...)) aggregation
+        (map-side partials before the single group-key shuffle — a
+        hot conversation never serializes its raw hits onto one task);
+        the page is TakeOrderedAndProject over group-count rows; inner
+        hits re-rank ONLY the k paged groups' hits (broadcast semi-join
+        on k keys, then a window bounded to those groups)."""
+        docs = self._live(self.index.docs)
+        hits = self.fulltext_hits(query)
+        s6 = F.round(F.col(SCORE), 6)
+        ds = F.col(DOCID).cast("string")
+        joined = hits.select(
+            F.col(DOCID), F.col(SCORE), s6.alias("__s6"), ds.alias("__ds")
+        ).join(docs.select(DOCID, collapse_field), DOCID)
+        rep = joined.groupBy(collapse_field).agg(
+            F.min(
+                F.struct(
+                    (-F.col("__s6")).alias("ns"),
+                    F.col("__ds").alias("ds"),
+                    F.col(DOCID).alias("id"),
+                    F.col(SCORE).alias("s"),
+                )
+            ).alias("m")
+        )
+        page = rep.orderBy(
+            F.col("m.ns").asc(), F.col("m.ds").asc()
+        ).limit(int(k))
+        if inner_k <= 1:
+            return page.select(
+                F.col(collapse_field),
+                F.lit(1).alias("rank_in_group"),
+                F.col("m.id").alias(DOCID),
+                F.col("m.s").alias(SCORE),
+            )
+        w = Window.partitionBy(collapse_field).orderBy(
+            F.col("__s6").desc(), F.col("__ds").asc()
+        )
+        return (
+            joined.join(
+                F.broadcast(page.select(collapse_field)), collapse_field
+            )
+            .withColumn("rank_in_group", F.row_number().over(w))
+            .filter(F.col("rank_in_group") <= int(inner_k))
+            .select(collapse_field, "rank_in_group", DOCID, SCORE)
+        )
+
+    def top_hits_per_bucket(
+        self,
+        query: str,
+        bucket_field: str,
+        n: int = 3,
+        salt_buckets: int = 16,
+    ) -> DataFrame:
+        """Per-bucket top hits (extension; the Elasticsearch
+        ``top_hits`` sub-aggregation): for EVERY value of
+        ``bucket_field``, the ``n`` best-scoring docs matching the
+        query — (bucket_field, rank 1-based, _docid, __score), ranked
+        score desc then str(docid) asc within each bucket. Unlike
+        ``collapse_hits`` no bucket is dropped: this is the
+        aggregation-side view (what does the best content per language
+        / per source look like), not a result page.
+
+        Physical plan — the salted two-phase top-n (same shape as
+        ``sampling.stratified_sample``): hits first rank within
+        (bucket, pmod(xxhash64(docid), salt_buckets)) so a hot bucket
+        (one language owning 90% of the corpus) is bounded to
+        ~1/salt_buckets per window partition; the ≤ salt_buckets·n
+        survivors per bucket rank once more. No stage ever sorts a
+        whole hot bucket on one task."""
+        docs = self._live(self.index.docs)
+        hits = self.fulltext_hits(query)
+        s6 = F.round(F.col(SCORE), 6)
+        ds = F.col(DOCID).cast("string")
+        joined = hits.select(
+            F.col(DOCID), F.col(SCORE), s6.alias("__s6"), ds.alias("__ds")
+        ).join(docs.select(DOCID, bucket_field), DOCID)
+        salt = F.pmod(F.xxhash64(F.col("__ds")), F.lit(int(salt_buckets)))
+        w_local = Window.partitionBy(F.col(bucket_field), salt).orderBy(
+            F.col("__s6").desc(), F.col("__ds").asc()
+        )
+        survivors = (
+            joined.withColumn("__rn", F.row_number().over(w_local))
+            .filter(F.col("__rn") <= int(n))
+            .drop("__rn")
+        )
+        w_bucket = Window.partitionBy(bucket_field).orderBy(
+            F.col("__s6").desc(), F.col("__ds").asc()
+        )
+        return (
+            survivors.withColumn("rank", F.row_number().over(w_bucket))
+            .filter(F.col("rank") <= int(n))
+            .select(bucket_field, "rank", DOCID, SCORE)
+        )
+
+    def boosting_hits(
+        self, positive: str, negative: str, negative_boost: float = 0.5
+    ) -> DataFrame:
+        """Boosting query (extension; the Elasticsearch/Lucene
+        ``boosting`` query): docs matching the ``positive`` query keep
+        their relevance score, DEMOTED by ``negative_boost`` when they
+        also match the ``negative`` query — unlike a NOT filter the
+        demoted docs stay in the result, just ranked down. Returns
+        (_docid, __score).
+
+        Physical plan: two independent scoring passes; the negative
+        side collapses to a docid membership set (its scores are never
+        used — Lucene semantics) and left-semi-shapes into a flag via a
+        left join on docid, map-only multiply after. Both sides are
+        hit-set-sized; no corpus re-scan."""
+        pos = self.fulltext_hits(positive)
+        neg = self.fulltext_hits(negative).select(
+            F.col(DOCID), F.lit(True).alias("__neg")
+        )
+        return (
+            pos.join(neg, DOCID, "left")
+            .withColumn(
+                SCORE,
+                F.when(
+                    F.col("__neg"),
+                    F.col(SCORE) * F.lit(float(negative_boost)),
+                ).otherwise(F.col(SCORE)),
+            )
+            .select(DOCID, SCORE)
+        )
+
+    def rescore_hits(
+        self,
+        query: str,
+        rescore_query: str,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """Query rescoring (extension; the Elasticsearch ``rescore``
+        request): the top ``window_size`` docs by the base query are
+        re-ranked by ``query_weight·base + rescore_weight·secondary``
+        (secondary contributes 0 where it misses — ES ``total``
+        score_mode); docs outside the window are not returned (the
+        caller pages within the window, the standard use). Returns
+        (_docid, __score) with the combined score.
+
+        Physical plan: the base top-window comes from the normal
+        scorer's TakeOrderedAndProject; the secondary query scores
+        independently and left-joins onto the window-sized (driver-k)
+        set — the expensive second query never rescans beyond its own
+        hit set, and the join's left side is window_size rows."""
+        s6 = F.round(F.col(SCORE), 6)
+        base = (
+            self.fulltext_hits(query)
+            .orderBy(s6.desc(), F.col(DOCID).cast("string").asc())
+            .limit(int(window_size))
+            .select(F.col(DOCID), F.col(SCORE).alias("__base"))
+        )
+        sec = self.fulltext_hits(rescore_query).select(
+            F.col(DOCID), F.col(SCORE).alias("__sec")
+        )
+        return base.join(sec, DOCID, "left").select(
+            F.col(DOCID),
+            (
+                F.lit(float(query_weight)) * F.col("__base")
+                + F.lit(float(rescore_weight))
+                * F.coalesce(F.col("__sec"), F.lit(0.0))
+            ).alias(SCORE),
+        )
+
     def more_like_this(
         self, id: Any, k: int = 10, max_terms: int = 25
     ) -> DataFrame:
@@ -2322,11 +2504,10 @@ class SearchEngine:
         the match set is driver-bounded by ``max_expansion`` (a pattern
         like ``*`` is refused, not silently truncated), then the usual
         pruned postings-subset join + one aggregation."""
-        idx = self.index
         empty = self.spark.createDataFrame(
             [], f"{DOCID} long, {SCORE} double"
         )
-        if idx.terms is None:
+        if self.index.terms is None:
             return empty
         self._ensure_fulltext_materialized()
         pat = pattern.strip().lower()
@@ -2336,27 +2517,88 @@ class SearchEngine:
             pat.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
             .replace("*", "%").replace("?", "_")
         )
-        terms = idx.terms
         prefix = re.split(r"[*?]", pat, maxsplit=1)[0]
+        rows = self._dictionary_matches(
+            F.col("term").like(like), prefix, max_expansion,
+            f"wildcard {pattern!r}",
+        )
+        return self._termset_union_hits(rows)
+
+    def regexp_hits(
+        self, pattern: str, max_expansion: int = 1024
+    ) -> DataFrame:
+        """Regexp TERM search (extension; the Lucene RegexpQuery): the
+        pattern is implicitly anchored to the WHOLE analyzed term —
+        ``sp[a-z]*k`` matches ``spark`` but not ``sparkle`` — and, like
+        Lucene, skips analysis (the dictionary holds post-pipeline,
+        i.e. stemmed, terms). Docs containing any matching term score
+        Σ tf·idf over their matching terms, exactly like
+        ``wildcard_hits`` (a regexp is one token whose expansion is the
+        match set → union semantics).
+
+        Scale: the pattern's leading literal run (chars before the
+        first metachar, dropping a char that a following quantifier
+        governs) prunes the term-sorted dictionary to a range scan —
+        the FST-intersect analog; matching runs JVM-side (`rlike`)
+        over only that range; the match set is driver-bounded by
+        ``max_expansion`` (``.*`` is refused, not truncated); then the
+        shared pruned postings-subset union scorer."""
+        empty = self.spark.createDataFrame(
+            [], f"{DOCID} long, {SCORE} double"
+        )
+        if self.index.terms is None:
+            return empty
+        self._ensure_fulltext_materialized()
+        pat = pattern.strip()
+        if not pat:
+            return empty
+        lit = re.match(r"[a-z0-9]*", pat).group(0)
+        if len(lit) < len(pat) and pat[len(lit) : len(lit) + 1] in "*+?{":
+            lit = lit[:-1]
+        rows = self._dictionary_matches(
+            F.col("term").rlike(f"^(?:{pat})$"), lit, max_expansion,
+            f"regexp {pattern!r}",
+        )
+        return self._termset_union_hits(rows)
+
+    def _dictionary_matches(
+        self, pred, prefix: str, max_expansion: int, what: str
+    ) -> List[Tuple[str, float]]:
+        """Match the analyzed term dictionary against a JVM predicate,
+        range-pruned by a literal ``prefix`` when one exists; returns
+        the driver-bounded sorted (term, idf) match set or refuses past
+        ``max_expansion``."""
+        terms = self.index.terms
         if prefix:
             terms = terms.filter(
                 (F.col("term") >= prefix) & (F.col("term") < prefix + "￿")
             )
         matched = (
-            terms.filter(F.col("term").like(like))
+            terms.filter(pred)
             .select("term", "idf")
             .limit(max_expansion + 1)
             .collect()
         )
         if len(matched) > max_expansion:
             raise EngineError(
-                f"wildcard {pattern!r} expands past {max_expansion} terms; "
+                f"{what} expands past {max_expansion} terms; "
                 "narrow the pattern (or raise max_expansion)"
             )
-        if not matched:
+        return sorted((r["term"], float(r["idf"])) for r in matched)
+
+    def _termset_union_hits(
+        self, rows: List[Tuple[str, float]]
+    ) -> DataFrame:
+        """Shared union scorer for term-set queries (wildcard/regexp):
+        score(doc) = Σ tf·idf over the doc's terms in the set, via a
+        term-pruned postings subset + ONE aggregation (fixed-term-order
+        fold when narrow, sorted-struct fold when wide)."""
+        empty = self.spark.createDataFrame(
+            [], f"{DOCID} long, {SCORE} double"
+        )
+        if not rows:
             return empty
-        rows = sorted((r["term"], float(r["idf"])) for r in matched)
-        subset = idx.postings_subset([t for t, _ in rows])
+        subset = self.index.postings_subset([t for t, _ in rows])
         if len(rows) <= self.MAX_MAP_LITERAL_TERMS:
             wmap = F.create_map(
                 *[x for t, w in rows for x in (F.lit(t), F.lit(w))]

@@ -1,0 +1,182 @@
+"""Search-surface extensions beyond the reference (Elasticsearch/Lucene
+analogs): regexp term query, field collapsing with inner hits,
+per-bucket top_hits, boosting (negative-demote) query, and query
+rescoring — all over the lunr-parity scorer."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from itemsjs_spark.engine import itemsjs_spark
+from itemsjs_spark.engine.query import EngineError
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    items = [
+        {"id": 1, "grp": "a", "text": "zebra yak zebra"},
+        {"id": 2, "grp": "a", "text": "zebra yak walrus"},
+        {"id": 3, "grp": "b", "text": "zebra lion lion"},
+        {"id": 4, "grp": "b", "text": "lion tiger puma"},
+        {"id": 5, "grp": "c", "text": "yak yak yak"},
+        {"id": 6, "grp": "c", "text": "zebra walrus tiger"},
+    ]
+    return itemsjs_spark(
+        spark,
+        items,
+        {
+            "searchableFields": ["text"],
+            "custom_id_field": "id",
+            "aggregations": {"grp": {}},
+        },
+    )
+
+
+def _hits(df):
+    return {r["_docid"]: r["__score"] for r in df.collect()}
+
+
+# --- regexp term query -------------------------------------------------
+
+
+def test_regexp_anchored_whole_term(eng):
+    # 'zebr.' matches zebra only; 'zeb' alone matches nothing (anchored)
+    assert set(_hits(eng.regexp_hits("zebr."))) == {1, 2, 3, 6}
+    assert eng.regexp_hits("zebr").count() == 0
+
+
+def test_regexp_matches_wildcard_equivalent(eng):
+    assert _hits(eng.regexp_hits("z.bra")) == _hits(eng.wildcard_hits("z?bra"))
+    assert _hits(eng.regexp_hits("z.*")) == _hits(eng.wildcard_hits("z*"))
+
+
+def test_regexp_alternation_unions_scores(eng):
+    got = _hits(eng.regexp_hits("(lion|puma)"))
+    assert set(got) == {3, 4}
+    idf_lion, idf_puma = 1 + math.log(6 / 2), 1 + math.log(6 / 1)
+    assert got[4] == pytest.approx((1 / 3) * idf_lion + (1 / 3) * idf_puma)
+    assert got[3] == pytest.approx((2 / 3) * idf_lion)
+
+
+def test_regexp_char_class_and_quantifier_prefix_prune(eng):
+    # leading literal run 'ya' prunes; 'k+' quantifier governs the k
+    assert set(_hits(eng.regexp_hits("yak+"))) == {1, 2, 5}
+    # quantifier right after the literal run: prune must drop that char
+    assert set(_hits(eng.regexp_hits("yak*"))) == {1, 2, 5}
+    assert set(_hits(eng.regexp_hits("ya?k"))) == {1, 2, 5}
+
+
+def test_regexp_expansion_cap_refuses(eng):
+    with pytest.raises(EngineError, match="expands past"):
+        eng.regexp_hits(".*", max_expansion=2)
+    assert eng.regexp_hits("").count() == 0
+
+
+# --- field collapsing ---------------------------------------------------
+
+
+def test_collapse_one_per_group_page_order(eng):
+    rows = eng.collapse_hits("zebra", "grp", k=10, inner_k=1).collect()
+    # best of a: doc 1 (tf 2/3); of b: doc 3; of c: doc 6
+    assert [(r["grp"], r["_docid"], r["rank_in_group"]) for r in rows] == [
+        ("a", 1, 1),
+        ("b", 3, 1),
+        ("c", 6, 1),
+    ]
+    full = _hits(eng.fulltext_hits("zebra"))
+    for r in rows:
+        assert r["__score"] == full[r["_docid"]]
+
+
+def test_collapse_k_limits_groups(eng):
+    rows = eng.collapse_hits("zebra", "grp", k=2, inner_k=1).collect()
+    assert [r["grp"] for r in rows] == ["a", "b"]
+
+
+def test_collapse_inner_hits(eng):
+    rows = eng.collapse_hits("zebra", "grp", k=2, inner_k=3).collect()
+    got = sorted((r["grp"], r["rank_in_group"], r["_docid"]) for r in rows)
+    assert got == [("a", 1, 1), ("a", 2, 2), ("b", 1, 3)]
+
+
+def test_collapse_tie_breaks_on_docid_string(eng):
+    # 'walrus': docs 2 and 6 tie exactly (tf 1/3, same idf), different grp
+    rows = eng.collapse_hits("walrus", "grp", k=10).collect()
+    assert [r["_docid"] for r in rows] == [2, 6]
+
+
+# --- top_hits per bucket ------------------------------------------------
+
+
+def test_top_hits_keeps_every_bucket(eng):
+    rows = eng.top_hits_per_bucket("zebra", "grp", n=2).collect()
+    got = sorted((r["grp"], r["rank"], r["_docid"]) for r in rows)
+    assert got == [
+        ("a", 1, 1),
+        ("a", 2, 2),
+        ("b", 1, 3),
+        ("c", 1, 6),
+    ]
+
+
+def test_top_hits_salting_invariant(eng):
+    base = sorted(
+        (r["grp"], r["rank"], r["_docid"], r["__score"])
+        for r in eng.top_hits_per_bucket("zebra", "grp", n=2).collect()
+    )
+    for buckets in (1, 3, 64):
+        alt = sorted(
+            (r["grp"], r["rank"], r["_docid"], r["__score"])
+            for r in eng.top_hits_per_bucket(
+                "zebra", "grp", n=2, salt_buckets=buckets
+            ).collect()
+        )
+        assert alt == base
+
+
+# --- boosting query -----------------------------------------------------
+
+
+def test_boosting_demotes_but_keeps(eng):
+    plain = _hits(eng.fulltext_hits("zebra"))
+    got = _hits(eng.boosting_hits("zebra", "lion", negative_boost=0.25))
+    assert set(got) == set(plain)
+    for d, s in got.items():
+        expect = plain[d] * (0.25 if d == 3 else 1.0)
+        assert s == pytest.approx(expect)
+
+
+def test_boosting_no_negative_matches_is_identity(eng):
+    assert _hits(eng.boosting_hits("zebra", "qqqq")) == _hits(
+        eng.fulltext_hits("zebra")
+    )
+
+
+# --- rescore ------------------------------------------------------------
+
+
+def test_rescore_combines_scores(eng):
+    base = _hits(eng.fulltext_hits("zebra"))
+    sec = _hits(eng.fulltext_hits("yak"))
+    got = _hits(eng.rescore_hits("zebra", "yak", window_size=10))
+    assert set(got) == set(base)
+    for d, s in got.items():
+        assert s == pytest.approx(base[d] + sec.get(d, 0.0))
+
+
+def test_rescore_window_and_weights(eng):
+    got = _hits(
+        eng.rescore_hits(
+            "zebra", "yak", window_size=2, query_weight=2.0,
+            rescore_weight=0.5,
+        )
+    )
+    base = _hits(eng.fulltext_hits("zebra"))
+    sec = _hits(eng.fulltext_hits("yak"))
+    # window keeps the top-2 base docs: 1 (tf 2/3), then the 2/3/6 tie
+    # breaks on str(docid) asc → 2
+    assert set(got) == {1, 2}
+    for d in got:
+        assert got[d] == pytest.approx(2.0 * base[d] + 0.5 * sec.get(d, 0.0))
