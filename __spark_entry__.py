@@ -1952,6 +1952,105 @@ ORDER BY score DESC, CAST(win._id AS VARCHAR) ASC
 """
 
 
+_MF_Q, _MF_K = "spark value", 50
+
+
+def _q_multifield_boost(spark, sf_dir):
+    """Multi-field scoring with the reference's hardcoded `name` boost
+    10 (fulltext.ts:24; SURVEY §2.4): corpus = documents + a derived
+    2-word `name` field; doc tf(term) = Σ_fields (count/field_len) ×
+    boost — the only driver row where the boost math is live (the
+    others have no name column, so the registration is vacuous)."""
+    def build():
+        docs = _documents(spark, sf_dir).withColumn(
+            "name", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2))
+        )
+        return itemsjs_spark(spark, docs, DOC_CONFIG, docid_col="doc_id")
+
+    eng = _cached(("eng_mf", sf_dir), spark, build)
+    hits = eng.fulltext_hits(_MF_Q)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(_MF_K)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
+
+
+def _multifield_sql() -> str:
+    """lunr multi-field scoring restated in SQL: per-field normalized
+    tf × boost summed (name×10 + text×1), df over the union dictionary,
+    query-side constants (qtf = n_fields·Σboosts/n_tokens) cancel in
+    dot(q,d)/|q| and are omitted, as in `_ft_sql`."""
+    pipeline = build_pipeline()
+    tokens = pipeline(tokenize(_MF_Q))
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
+    return f"""
+WITH c2 AS (
+  SELECT doc_id, text,
+         concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[2]) AS name
+  FROM documents
+),
+ntok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM c2, LATERAL unnest(string_split(lower(trim(name)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+ttok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM c2, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+nlen AS (SELECT doc_id, count(*) AS n FROM ntok GROUP BY doc_id),
+tlen AS (SELECT doc_id, count(*) AS n FROM ttok GROUP BY doc_id),
+ntf AS (
+  SELECT ntok.doc_id, ntok.term, 10.0 * count(*)::DOUBLE / max(nlen.n) AS tf
+  FROM ntok JOIN nlen USING (doc_id) GROUP BY ntok.doc_id, ntok.term
+),
+ttf AS (
+  SELECT ttok.doc_id, ttok.term, count(*)::DOUBLE / max(tlen.n) AS tf
+  FROM ttok JOIN tlen USING (doc_id) GROUP BY ttok.doc_id, ttok.term
+),
+tf AS (
+  SELECT coalesce(ntf.doc_id, ttf.doc_id) AS doc_id,
+         coalesce(ntf.term, ttf.term) AS term,
+         coalesce(ntf.tf, 0.0) + coalesce(ttf.tf, 0.0) AS tf
+  FROM ntf FULL OUTER JOIN ttf
+    ON ntf.doc_id = ttf.doc_id AND ntf.term = ttf.term
+),
+idf AS (
+  SELECT term,
+         1.0 + ln((SELECT count(*)::DOUBLE FROM c2) / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tf GROUP BY term
+),
+q(tok_idx, tok) AS (VALUES {values}),
+qw AS (
+  SELECT q.tok_idx, q.tok, i.term, i.idf,
+         i.idf * (CASE WHEN i.term = q.tok THEN 1.0
+                  ELSE 1.0 / ln(greatest(3, length(i.term) - length(q.tok))) END) AS w
+  FROM q JOIN idf i ON i.term LIKE q.tok || '%'
+),
+mag AS (SELECT sqrt(sum(w * w)) AS m FROM qw),
+qw1 AS (
+  SELECT term, idf, w FROM (
+    SELECT qw.*, row_number() OVER (PARTITION BY term ORDER BY tok_idx) AS rn FROM qw
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT tf.doc_id FROM tf JOIN qw ON tf.term = qw.term
+  GROUP BY tf.doc_id HAVING count(DISTINCT qw.tok_idx) = {len(tokens)}
+),
+scored AS (
+  SELECT tf.doc_id AS _id, sum(qw1.w * tf.tf * qw1.idf) / max(mag.m) AS score
+  FROM tf JOIN qw1 ON tf.term = qw1.term JOIN cand ON cand.doc_id = tf.doc_id, mag
+  GROUP BY tf.doc_id
+)
+SELECT _id, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
+LIMIT {_MF_K}
+"""
+
+
 _SUMM_INJECT = (
     "concat('the common intro sentence appears everywhere. ', text,"
     " '. closing ', md5(text))"
@@ -3940,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits_buckets": _q_top_hits_buckets,
         "boosting_search": _q_boosting_search,
         "rescore_topk": _q_rescore_topk,
+        "multifield_boost_search": _q_multifield_boost,
         # extractive summarization (text family reported in-window via
         # quality_lr_score / dedup_spans / extract_code_blocks)
         "extractive_summary": _q_extractive_summary,
@@ -5451,6 +5551,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["top_hits_buckets"] = _top_hits_sql()
     sqls["boosting_search"] = _boosting_sql()
     sqls["rescore_topk"] = _rescore_sql()
+    sqls["multifield_boost_search"] = _multifield_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)
