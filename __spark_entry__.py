@@ -1514,6 +1514,20 @@ def _q_ivf_kmeans(spark, sf_dir):
     )
 
 
+_SEMDEDUP_TH = 0.3
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (`embeddings.semdedup`, Abbas et al. 2023): k-means the
+    embedding space (the same trained centroids as the IVF row), then
+    within each cluster drop rows cosine-≥-threshold to a smaller-id
+    row — the semantic member of the dedup family. keep=false rows are
+    the semantic duplicates."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents, _ = emb_ops.kmeans_fit(e, k=4, iters=3, init_ids=_KMEANS_INIT)
+    return emb_ops.semdedup(e, cents, threshold=_SEMDEDUP_TH)
+
+
 def _q_mmr_topk(spark, sf_dir):
     """Diversified top-k (MMR): candidate fetch + fetch² sim matrix are
     JVM DataFrame work; only the inherently sequential greedy runs in
@@ -4163,6 +4177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical trained-centroid IVF (ANN family reported via
         # ann_ivf_topk; clustering via kmeans_clusters)
         "ann_ivf_kmeans_topk": _q_ivf_kmeans,
+        # SemDeDup — semantic dedup over the same trained centroids
+        # (dedup family reported in-window via neardup_jaccard_pairs /
+        # embedding_neardup_pairs)
+        "semdedup_keep": _q_semdedup,
         # index → ML-features bridge (tf·idf family reported via
         # top_terms_per_group)
         "doc_tfidf_vectors": _q_doc_vectors,
@@ -4987,6 +5005,33 @@ SELECT query_id, neighbor_id, cosine FROM (
   SELECT cand.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
   FROM cand
 ) WHERE rn <= 10
+"""
+    )
+
+    # SemDeDup: the same unrolled-kmeans chain assigns clusters; a row
+    # is a duplicate iff a smaller-id row of ITS cluster reaches the
+    # cosine threshold (keep-first rule, mirrored exactly)
+    sqls["semdedup_keep"] = (
+        "WITH "
+        + ",\n".join(_km_parts)
+        + f""",
+cells AS (
+  SELECT vec_id, v, cl AS cluster FROM (
+    SELECT e.vec_id, e.v, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_dist} ASC, c.cl ASC) AS rn
+    FROM e, c3 c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id AS id
+  FROM cells a JOIN cells b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {_SEMDEDUP_TH}
+)
+SELECT cells.vec_id AS id, cells.cluster AS cluster,
+       (dup.id IS NULL) AS keep
+FROM cells LEFT JOIN dup ON dup.id = cells.vec_id
 """
     )
 

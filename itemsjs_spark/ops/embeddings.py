@@ -493,6 +493,85 @@ def ivf_kmeans_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster_size: Optional[int] = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication — cluster the embedding space with k-means, then
+    inside each cluster drop every row whose cosine to a SMALLER-id
+    row of the same cluster reaches ``threshold`` (keep-first; the
+    deterministic stand-in for the paper's keep-farthest-from-centroid,
+    same dedup set shape). Returns (id, cluster, keep) for the whole
+    corpus — filter ``keep`` to materialize the deduplicated set.
+
+    ``centroids`` is ``kmeans_fit``'s ordered [(cluster, vector)] list:
+    training is the caller's one-time step; this pass is then map-only
+    assignment (broadcast-literal centroids, the exact rounded-argmin
+    decision grid ``kmeans_fit``/``ivf_kmeans_topk`` use) plus a
+    WITHIN-CLUSTER self-join — the whole point of SemDeDup is that k
+    scales with N (k ≈ N/target_cluster_size) so the quadratic stays
+    per-cluster-bounded. ``max_cluster_size`` is the same skew spill
+    rule as ``cosine_neardup_pairs``: clusters past the cap skip pair
+    generation (their rows all keep; a mega-cluster means k was chosen
+    too small — resize k, don't melt one join task)."""
+
+    def cell_structs(v):
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _sqdist(v, F.lit(c).cast("array<double>")), 6
+                    ).alias("d"),
+                    F.lit(int(cl)).cast("long").alias("cl"),
+                )
+                for cl, c in centroids
+            ]
+        )
+
+    e = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    ).withColumn("cluster", F.array_min(cell_structs(F.col("emb")))["cl"])
+    paired = e
+    if max_cluster_size is not None:
+        ok = (
+            e.groupBy("cluster")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_cluster_size)
+            .select("cluster")
+        )
+        paired = e.join(ok, "cluster")
+    a = paired.select(
+        "cluster", F.col("id").alias("id_a"), F.col("emb").alias("ea")
+    )
+    b = paired.select(
+        "cluster", F.col("id").alias("id_b"), F.col("emb").alias("eb")
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("ea"), F.col("eb")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        e.join(dups.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

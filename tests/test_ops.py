@@ -663,6 +663,39 @@ def test_kmeans_planted_geometry_and_determinism(spark):
     assert {r["vec_id"]: r["cluster"] for r in assigned2.collect()} == got
 
 
+def test_semdedup_planted_duplicates(spark):
+    """SemDeDup: two planted blobs; within each blob near-identical
+    vectors dedup to the smallest id, cross-blob rows never pair, and
+    the cluster-size cap disables pair generation when it binds."""
+    rows = [
+        (0, [10.0, 0.0]),
+        (1, [10.0, 0.01]),      # ~dup of 0 (cos ≈ 1)
+        (2, [10.0, -0.02]),     # ~dup of 0 too
+        (3, [7.0, 7.0]),        # same blob A region, lower cos
+        (10, [0.0, 10.0]),
+        (11, [0.01, 10.0]),     # ~dup of 10
+        (12, [-6.0, 8.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, _ = embeddings.kmeans_fit(df, k=2, iters=3, init_ids=(0, 10))
+    got = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in embeddings.semdedup(df, cents, threshold=0.999).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12}
+    assert [got[i][1] for i in (0, 1, 2)] == [True, False, False]
+    assert got[3][1] and got[10][1] and got[12][1]
+    assert not got[11][1]
+    # same cluster assignment on both blobs
+    assert got[0][0] == got[1][0] == got[2][0] == got[3][0]
+    assert got[10][0] == got[11][0] == got[12][0] != got[0][0]
+    # cap below any cluster size → nothing pairs, everything keeps
+    capped = embeddings.semdedup(
+        df, cents, threshold=0.999, max_cluster_size=2
+    ).collect()
+    assert all(r["keep"] for r in capped)
+
+
 def test_ivf_kmeans_topk_recall_and_exact_scores(spark, emb):
     """Trained-centroid IVF: returned cosines equal the exact values for
     the same pairs, and probing 2 of 4 cells keeps reasonable recall on
