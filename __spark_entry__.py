@@ -2065,6 +2065,99 @@ LIMIT {_MF_K}
 """
 
 
+_PRF_Q, _PRF_FB_DOCS, _PRF_FB_TERMS, _PRF_BETA, _PRF_K = (
+    "spark join", 5, 8, 0.5, 40,
+)
+
+
+def _q_prf_search(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback (`query.py::prf_hits`): the
+    top-5 'spark join' hits donate their 8 heaviest non-query terms
+    (mean tf·idf, decision-rounded to 6 decimals) as a weighted boost
+    re-ranking the ORIGINAL candidate set — candidates never change,
+    only their order."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.prf_hits(
+        _PRF_Q, fb_docs=_PRF_FB_DOCS, fb_terms=_PRF_FB_TERMS,
+        beta=_PRF_BETA, k=_PRF_K,
+    )
+    s = F.round(F.col("__score"), 6)
+    return hits.select(F.col(DOCID).alias("_id"), s.alias("score"))
+
+
+def _prf_sql() -> str:
+    """Rocchio restated: the `_ft_sql` scaffold scores the base set;
+    feedback weights w(t) = round(Σ_fb tf·idf / fb_docs, 6) over the
+    top-fb_docs docs' terms (query tokens excluded), top-fb_terms by
+    (w desc, term asc); combined = α·base + β·Σ w·idf·tf, rounded
+    once at the end (matching the engine's single rounding)."""
+    pipeline = build_pipeline()
+    tokens = pipeline(tokenize(_PRF_Q))
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(tokens))
+    qtok_list = ", ".join(f"'{t}'" for t in sorted(set(tokens)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_stem_case('u.t')} AS term
+  FROM documents, LATERAL unnest(string_split(lower(trim(text)), ' ')) u(t)
+  WHERE u.t NOT IN ({_STOP_SQL}) AND u.t <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id, tok.term, count(*)::DOUBLE / max(doclen.n) AS tf
+  FROM tok JOIN doclen USING (doc_id) GROUP BY tok.doc_id, tok.term
+),
+idf AS (
+  SELECT term,
+         1.0 + ln((SELECT count(*)::DOUBLE FROM documents) / count(DISTINCT doc_id)::DOUBLE) AS idf
+  FROM tok GROUP BY term
+),
+q(tok_idx, tok) AS (VALUES {values}),
+qw AS (
+  SELECT q.tok_idx, q.tok, i.term, i.idf,
+         i.idf * (CASE WHEN i.term = q.tok THEN 1.0
+                  ELSE 1.0 / ln(greatest(3, length(i.term) - length(q.tok))) END) AS w
+  FROM q JOIN idf i ON i.term LIKE q.tok || '%'
+),
+mag AS (SELECT sqrt(sum(w * w)) AS m FROM qw),
+qw1 AS (
+  SELECT term, idf, w FROM (
+    SELECT qw.*, row_number() OVER (PARTITION BY term ORDER BY tok_idx) AS rn FROM qw
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT tf.doc_id FROM tf JOIN qw ON tf.term = qw.term
+  GROUP BY tf.doc_id HAVING count(DISTINCT qw.tok_idx) = {len(tokens)}
+),
+scored AS (
+  SELECT tf.doc_id AS _id, sum(qw1.w * tf.tf * qw1.idf) / max(mag.m) AS score
+  FROM tf JOIN qw1 ON tf.term = qw1.term JOIN cand ON cand.doc_id = tf.doc_id, mag
+  GROUP BY tf.doc_id
+),
+fb AS (
+  SELECT _id FROM scored
+  ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
+  LIMIT {_PRF_FB_DOCS}
+),
+fbw AS (
+  SELECT tf.term,
+         round(sum(tf.tf * idf.idf) / {_PRF_FB_DOCS}, 6) AS w,
+         max(idf.idf) AS idf
+  FROM tf JOIN fb ON tf.doc_id = fb._id JOIN idf USING (term)
+  WHERE tf.term NOT IN ({qtok_list})
+  GROUP BY tf.term
+),
+fbtop AS (SELECT term, w, idf FROM fbw ORDER BY w DESC, term ASC LIMIT {_PRF_FB_TERMS}),
+boost AS (
+  SELECT tf.doc_id, sum(fbtop.w * fbtop.idf * tf.tf) AS fb
+  FROM tf JOIN fbtop USING (term) GROUP BY tf.doc_id
+)
+SELECT s._id, round(s.score + {_PRF_BETA} * coalesce(b.fb, 0.0), 6) AS score
+FROM scored s LEFT JOIN boost b ON b.doc_id = s._id
+ORDER BY score DESC, CAST(s._id AS VARCHAR) ASC
+LIMIT {_PRF_K}
+"""
+
+
 _SUMM_INJECT = (
     "concat('the common intro sentence appears everywhere. ', text,"
     " '. closing ', md5(text))"
@@ -4054,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_search": _q_boosting_search,
         "rescore_topk": _q_rescore_topk,
         "multifield_boost_search": _q_multifield_boost,
+        "prf_rocchio_topk": _q_prf_search,
         # extractive summarization (text family reported in-window via
         # quality_lr_score / dedup_spans / extract_code_blocks)
         "extractive_summary": _q_extractive_summary,
@@ -5597,6 +5691,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["boosting_search"] = _boosting_sql()
     sqls["rescore_topk"] = _rescore_sql()
     sqls["multifield_boost_search"] = _multifield_sql()
+    sqls["prf_rocchio_topk"] = _prf_sql()
     sqls["synonym_search"] = _ft_sql("quick data", 50, synonyms=_SYN_MAP)
     # hybrid RRF: lexical lunr top-50 ∪ cosine top-50 (query = doc 3's
     # embedding), fused by summed 1/(60+rank); ties broken on str(_id)

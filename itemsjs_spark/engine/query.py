@@ -2300,6 +2300,111 @@ class SearchEngine:
             .select(F.col(DOCID), s.alias(SCORE))
         )
 
+    def prf_hits(
+        self,
+        query: str,
+        fb_docs: int = 5,
+        fb_terms: int = 10,
+        alpha: float = 1.0,
+        beta: float = 0.75,
+        k: int = 50,
+    ) -> DataFrame:
+        """Rocchio pseudo-relevance feedback (extension; SMART/classic
+        IR): assume the top ``fb_docs`` hits are relevant, build the
+        feedback vector w_fb(t) = mean over those docs of tf·idf, keep
+        the ``fb_terms`` heaviest terms NOT in the analyzed query, and
+        re-rank the ORIGINAL candidate set by
+        α·lunr_score + β·Σ_t w_fb(t)·idf(t)·tf_d(t) — feedback boosts
+        and reorders, it never changes what matches (the conjunctive
+        contract stays). Returns relevance-ordered (_docid, __score)
+        top-k under the combined score.
+
+        Determinism contract: feedback-term selection ranks on w_fb
+        ROUNDED to 6 decimals (ties → term asc) — the same decision
+        grid as k-means/MMR, so an independent engine reproduces the
+        selected expansion exactly.
+
+        Plan: base top-fb_docs from the normal scorer; their term
+        vectors re-tokenize fb_docs ROWS with the index build's Arrow
+        closure (point lookups — never a postings scan by docid); idf
+        for that bounded vocabulary is one isin-pruned terms lookup;
+        the boost is an MLT-shaped term-pruned postings_subset sum over
+        ≤fb_terms terms joined onto the base hit set. Cost ∝ fb_docs ×
+        doc length + fb_terms postings — never a corpus rescan."""
+        from .indexer import tokenize_postings
+
+        idx = self.index
+        self._ensure_fulltext_materialized()
+        base = self.fulltext_hits(query)
+        s6 = F.round(F.col(SCORE), 6)
+        top = (
+            base.orderBy(s6.desc(), F.col(DOCID).cast("string").asc())
+            .limit(int(fb_docs))
+            .select(DOCID)
+            .collect()
+        )
+        if not top:
+            return base.limit(0)
+        fb_ids = [r[DOCID] for r in top]
+        fb_rows = tokenize_postings(
+            self._live(idx.docs).filter(F.col(DOCID).isin(fb_ids)),
+            idx.text_fields,
+            self.configuration,
+        ).collect()
+        qtoks = set(self.pipeline(tokenize(query)))
+        sums: Dict[str, float] = {}
+        for r in sorted(fb_rows, key=lambda r: (r["term"], r[DOCID])):
+            if r["term"] not in qtoks:
+                sums[r["term"]] = sums.get(r["term"], 0.0) + float(r["tf"])
+        idf_map = {
+            r["term"]: float(r["idf"])
+            for r in idx.terms.filter(F.col("term").isin(list(sums))).collect()
+        }
+        ranked = sorted(
+            (
+                (round(sums[t] * idf_map[t] / len(fb_ids), 6), t)
+                for t in sums
+                if t in idf_map
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[: max(int(fb_terms), 1)]
+        out_s = F.round(F.col(SCORE), 6)
+        if not ranked:
+            combined = base.select(
+                DOCID, (F.lit(float(alpha)) * F.col(SCORE)).alias(SCORE)
+            )
+        else:
+            wmap = F.create_map(
+                *[x for w, t in ranked for x in (F.lit(t), F.lit(float(w)))]
+            )
+            imap = F.create_map(
+                *[x for _w, t in ranked for x in (F.lit(t), F.lit(idf_map[t]))]
+            )
+            boost = (
+                idx.postings_subset([t for _w, t in ranked])
+                .withColumn(
+                    "__c",
+                    wmap[F.col("term")] * imap[F.col("term")] * F.col("tf"),
+                )
+                .groupBy(DOCID)
+                .agg(F.sum("__c").alias("__fb"))
+            )
+            combined = base.join(boost, DOCID, "left").select(
+                F.col(DOCID),
+                (
+                    F.lit(float(alpha)) * F.col(SCORE)
+                    + F.lit(float(beta))
+                    * F.coalesce(F.col("__fb"), F.lit(0.0))
+                ).alias(SCORE),
+            )
+        return (
+            combined.orderBy(
+                out_s.desc(), F.col(DOCID).cast("string").asc()
+            )
+            .limit(int(k))
+            .select(DOCID, SCORE)
+        )
+
     def percolate(self, saved: Sequence[Dict[str, Any]]) -> DataFrame:
         """Reverse search (extension; Elasticsearch-percolator-style):
         match a dimension-sized table of SAVED queries against the

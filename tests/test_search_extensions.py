@@ -154,6 +154,31 @@ def test_boosting_no_negative_matches_is_identity(eng):
     )
 
 
+# --- Rocchio pseudo-relevance feedback ----------------------------------
+
+
+def test_prf_keeps_candidates_boosts_cooccurring(eng):
+    base = _hits(eng.fulltext_hits("zebra"))
+    got = _hits(eng.prf_hits("zebra", fb_docs=2, fb_terms=2, beta=1.0))
+    # candidate set unchanged — feedback only re-weights
+    assert set(got) == set(base)
+    # fb docs are 1 and 2 (top-2); their non-query terms: yak, walrus;
+    # both fb terms boost docs containing them
+    for d in got:
+        assert got[d] >= base[d] - 1e-12
+    assert got[2] > base[2]   # doc 2 has yak AND walrus
+    # a doc with no fb terms keeps ~alpha*base
+    assert got[3] == pytest.approx(base[3])
+
+
+def test_prf_zero_beta_is_base_ranking(eng):
+    base = _hits(eng.fulltext_hits("zebra"))
+    got = _hits(eng.prf_hits("zebra", fb_docs=2, fb_terms=2, beta=0.0))
+    for d, s in got.items():
+        assert s == pytest.approx(base[d])
+    assert eng.prf_hits("qqqq").count() == 0
+
+
 # --- rescore ------------------------------------------------------------
 
 
