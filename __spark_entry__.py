@@ -3610,6 +3610,28 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+# high-value activity gate for the retention row: the raw stream is
+# dense enough that every sf0.01 user is active every week (a 1-cohort
+# degenerate triangle); value > 200 keeps ~2% of events and yields a
+# real 5-cohort triangle at sf0.01
+_RETENTION_MIN_VALUE = 200.0
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts over high-value events
+    (`conversations.retention_cohorts`): users bucket into the week of
+    their first qualifying event; each (cohort, week-offset) cell counts
+    distinct users active that many weeks later. Two map-side-combined
+    shuffles — the (user, week) distinct grid, then a per-user fold
+    bounded by the calendar — no sketch needed for exactness. Cohort
+    keys are epoch seconds of the truncated Monday (the repo's
+    timezone-proof histogram convention)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).filter(
+        F.col("value") > _RETENTION_MIN_VALUE
+    )
+    return conv_ops.retention_cohorts(ev, "user_id", "ts")
+
+
 _PACK_CONV_BUDGET = 60
 
 
@@ -3986,7 +4008,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # north-rule transcript corpus (full lunr pipeline vs raw SQL oracle)
         "transcripts_fulltext_topk": _q_transcripts_topk,
-        "transcripts_conv_topk": _q_transcripts_conv_topk,
+        # retention-cohort analytics (NEW family: cohort triangles over
+        # the event stream) — takes transcripts_conv_topk's slot; the
+        # conversation-grain ranking stays reported via
+        # transcripts_fulltext_topk (same pipeline, turn grain) and the
+        # conversation-analytics rows (event_sessionize, tool_chain_topk)
+        "retention_cohorts": _q_retention_cohorts,
         # trending terms + recency-boosted (function-score) search take
         # the window slot of transcripts_time_range — the query∩time
         # compose stays reported via transcripts_histogram (same range
@@ -4130,6 +4157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranker-agreement, conversation-structure and bucket-anomaly
         # analytics (families reported in-window via retrieval_rank_eval,
         # conversation_stats and facet_stats/transcripts_histogram)
+        # conversation-grain north-rule ranking (displaced by
+        # retention_cohorts; the transcript fulltext family keeps five
+        # in-window rows at turn grain)
+        "transcripts_conv_topk": _q_transcripts_conv_topk,
         "rank_correlation": _q_rank_correlation,
         # hierarchical rollup (grouping-sets family; bucket counting is
         # reported in-window via facet_counts_crossed and the stacked
@@ -5568,6 +5599,22 @@ FROM staged
     # blocks + DC-exact quant table reconstruct bit-for-bit) and
     # decodes them back through Huffman + dequantize + IDCT; chunk-mean
     # k pools block-row k = bytes 4k..4k+3, so the features share the
+    # retention cohorts: the same DISTINCT-grid → per-user-min → offset
+    # count, restated independently; week keys are epoch(date_trunc)
+    # per the timezone-proof convention, offsets exact 604800 steps
+    sqls["retention_cohorts"] = f"""
+WITH grid AS (
+  SELECT DISTINCT user_id AS u, epoch(date_trunc('week', ts))::BIGINT AS wk
+  FROM events WHERE value > {_RETENTION_MIN_VALUE}
+),
+pu AS (SELECT u, min(wk) AS cohort_week FROM grid GROUP BY u)
+SELECT pu.cohort_week AS cohort_week,
+       ((g.wk - pu.cohort_week) / 604800)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM grid g JOIN pu ON g.u = pu.u
+GROUP BY 1, 2
+"""
+
     sqls["event_sessionize"] = """
 WITH s AS (
   SELECT user_id, ts, event_id,

@@ -417,3 +417,55 @@ def turn_latency(
         F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
         F.round(F.max("gap_s"), 6).alias("max_s"),
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort analysis over an event stream: bucket
+    every user into the week of their FIRST event (the cohort), then
+    count how many distinct users of each cohort were active again
+    ``offset`` weeks later — the standard triangle behind every
+    retention dashboard, and (for a transcript platform) the "do users
+    who started in week W keep generating conversations" question.
+
+    Returns ``(cohort_week, week_offset, n_users)`` — the cohort key is
+    the truncated Monday's epoch seconds (the repo's timezone-proof
+    histogram convention: truncation runs in the session timezone, UTC
+    in every deployment, and oracles restate ``epoch(date_trunc(...))``
+    so no engine-side date rendering is compared), and the offset is
+    exact integer arithmetic on those epochs (UTC has no DST, so Monday
+    boundaries differ by whole 604800-second weeks).
+
+    Plan: TWO shuffles, both map-side combined and both keyed to defuse
+    skew. (1) ``groupBy(user, week)`` distincts the activity grid —
+    a hot user's 10^6 events collapse to at most #weeks rows during the
+    partial aggregate, so no single key carries corpus-scale data.
+    (2) ``groupBy(user)`` folds that grid into (first_week, week_set)
+    with state bounded by the calendar (#weeks), then a map-only
+    explode derives offsets and the final count aggregates on the tiny
+    (cohort, offset) key space. No window over the raw stream, no
+    distinct-count sketch needed: exactness comes from the grid
+    already being distinct per (user, week)."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("long")
+    grid = df.groupBy(F.col(user_col).alias("u"), wk.alias("wk")).agg(
+        F.lit(1).alias("_one")
+    )
+    per_user = grid.groupBy("u").agg(
+        F.min("wk").alias("cohort_week"),
+        F.collect_set("wk").alias("weeks"),
+    )
+    active = per_user.select(
+        "cohort_week",
+        F.explode("weeks").alias("wk"),
+    ).select(
+        "cohort_week",
+        ((F.col("wk") - F.col("cohort_week")) / 604800)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )

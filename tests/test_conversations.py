@@ -299,3 +299,43 @@ def test_turn_latency_stats(spark):
     assert got[("assistant", "user")]["n"] == 1
     assert got[("assistant", "user")]["p50_s"] == 4.0
     assert len(got) == 2
+
+
+def test_retention_cohorts_triangle(spark):
+    """Cohort = week of first event; each (cohort, offset) cell counts
+    distinct users, multiple events in one week count once, users never
+    leak across cohorts, offsets are exact whole weeks."""
+    from datetime import datetime, timezone
+
+    from itemsjs_spark.ops.conversations import retention_cohorts
+
+    def t(day, sec=0):
+        # 2024-01-01 is a Monday: day 0..6 = week 0, 7..13 = week 1, ...
+        return datetime.fromtimestamp(
+            1704067200 + day * 86400 + sec, tz=timezone.utc
+        )
+
+    rows = [
+        # user 1: cohort week 0, active weeks 0 (twice) and 2
+        (1, t(0)), (1, t(3, 30)), (1, t(15)),
+        # user 2: cohort week 0, active week 0 only
+        (2, t(6)),
+        # user 3: cohort week 1, active weeks 1 and 2
+        (3, t(7)), (3, t(14)),
+        # user 4: cohort week 2 (late joiner), active week 2
+        (4, t(20)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    w0 = 1704067200  # epoch of Monday 2024-01-01 (UTC truncation)
+    wk = 604800
+    assert got == {
+        (w0, 0): 2,          # users 1, 2 active in their cohort week
+        (w0, 2): 1,          # user 1 returns two weeks later
+        (w0 + wk, 0): 1,     # user 3
+        (w0 + wk, 1): 1,     # user 3 returns next week
+        (w0 + 2 * wk, 0): 1, # user 4
+    }
