@@ -1514,6 +1514,26 @@ def _q_ivf_kmeans(spark, sf_dir):
     )
 
 
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_NQ = 4, 4, 2, 8
+
+
+def _q_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (`embeddings.pq_fit/pq_encode/
+    pq_adc_topk`, Jégou et al. 2011): four per-subspace kmeans
+    codebooks (each inheriting the kmeans decision grid), map-only
+    corpus encoding to 4 codes/row, and asymmetric-distance top-k where
+    each query's LUT sum replaces any touch of the original vectors —
+    the bandwidth-collapse scan kernel that IVF+PQ systems run at
+    billion scale. The oracle chains one unrolled-kmeans CTE per
+    subspace into the identical code/LUT/+-chain restatement."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    books, sub = emb_ops.pq_fit(
+        e, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, init_ids=_KMEANS_INIT
+    )
+    q = e.filter(F.col("vec_id") < _PQ_NQ)
+    return emb_ops.pq_adc_topk(e, q, books, sub, k=10)
+
+
 _SEMDEDUP_TH = 0.3
 
 
@@ -4131,7 +4151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunk_dedup's slot — the dedup family keeps four reported
         # rows: jaccard, clusters, simhash, decontaminate, incremental)
         "hybrid_rrf_topk": _q_hybrid_rrf,
-        "ann_ivf_topk": _q_ann_ivf_topk,
+        # product-quantization ADC (NEW family: compressed-domain ANN —
+        # the codes-only scan kernel of IVF+PQ systems) — takes
+        # ann_ivf_topk's slot; the inverted-file probe side of ANN stays
+        # reported below-window (ann_ivf_topk, ann_ivf_kmeans_topk) and
+        # exact cosine stays proven via mmr_diverse_topk's candidate
+        # stage + hybrid_rrf_topk
+        "pq_adc_topk": _q_pq_adc,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "deterministic_split": _q_deterministic_split,
         "pack_sequences": _q_pack_sequences,
@@ -4301,6 +4327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         # canonical trained-centroid IVF (ANN family reported via
         # ann_ivf_topk; clustering via kmeans_clusters)
+        # hyperplane-cell IVF (displaced by pq_adc_topk; the ANN family
+        # keeps the PQ row in-window, both IVF variants live here)
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": _q_ivf_kmeans,
         # SemDeDup — semantic dedup over the same trained centroids
         # (dedup family reported in-window via neardup_jaccard_pairs /
@@ -5157,6 +5186,95 @@ dup AS (
 SELECT cells.vec_id AS id, cells.cluster AS cluster,
        (dup.id IS NULL) AS keep
 FROM cells LEFT JOIN dup ON dup.id = cells.vec_id
+"""
+    )
+
+    # Product quantization: one unrolled-kmeans chain PER SUBSPACE over
+    # the sliced vectors (same rounded-distance/tie decision grid as
+    # kmeans_clusters), then corpus codes = per-subspace nearest code,
+    # query LUTs = rounded distances to every codebook entry, and the
+    # ADC estimate is the identical left-to-right + chain over LUT hits
+    _pq_ids = ", ".join(str(i) for i in _KMEANS_INIT)
+    _pq_parts = []
+    _pq_dim, _pq_sub = 64, 64 // _PQ_M
+    for _s in range(_PQ_M):
+        _lo, _hi = _s * _pq_sub + 1, (_s + 1) * _pq_sub
+        _d = (
+            f"round(list_sum(list_transform(range(1, len(e.v) + 1), "
+            f"i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)"
+        )
+        _pq_parts.append(
+            f"e{_s} AS (SELECT vec_id, (embedding::DOUBLE[])[{_lo}:{_hi}] "
+            f"AS v FROM embeddings)"
+        )
+        _pq_parts.append(
+            f"c{_s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cl, v FROM e{_s} WHERE vec_id IN ({_pq_ids}))"
+        )
+        for _r in range(_PQ_ITERS):
+            _pq_parts.append(f"""a{_s}_{_r} AS (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_d} ASC, c.cl ASC) AS rn
+    FROM e{_s} e, c{_s}_{_r} c
+  ) WHERE rn = 1
+)""")
+            _pq_parts.append(f"""c{_s}_{_r + 1} AS (
+  SELECT cl, list(m ORDER BY i) AS v FROM (
+    SELECT cl, t.i AS i, round(avg(v[t.i]), 6) AS m
+    FROM a{_s}_{_r}, LATERAL unnest(range(1, len(v) + 1)) t(i)
+    GROUP BY cl, t.i
+  ) GROUP BY cl
+)""")
+        _pq_parts.append(f"""f{_s} AS (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_d} ASC, c.cl ASC) AS rn
+    FROM e{_s} e, c{_s}_{_PQ_ITERS} c
+  ) WHERE rn = 1
+)""")
+        _pq_parts.append(f"""lut{_s} AS (
+  SELECT e.vec_id AS qid, c.cl,
+         {_d} AS d
+  FROM e{_s} e, c{_s}_{_PQ_ITERS} c
+  WHERE e.vec_id < {_PQ_NQ}
+)""")
+    _pq_code_cols = ", ".join(
+        f"f{_s}.cl AS code{_s}" for _s in range(_PQ_M)
+    )
+    _pq_code_joins = " ".join(
+        f"JOIN f{_s} ON f{_s}.vec_id = f0.vec_id"
+        for _s in range(1, _PQ_M)
+    )
+    _pq_lut_joins = " ".join(
+        f"JOIN lut{_s} l{_s} ON l{_s}.qid = l0.qid "
+        f"AND l{_s}.cl = codes.code{_s}"
+        for _s in range(1, _PQ_M)
+    )
+    _pq_chain = " + ".join(f"l{_s}.d" for _s in range(_PQ_M))
+    sqls["pq_adc_topk"] = (
+        "WITH "
+        + ",\n".join(_pq_parts)
+        + f""",
+codes AS (
+  SELECT f0.vec_id, {_pq_code_cols}
+  FROM f0 {_pq_code_joins}
+),
+adc AS (
+  SELECT l0.qid AS query_id, codes.vec_id AS neighbor_id,
+         round({_pq_chain}, 6) AS adc
+  FROM codes
+  JOIN lut0 l0 ON l0.cl = codes.code0
+  {_pq_lut_joins}
+  WHERE codes.vec_id <> l0.qid
+)
+SELECT query_id, neighbor_id, adc FROM (
+  SELECT adc.*, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id ASC) AS rn
+  FROM adc
+) WHERE rn <= 10
 """
     )
 

@@ -848,3 +848,138 @@ def pca_project(
         )
         cols.append(F.round(s, 6).alias(f"pc{c}"))
     return corpus.select(*cols)
+
+
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    init_ids: Optional[Sequence[int]] = None,
+):
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    embedding into ``m`` equal subvectors and train an independent
+    k-means codebook per subspace via :func:`kmeans_fit` — inheriting
+    its decision-rounding portability contract, so an independent
+    engine reproduces every codebook and code assignment exactly.
+
+    Returns ``(codebooks, sub)``: ``codebooks[s]`` is the ordered
+    ``[(code, subvector)]`` list for subspace ``s`` and ``sub`` the
+    subvector width. Training cost is ``m`` independent kmeans runs
+    (each a map-only assign + one k·sub-sized aggregate per iteration);
+    at 10^12 rows the standard practice of fitting on a deterministic
+    sample applies unchanged — pass a sampled ``corpus``."""
+    first = corpus.select(F.col(emb_col)).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subvectors")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sl = corpus.select(
+            F.col(id_col).alias(id_col),
+            F.slice(
+                F.col(emb_col).cast("array<double>"), s * sub + 1, sub
+            ).alias("__sv"),
+        )
+        cents, _ = kmeans_fit(
+            sl, id_col=id_col, emb_col="__sv", k=k, iters=iters,
+            init_ids=list(init_ids) if init_ids is not None else None,
+        )
+        books.append(cents)
+    return books, sub
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    sub: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: each row's subvector ``s`` maps to the
+    nearest code of ``codebooks[s]`` (squared distance rounded to 6
+    decimals before the argmin, ties to the smaller code — the shared
+    decision grid). Output ``(id, code0..code{m-1})`` — m small ints
+    per row instead of the full vector: the 100 TB story is exactly
+    this bandwidth collapse (a 64-dim float32 row becomes m codes).
+    Codebooks are broadcast literals; no join, no shuffle."""
+    e = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(emb_col).cast("array<double>").alias("__v"),
+    )
+    for s, cents in enumerate(codebooks):
+        sv = F.slice(F.col("__v"), s * sub + 1, sub)
+        structs = [
+            F.struct(
+                F.round(
+                    _sqdist(sv, F.lit(c).cast("array<double>")), 6
+                ).alias("d"),
+                F.lit(int(cl)).cast("long").alias("cl"),
+            )
+            for cl, c in cents
+        ]
+        e = e.withColumn(f"code{s}", F.array_min(F.array(*structs))["cl"])
+    return e.drop("__v")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    sub: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    scanned as codes only; each query precomputes a per-subspace lookup
+    table of rounded squared distances to every codebook entry and a
+    candidate's distance estimate is the LUT sum across subspaces —
+    never touching the original corpus vectors. Returns
+    ``(query_id, neighbor_id, adc)`` ascending by estimated distance.
+
+    Distributed shape: encoding is map-only; queries (with their LUTs,
+    m·k doubles each) broadcast; the scan is one map-only pass over the
+    code table plus a per-query top-k window. The LUT sum is an
+    UNROLLED left-to-right ``+`` chain in subspace order — the oracle
+    restates the identical chain, so float addition order can't drift.
+    At production scale ADC composes with IVF (scan only probed cells'
+    code lists); this operator is the scan kernel of that pair."""
+    enc = pq_encode(
+        corpus, codebooks, sub, id_col=id_col, emb_col=emb_col
+    ).withColumnRenamed(id_col, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    for s, cents in enumerate(codebooks):
+        sv = F.slice(F.col("__qe"), s * sub + 1, sub)
+        keys = F.array(*[F.lit(int(cl)).cast("long") for cl, _ in cents])
+        vals = F.array(
+            *[
+                F.round(_sqdist(sv, F.lit(c).cast("array<double>")), 6)
+                for _, c in cents
+            ]
+        )
+        q = q.withColumn(f"__lut{s}", F.map_from_arrays(keys, vals))
+    j = enc.join(
+        F.broadcast(q.drop("__qe")),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+    adc = F.col("__lut0")[F.col("code0")]
+    for s in range(1, len(codebooks)):
+        adc = adc + F.col(f"__lut{s}")[F.col(f"code{s}")]
+    scored = j.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

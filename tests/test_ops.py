@@ -1126,3 +1126,44 @@ def test_dedup_spans_short_docs_untouched_and_all_rows_returned(spark):
     assert out[1]["clean_text"] == "tiny doc"
     assert (out[2]["n_tokens"], out[2]["clean_text"]) == (0, "")
     assert out[3]["n_dropped"] == 0
+
+
+def test_pq_planted_blocks_encode_and_adc(spark):
+    """Planted 4-dim corpus with two clean clusters per 2-dim subspace:
+    pq_fit recovers per-subspace codebooks, pq_encode assigns every row
+    the code of its planted half, and ADC ranks a same-pattern neighbor
+    above a different-pattern one. Also pins determinism (re-fit gives
+    identical codebooks) and the m-divides-dim guard."""
+    import pytest as _pytest
+    from itemsjs_spark.ops.embeddings import pq_adc_topk, pq_encode, pq_fit
+
+    # subspace 0 pattern A=[10,0] B=[0,10]; subspace 1 pattern A=[5,5] B=[-5,-5]
+    rows = [
+        (0, [10.0, 0.0, 5.0, 5.0]),     # AA  (query)
+        (1, [10.2, 0.1, 5.1, 4.9]),     # AA  (near twin of 0)
+        (2, [0.0, 10.0, 5.0, 5.0]),     # BA
+        (3, [10.0, 0.0, -5.0, -5.0]),   # AB
+        (4, [0.1, 9.9, -5.1, -4.9]),    # BB  (far from 0)
+        (5, [9.8, -0.1, 4.8, 5.2]),     # AA
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books, sub = pq_fit(df, m=2, k=2, iters=2, init_ids=(0, 4))
+    assert sub == 2 and len(books) == 2
+    books2, _ = pq_fit(df, m=2, k=2, iters=2, init_ids=(0, 4))
+    assert books == books2
+    codes = {
+        r["vec_id"]: (r["code0"], r["code1"])
+        for r in pq_encode(df, books, sub).collect()
+    }
+    # init ids 0 (AA) and 4 (BB) seed code 0 = pattern A, code 1 = B
+    assert codes[0] == (0, 0) and codes[1] == (0, 0) and codes[5] == (0, 0)
+    assert codes[2] == (1, 0) and codes[3] == (0, 1) and codes[4] == (1, 1)
+    top = pq_adc_topk(
+        df, df.filter("vec_id = 0"), books, sub, k=5
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["adc"])]
+    # same-code rows (1, 5) estimate nearer than cross-pattern rows
+    assert set(order[:2]) == {1, 5}
+    assert order[-1] == 4
+    with _pytest.raises(ValueError):
+        pq_fit(df.limit(2), m=3)
