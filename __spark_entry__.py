@@ -2679,6 +2679,28 @@ def _q_pca_project(spark, sf_dir):
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+_DSIR_BUCKETS, _DSIR_TOPN, _DSIR_K = 256, 50, 0.5
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (`sampling.dsir_select`, Xie et al.
+    2023): rank the raw pool by how target-like each document's hashed
+    uni+bigram bucket distribution is (target = the English slice) and
+    keep the deterministic top-N. The 256-bucket log-ratio table is
+    quantized once to integer nano-units, so every per-doc weight is an
+    exact BIGINT dot product — no float-sum order anywhere."""
+    from itemsjs_spark.ops import sampling
+
+    d = _documents(spark, sf_dir)
+    return sampling.dsir_select(
+        d,
+        d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS,
+        top_n=_DSIR_TOPN,
+        k=_DSIR_K,
+    )
+
+
 def _q_deterministic_split(spark, sf_dir):
     """Seeded hash-based split assignment (train/val/test): membership
     depends only on (seed, doc_id) — stable under retries, appends and
@@ -4159,7 +4181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stage + hybrid_rrf_topk
         "pq_adc_topk": _q_pq_adc,
         "embedding_neardup_pairs": _q_embedding_neardup,
-        "deterministic_split": _q_deterministic_split,
+        # DSIR importance selection (NEW family: distribution-matching
+        # data selection) — takes deterministic_split's slot; the
+        # hash-membership sampling family stays reported via
+        # domain_mixture_sample (same md5-prefix randomness source) and
+        # deterministic_split moves below-window
+        "dsir_select": _q_dsir_select,
         "pack_sequences": _q_pack_sequences,
         # tool-chain mining (agent-transcript analytics) — takes
         # quality_score's slot; the quality family stays reported via
@@ -4323,6 +4350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_per_group": _q_stratified_sample,
         # leakage-safe conversational split: split key = conv_id, one
         # row per conversation (oracle compare proves the integrity)
+        # doc-grain hash split (displaced by dsir_select; the same
+        # md5-prefix membership rule stays reported via
+        # domain_mixture_sample in-window and split_by_conversation here)
+        "deterministic_split": _q_deterministic_split,
         "split_by_conversation": _q_split_by_conversation,
         "repetition_signals": _q_repetition_signals,
         # canonical trained-centroid IVF (ANN family reported via
@@ -4721,6 +4752,51 @@ SELECT query_id, neighbor_id, cosine FROM (
     sqls["deterministic_split"] = (
         f"SELECT doc_id, {_case} AS split FROM documents"
     )
+
+    # DSIR: identical gram stream (unigrams + space-joined bigrams),
+    # identical md5-6-hex bucket, exact-integer counts, ONE nano-unit
+    # quantization of each bucket's smoothed log-ratio, exact BIGINT
+    # per-doc dot product — restated end to end
+    _dsir_hex6 = _sql_nib("md5(g)", 1)
+    for _p in range(2, 7):
+        _dsir_hex6 = f"({_dsir_hex6} * 16 + {_sql_nib('md5(g)', _p)})"
+    _dsir_kb = _DSIR_K * _DSIR_BUCKETS
+    sqls["dsir_select"] = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+g0 AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+gb AS (SELECT doc_id, lang, ({_dsir_hex6} % {_DSIR_BUCKETS}) AS b FROM g0),
+spine AS (SELECT unnest(range(0, {_DSIR_BUCKETS})) AS b),
+tc AS (SELECT spine.b, coalesce(x.c, 0)::BIGINT AS ct FROM spine
+       LEFT JOIN (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY b) x
+       ON x.b = spine.b),
+rc AS (SELECT spine.b, coalesce(x.c, 0)::BIGINT AS cr FROM spine
+       LEFT JOIN (SELECT b, count(*) AS c FROM gb GROUP BY b) x
+       ON x.b = spine.b),
+tt AS (SELECT sum(ct)::DOUBLE AS v FROM tc),
+tr AS (SELECT sum(cr)::DOUBLE AS v FROM rc),
+ratio AS (
+  SELECT tc.b,
+         round((ln((tc.ct::DOUBLE + {_DSIR_K}) / (tt.v + {_dsir_kb}))
+              - ln((rc.cr::DOUBLE + {_DSIR_K}) / (tr.v + {_dsir_kb}))) * 1e9)::BIGINT AS ld
+  FROM tc JOIN rc ON tc.b = rc.b, tt, tr
+),
+db AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM gb GROUP BY 1, 2),
+w AS (
+  SELECT doc_id, sum(n)::BIGINT AS n_grams,
+         round(sum(n * ld)::DOUBLE / 1e9, 6) AS weight
+  FROM db JOIN ratio ON db.b = ratio.b GROUP BY doc_id
+)
+SELECT doc_id, n_grams, weight,
+       row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rank
+FROM w
+ORDER BY weight DESC, doc_id ASC LIMIT {_DSIR_TOPN}
+"""
 
     _md5_conv = "md5('0:' || conv_id)"
     _cfrac = f"({_hex8_int(_md5_conv)} / 4294967296.0)"

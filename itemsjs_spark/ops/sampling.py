@@ -352,3 +352,170 @@ def weighted_sample(
         )
         .limit(n)
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    k: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its hashed n-gram distribution looks like the
+    ``target`` corpus rather than the raw pool —
+    ``w(doc) = Σ_grams log(p_target(bucket)/q_raw(bucket))`` over
+    word unigrams + bigrams hashed into ``n_buckets`` buckets with
+    add-k smoothing. Returns ``(id, n_grams, weight)``.
+
+    Engine-portable and order-free by construction: the bucket hash is
+    the repo's md5-prefix scheme; the two bucket distributions are
+    exact integer counts; each bucket's log-ratio is quantized ONCE to
+    integer nano-units (the PageRank/PCA lesson — identical double
+    inputs give identical nano-units, and everything after is exact
+    BIGINT arithmetic, so no distributed float-sum order can drift);
+    a document's weight is the exact integer dot product of its bucket
+    counts with that 256-row broadcast table, divided once at the end.
+
+    Distributed shape: two map-side-combined gram-count aggregates
+    (bucket-keyed — hot grams collapse into hot buckets' counts, never
+    row explosions), one ``n_buckets``-row spine joined broadcast, one
+    per-(doc, bucket) count aggregate, one broadcast join + per-doc
+    integer sum. Nothing corpus-sized crosses the driver; the model is
+    n_buckets rows regardless of vocabulary — the bounded-memory
+    property that makes DSIR runnable at 10^12 turns."""
+    from itemsjs_spark.ops.text import ws_tokens as ws_tokens_col
+
+    spark = raw.sparkSession
+    bcount = int(n_buckets)
+    kk = float(k)
+
+    def bucket(g: Column) -> Column:
+        return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast(
+            "long"
+        ) % F.lit(bcount)
+
+    def gram_stream(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = ws_tokens_col(F.col(text_col))
+        cols = [F.col(id_col).alias("__id")] if keep_id else []
+        uni = df.select(*cols, F.explode(toks).alias("g"))
+        big = (
+            df.select(*cols, toks.alias("__t"))
+            .filter(F.size("__t") >= 2)
+            .select(
+                *([F.col("__id")] if keep_id else []),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__t) - 1), "
+                        "i -> concat(__t[i - 1], ' ', __t[i]))"
+                    )
+                ).alias("g"),
+            )
+        )
+        return uni.unionByName(big)
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            gram_stream(df, keep_id=False)
+            .select(bucket(F.col("g")).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    spine = spark.range(bcount).select(F.col("id").alias("b"))
+    tgt = spine.join(bucket_counts(target), "b", "left").select(
+        "b", F.coalesce("c", F.lit(0)).cast("long").alias("ct")
+    )
+    rawc = spine.join(bucket_counts(raw), "b", "left").select(
+        "b", F.coalesce("c", F.lit(0)).cast("long").alias("cr")
+    )
+    totals_t = tgt.agg(F.sum("ct").cast("double").alias("__tt"))
+    totals_r = rawc.agg(F.sum("cr").cast("double").alias("__tr"))
+    ratio = (
+        tgt.join(rawc, "b")
+        .crossJoin(F.broadcast(totals_t))
+        .crossJoin(F.broadcast(totals_r))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.col("ct").cast("double") + F.lit(kk))
+                        / (F.col("__tt") + F.lit(kk * bcount))
+                    )
+                    - F.log(
+                        (F.col("cr").cast("double") + F.lit(kk))
+                        / (F.col("__tr") + F.lit(kk * bcount))
+                    )
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("long")
+            .alias("ld_nano"),
+        )
+    )
+    doc_b = (
+        gram_stream(raw, keep_id=True)
+        .select("__id", bucket(F.col("g")).alias("b"))
+        .groupBy("__id", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_doc = (
+        doc_b.join(F.broadcast(ratio), "b")
+        .groupBy("__id")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("ld_nano")).cast("long").alias("__wn"),
+        )
+        .select(
+            F.col("__id"),
+            "n_grams",
+            F.round(F.col("__wn").cast("double") / F.lit(1e9), 6).alias(
+                "weight"
+            ),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    top_n: int = 100,
+    k: float = 0.5,
+) -> DataFrame:
+    """Deterministic DSIR selection: rank raw docs by
+    :func:`dsir_weights` and keep the ``top_n`` (weight desc, id asc) —
+    the greedy variant of the paper's Gumbel resampling (determinism is
+    what makes the run verifiable cross-engine and resumable). The
+    final cut is a TakeOrdered top-N, never a full sort."""
+    from pyspark.sql import Window
+
+    w = dsir_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, k=k,
+    )
+    return (
+        w.orderBy(F.col("weight").desc(), F.col(id_col).asc())
+        .limit(int(top_n))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("weight").desc(), F.col(id_col).asc())
+            ),
+        )
+    )

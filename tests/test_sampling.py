@@ -300,3 +300,36 @@ def test_weighted_sample_keys_sorted_and_bounded(spark):
     keys = [r["sort_key"] for r in got]
     assert keys == sorted(keys)
     assert all(k >= 0 for k in keys)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Raw pool mixes two disjoint vocabularies; the target corpus uses
+    only vocabulary A. DSIR weights must rank every A-doc above every
+    B-doc, weights must be deterministic across runs, and n_grams must
+    count unigrams + bigrams exactly."""
+    from itemsjs_spark.ops.sampling import dsir_select, dsir_weights
+
+    a_docs = [(i, "alpha beta gamma alpha beta") for i in range(5)]
+    b_docs = [(i, "zork quux blorp zork quux") for i in range(5, 10)]
+    raw = spark.createDataFrame(a_docs + b_docs, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha gamma beta alpha")], ["doc_id", "text"]
+    )
+    w = {
+        r["doc_id"]: (r["n_grams"], r["weight"])
+        for r in dsir_weights(raw, target).collect()
+    }
+    # 5 unigrams + 4 bigrams per doc
+    assert all(w[i][0] == 9 for i in range(10))
+    a_w = {w[i][1] for i in range(5)}
+    b_w = {w[i][1] for i in range(5, 10)}
+    assert len(a_w) == 1 and len(b_w) == 1  # identical texts, same weight
+    assert min(a_w) > max(b_w)
+    sel = dsir_select(raw, target, top_n=5).collect()
+    assert [r["doc_id"] for r in sel] == [0, 1, 2, 3, 4]
+    assert [r["rank"] for r in sel] == [1, 2, 3, 4, 5]
+    w2 = {
+        r["doc_id"]: (r["n_grams"], r["weight"])
+        for r in dsir_weights(raw, target).collect()
+    }
+    assert w == w2
