@@ -1534,6 +1534,22 @@ def _q_pq_adc(spark, sf_dir):
     return emb_ops.pq_adc_topk(e, q, books, sub, k=10)
 
 
+_RP_OUT_DIM, _RP_SEED = 16, 0
+
+
+def _q_random_projection(spark, sf_dir):
+    """JL ±1 random projection (`embeddings.random_projection`,
+    Achlioptas 2003): 64→16 dims via a deterministic md5-seeded sign
+    matrix, map-only JVM expressions, zero shuffle. Inputs quantize to
+    integer micro-units so every output coordinate is an exact BIGINT
+    ±-chain divided once — the oracle inlines the identical sign matrix
+    and chain."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb_ops.random_projection(
+        e, out_dim=_RP_OUT_DIM, seed=_RP_SEED
+    )
+
+
 _SEMDEDUP_TH = 0.3
 
 
@@ -4373,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via the ANN rows)
         "embedding_quantize_int8": _q_embedding_quantize,
         "embedding_pca_project": _q_pca_project,
+        "random_projection": _q_random_projection,
         # packing family stays reported via pack_sequences; this is the
         # conversation-aware variant
         "pack_conversations": _q_pack_conversations,
@@ -5353,6 +5370,37 @@ SELECT query_id, neighbor_id, adc FROM (
 ) WHERE rn <= 10
 """
     )
+
+    # JL random projection: identical driver-generated ±1 sign matrix
+    # inlined as the same exact-integer ±-chain per output dim; the
+    # 1/√out_dim scale resolves in INTEGER space with the same
+    # half-away rule (a double round sits on structural quarter ties
+    # where the engines' tie modes differ), then one exact /1e6
+    _rp_sgn = emb_ops.rp_signs(64, _RP_OUT_DIM, _RP_SEED)
+    _rp_root = int(round(float(_RP_OUT_DIM) ** 0.5))
+    assert _rp_root * _rp_root == _RP_OUT_DIM
+    _rp_vals = []
+    for _row in _rp_sgn:
+        _terms = "".join(
+            (" + " if _s > 0 else " - ") + f"vm[{_i + 1}]"
+            for _i, _s in enumerate(_row)
+        )
+        _acc = f"(0{_terms})"
+        _q = f"((abs({_acc}) + {_rp_root // 2}) // {_rp_root})"
+        _rp_vals.append(
+            f"(CASE WHEN {_acc} < 0 THEN -{_q} ELSE {_q} END)::DOUBLE"
+            f" / 1000000.0"
+        )
+    _rp_dims = ", ".join(f"{_j}::BIGINT" for _j in range(_RP_OUT_DIM))
+    sqls["random_projection"] = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> round(x * 1e6)::BIGINT) AS vm
+           FROM embeddings)
+SELECT vec_id, unnest([{_rp_dims}]) AS dim,
+       unnest([{", ".join(_rp_vals)}]) AS val
+FROM e
+"""
 
     # MMR greedy unrolled to k=5 plain CTE stages (DuckDB's recursive
     # CTEs reject the lambda state-carrying form): stage i picks the

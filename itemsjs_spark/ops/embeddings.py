@@ -983,3 +983,99 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def rp_signs(in_dim: int, out_dim: int, seed: int = 0) -> List[List[int]]:
+    """Deterministic ±1 sign matrix for :func:`random_projection`:
+    ``signs[j][i]`` is +1 iff the first md5 nibble of ``seed:i:j`` is
+    < 8 — the same engine-portable md5 randomness source the sampling
+    operators use, reproducible by any engine (and generated here once,
+    driver-side, so it ships as a broadcast literal)."""
+    import hashlib
+
+    out = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) < 8 else -1)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): ``y_j = (1/√out_dim) · Σ_i s_ij x_i`` —
+    the cheap, data-independent companion to :func:`pca_power_fit` for
+    shrinking embedding bandwidth before dedup/ANN at corpus scale.
+    Returns exploded ``(id, dim, val)`` rows.
+
+    Exact-integer portability (the PCA/PageRank lesson): inputs
+    quantize once to integer micro-units, each output coordinate is an
+    exact BIGINT ±-chain over them (no float-sum order anywhere). The
+    ``1/√out_dim`` scale is ALSO applied in integer space when √out_dim
+    is integral (half-away-from-zero on the micro grid — a double
+    ``round`` here would sit on structural quarter ties, where Spark's
+    half-up and DuckDB's banker's rounding disagree; found the hard way
+    at 28/8000 coordinates), so the only float op is one exact division
+    by 1e6 and the result lands ON the 6-decimal grid.
+
+    Distributed shape: pure map-only JVM expressions over a broadcast
+    literal sign matrix — no shuffle, no join, no Python; the scan
+    parallelizes perfectly and the plan survives any corpus size."""
+    signs = rp_signs(_first_dim(corpus, emb_col), out_dim, seed)
+    root = int(round(float(out_dim) ** 0.5))
+    exact_root = root * root == out_dim
+    vm = F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(1e6), 0).cast("long"),
+    )
+    e = corpus.select(F.col(id_col).alias(id_col), vm.alias("__vm"))
+    outs = []
+    for j, row in enumerate(signs):
+        acc = None
+        for i, s in enumerate(row):
+            term = F.col("__vm")[i]
+            term = term if s > 0 else -term
+            acc = term if acc is None else acc + term
+        if exact_root:
+            # y_micro = round_half_away(acc / root), all integer:
+            # (|acc| + root/2) div root, sign restored; / by the
+            # power-of-2-friendly bound keeps floor() exact
+            q = F.floor(
+                (F.abs(acc) + F.lit(root // 2)) / F.lit(root)
+            ).cast("long")
+            y = F.when(acc < 0, -q).otherwise(q)
+            outs.append(
+                (y.cast("double") / F.lit(1e6)).alias(f"d{j}")
+            )
+        else:
+            # irrational scale: ties are measure-zero; one double
+            # division by the shared literal
+            denom = 1e6 * float(out_dim) ** 0.5
+            outs.append(
+                F.round(acc.cast("double") / F.lit(denom), 6).alias(f"d{j}")
+            )
+    wide = e.select(id_col, *outs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("dim"),
+                F.col(f"d{j}").alias("val"),
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return wide.select(
+        id_col, F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.dim").alias("dim"), F.col("p.val").alias("val"))
+
+
+def _first_dim(corpus: DataFrame, emb_col: str) -> int:
+    return len(corpus.select(F.col(emb_col)).first()[0])

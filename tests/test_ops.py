@@ -1167,3 +1167,37 @@ def test_pq_planted_blocks_encode_and_adc(spark):
     assert order[-1] == 4
     with _pytest.raises(ValueError):
         pq_fit(df.limit(2), m=3)
+
+
+def test_random_projection_exact_grid_and_norm_preservation(spark):
+    """Every output value sits exactly on the 1e-6 grid (the integer
+    path leaves nothing to float rounding), the run is deterministic,
+    the sign matrix depends only on (seed, i, j), and across vectors
+    the projected squared norm tracks the input squared norm (the JL
+    expectation) within a loose factor."""
+    import random
+
+    from itemsjs_spark.ops.embeddings import random_projection, rp_signs
+
+    assert rp_signs(4, 2, seed=0) == rp_signs(4, 2, seed=0)
+    assert rp_signs(4, 2, seed=0) != rp_signs(4, 2, seed=1)
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(64)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = random_projection(df, out_dim=16).collect()
+    assert len(out) == 40 * 16
+    for r in out:
+        micro = r["val"] * 1e6
+        assert abs(micro - round(micro)) < 1e-6
+    in_sq = {i: sum(x * x for x in v) for i, v in rows}
+    proj_sq = {}
+    for r in out:
+        proj_sq[r["vec_id"]] = proj_sq.get(r["vec_id"], 0.0) + r["val"] ** 2
+    ratio = sum(proj_sq[i] for i in in_sq) / sum(in_sq.values())
+    assert 0.5 < ratio < 2.0
+    out2 = random_projection(df, out_dim=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
