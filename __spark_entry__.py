@@ -3223,6 +3223,24 @@ LIMIT {k}
 """
 
 
+_DRIFT_TOPN, _DRIFT_K = 30, 0.5
+
+
+def _q_term_drift(spark, sf_dir):
+    """Corpus-drift monitor (`text.term_drift`): per-term KL
+    contribution of the English slice vs the rest over the union
+    vocabulary with add-k smoothing — each term's score is one double
+    expression over exact integer counts (no cross-term float sum), so
+    the oracle restates it verbatim."""
+    d = _documents(spark, sf_dir)
+    return text_ops.term_drift(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        top_n=_DRIFT_TOPN,
+        k=_DRIFT_K,
+    )
+
+
 def _q_trending_terms(spark, sf_dir):
     """Trending terms (extension): per-term distinct-doc counts in the
     recent vs prior half of the transcript corpus's time axis, ranked
@@ -4301,6 +4319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result-set-vs-corpus term analytics (family reported in-window
         # via trending_terms / top_terms_per_group)
         "significant_terms": _q_significant_terms,
+        # per-term KL drift between corpus slices (term-analytics family
+        # reported in-window via trending_terms / top_terms_per_group)
+        "term_drift": _q_term_drift,
         # per-source boilerplate strip (text-cleanup family reported
         # in-window via normalize_text)
         "strip_boilerplate": _q_strip_boilerplate,
@@ -6178,6 +6199,27 @@ GROUP BY ctr.vec_id
     # significant terms: role=tool restates as doc_id % 3 = 2 in the
     # transcript derivation; lunr tokenization via the shared stem CASE;
     # lift divides exact integer products
+    # term drift: identical smoothed per-term KL formula over exact
+    # union-vocab counts; rounded score is the sort key on both sides
+    _dr_pa = f"((count_a::DOUBLE + {_DRIFT_K}) / (ta2 + {_DRIFT_K} * vv))"
+    _dr_pb = f"((count_b::DOUBLE + {_DRIFT_K}) / (tb2 + {_DRIFT_K} * vv))"
+    sqls["term_drift"] = f"""
+WITH ta AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents WHERE lang = 'en'),
+tb AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents WHERE lang <> 'en'),
+ca AS (SELECT term, count(*)::BIGINT AS count_a FROM ta GROUP BY term),
+cb AS (SELECT term, count(*)::BIGINT AS count_b FROM tb GROUP BY term),
+v AS (SELECT coalesce(ca.term, cb.term) AS term,
+             coalesce(count_a, 0)::BIGINT AS count_a,
+             coalesce(count_b, 0)::BIGINT AS count_b
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+t AS (SELECT sum(count_a)::DOUBLE AS ta2, sum(count_b)::DOUBLE AS tb2,
+             count(*)::DOUBLE AS vv FROM v)
+SELECT term, count_a, count_b,
+       round({_dr_pa} * ln({_dr_pa} / {_dr_pb}), 6) AS kl_term
+FROM v, t
+ORDER BY kl_term DESC, term ASC LIMIT {_DRIFT_TOPN}
+"""
+
     sqls["significant_terms"] = f"""
 WITH tok AS (
   SELECT doc_id, {_stem_case('u.t')} AS term

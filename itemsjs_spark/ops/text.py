@@ -847,3 +847,75 @@ def extractive_summary(
         .join(sents, [id_col, "sent_idx"])
         .select(id_col, "sent_idx", "sentence", "score")
     )
+
+
+def term_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_n: int = 30,
+    k: float = 0.5,
+) -> DataFrame:
+    """Corpus-drift detection: which terms does slice A over-represent
+    versus slice B? Per-term KL contribution
+    ``p_a(t)·ln(p_a(t)/p_b(t))`` over the union vocabulary with add-k
+    smoothing — the monitoring primitive for "did this week's crawl /
+    source / snapshot shift distribution", run before a new slice is
+    allowed into a training mix. Returns the ``top_n`` drifted terms
+    ``(term, count_a, count_b, kl_term)`` (kl desc, term asc).
+
+    Per-term contributions are each ONE double expression over exact
+    integer counts — no cross-term float sum anywhere, so there is no
+    accumulation-order hazard at all (the total KL, if a caller wants
+    it, is the sum of this bounded result set driver-side).
+
+    Distributed shape: two vocabulary-keyed count aggregates (map-side
+    combined; hot terms are counts, not rows), a full outer join on the
+    term key, two 1-row totals broadcast, map-only scoring, TakeOrdered
+    top-N. Nothing driver-sized except the final N rows."""
+    kk = float(k)
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(ws_tokens(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ca = counts(df_a, "count_a")
+    cb = counts(df_b, "count_b")
+    vocab = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("count_a", F.lit(0)).cast("long").alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).cast("long").alias("count_b"),
+    )
+    totals = vocab.agg(
+        F.sum("count_a").cast("double").alias("__ta"),
+        F.sum("count_b").cast("double").alias("__tb"),
+        F.count("*").cast("double").alias("__v"),
+    )
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "count_a",
+        "count_b",
+        F.round(
+            (
+                (F.col("count_a").cast("double") + F.lit(kk))
+                / (F.col("__ta") + F.lit(kk) * F.col("__v"))
+            )
+            * F.log(
+                (
+                    (F.col("count_a").cast("double") + F.lit(kk))
+                    / (F.col("__ta") + F.lit(kk) * F.col("__v"))
+                )
+                / (
+                    (F.col("count_b").cast("double") + F.lit(kk))
+                    / (F.col("__tb") + F.lit(kk) * F.col("__v"))
+                )
+            ),
+            6,
+        ).alias("kl_term"),
+    )
+    return scored.orderBy(
+        F.col("kl_term").desc(), F.col("term").asc()
+    ).limit(int(top_n))

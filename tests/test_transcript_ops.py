@@ -237,3 +237,28 @@ def test_extractive_summary_ignores_stopword_mass(spark):
     # the stopword-only sentence contributes no tokens at all
     assert set(by_idx) == {1}
     assert by_idx[1]["sentence"] == "tiny quark!"
+
+
+def test_term_drift_flags_planted_overrepresented_term(spark):
+    """A term frequent in slice A but absent from B tops the drift
+    list; a term with identical relative frequency in both slices
+    scores ~0; counts are exact."""
+    from itemsjs_spark.ops.text import term_drift
+
+    a = spark.createDataFrame(
+        [(1, "common zebra zebra zebra"), (2, "common zebra zebra zebra")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(3, "common filler filler filler"), (4, "common filler filler filler")],
+        ["doc_id", "text"],
+    )
+    rows = term_drift(a, b, top_n=10).collect()
+    by_term = {r["term"]: r for r in rows}
+    assert rows[0]["term"] == "zebra"
+    assert by_term["zebra"]["count_a"] == 6
+    assert by_term["zebra"]["count_b"] == 0
+    assert by_term["zebra"]["kl_term"] > 0
+    # 'common' has the same relative frequency on both sides → |kl| tiny
+    assert abs(by_term["common"]["kl_term"]) < 0.01
+    assert by_term["common"]["count_a"] == 2
