@@ -1550,6 +1550,23 @@ def _q_random_projection(spark, sf_dir):
     )
 
 
+def _q_ivfpq(spark, sf_dir):
+    """IVF+PQ composition (`embeddings.ivfpq_topk`): trained coarse
+    cells route each query to 2 probed cells; candidates rank by the
+    ADC LUT sum over their PQ codes — probed-cell-bounded work over a
+    codes-only scan, the production billion-scale ANN shape. The oracle
+    chains the coarse-kmeans CTEs AND the per-subspace PQ CTEs."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents, _ = emb_ops.kmeans_fit(e, k=4, iters=3, init_ids=_KMEANS_INIT)
+    books, sub = emb_ops.pq_fit(
+        e, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, init_ids=_KMEANS_INIT
+    )
+    return emb_ops.ivfpq_topk(
+        e, e.filter(F.col("vec_id") < _PQ_NQ), cents, books, sub,
+        k=10, n_probe=2,
+    )
+
+
 _SEMDEDUP_TH = 0.3
 
 
@@ -4399,6 +4416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the PQ row in-window, both IVF variants live here)
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": _q_ivf_kmeans,
+        # coarse-cell probe + codes-only ADC scan (composition of the
+        # in-window pq_adc_topk row and the trained-IVF row above)
+        "ann_ivfpq_topk": _q_ivfpq,
         # SemDeDup — semantic dedup over the same trained centroids
         # (dedup family reported in-window via neardup_jaccard_pairs /
         # embedding_neardup_pairs)
@@ -5383,6 +5403,55 @@ adc AS (
   JOIN lut0 l0 ON l0.cl = codes.code0
   {_pq_lut_joins}
   WHERE codes.vec_id <> l0.qid
+)
+SELECT query_id, neighbor_id, adc FROM (
+  SELECT adc.*, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id ASC) AS rn
+  FROM adc
+) WHERE rn <= 10
+"""
+    )
+
+    # IVF+PQ: the coarse-kmeans chain (cells + 2-nearest probes, the
+    # ann_ivf_kmeans_topk machinery) composed with the per-subspace PQ
+    # chain (codes + query LUTs) — candidates are probed-cell members,
+    # ranked by the identical ADC + chain
+    sqls["ann_ivfpq_topk"] = (
+        "WITH "
+        + ",\n".join(_km_parts)
+        + ",\n"
+        + ",\n".join(_pq_parts)
+        + f""",
+cells AS (
+  SELECT vec_id, cl AS cell FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_dist} ASC, c.cl ASC) AS rn
+    FROM e, c3 c
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT f0.vec_id, {_pq_code_cols}
+  FROM f0 {_pq_code_joins}
+),
+qs AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < {_PQ_NQ}),
+probe AS (
+  SELECT qid, cl AS cell FROM (
+    SELECT q.qid, c.cl,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_km_qdist} ASC, c.cl ASC) AS rn
+    FROM qs q, c3 c
+  ) WHERE rn <= 2
+),
+adc AS (
+  SELECT p.qid AS query_id, codes.vec_id AS neighbor_id,
+         round({_pq_chain}, 6) AS adc
+  FROM probe p
+  JOIN cells ON cells.cell = p.cell
+  JOIN codes ON codes.vec_id = cells.vec_id
+  JOIN lut0 l0 ON l0.qid = p.qid AND l0.cl = codes.code0
+  {_pq_lut_joins}
+  WHERE cells.vec_id <> p.qid
 )
 SELECT query_id, neighbor_id, adc FROM (
   SELECT adc.*, row_number() OVER (PARTITION BY query_id

@@ -1079,3 +1079,93 @@ def random_projection(
 
 def _first_dim(corpus: DataFrame, emb_col: str) -> int:
     return len(corpus.select(F.col(emb_col)).first()[0])
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    sub: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF+PQ (the billion-scale ANN pairing, Jégou et al. 2011):
+    corpus rows assign map-only to their nearest coarse k-means cell
+    AND carry only their PQ codes; each query probes its ``n_probe``
+    nearest cells and ranks candidates by the ADC LUT sum — so the scan
+    touches just the probed cells' code lists, never a full pass and
+    never an original vector. Non-residual variant (codes quantize the
+    raw vectors, not cell residuals): every decision stays on the
+    shared rounded-distance grid, so the DuckDB oracle chains the
+    coarse-kmeans CTEs and the per-subspace PQ CTEs into the identical
+    plan. Returns ``(query_id, neighbor_id, adc)``.
+
+    Distributed shape: coarse centroids and codebooks are broadcast
+    literals; encoding+assignment is one map-only pass; the probe join
+    broadcasts queries; per-query candidate work is bounded by probed
+    cell sizes. The inherent skew lever is the cell key — a hot cell
+    bounds its own scan, and raising n_probe trades bounded extra
+    candidates for recall exactly as in production IVF systems."""
+
+    def cell_structs(v):
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _sqdist(v, F.lit(c).cast("array<double>")), 6
+                    ).alias("d"),
+                    F.lit(int(cl)).cast("long").alias("cl"),
+                )
+                for cl, c in centroids
+            ]
+        )
+
+    enc = pq_encode(corpus, codebooks, sub, id_col=id_col, emb_col=emb_col)
+    cells = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.array_min(
+            cell_structs(F.col(emb_col).cast("array<double>"))
+        )["cl"].alias("cell"),
+    )
+    enc = enc.join(cells, id_col).withColumnRenamed(id_col, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    for s, cents in enumerate(codebooks):
+        sv = F.slice(F.col("__qe"), s * sub + 1, sub)
+        keys = F.array(*[F.lit(int(cl)).cast("long") for cl, _ in cents])
+        vals = F.array(
+            *[
+                F.round(_sqdist(sv, F.lit(c).cast("array<double>")), 6)
+                for _, c in cents
+            ]
+        )
+        q = q.withColumn(f"__lut{s}", F.map_from_arrays(keys, vals))
+    probes = F.transform(
+        F.slice(F.array_sort(cell_structs(F.col("__qe"))), 1, n_probe),
+        lambda s: s["cl"],
+    )
+    qp = q.withColumn("qcell", F.explode(probes)).drop("__qe")
+    j = enc.join(
+        F.broadcast(qp),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    adc = F.col("__lut0")[F.col("code0")]
+    for s in range(1, len(codebooks)):
+        adc = adc + F.col(f"__lut{s}")[F.col(f"code{s}")]
+    scored = j.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1201,3 +1201,31 @@ def test_random_projection_exact_grid_and_norm_preservation(spark):
     assert 0.5 < ratio < 2.0
     out2 = random_projection(df, out_dim=16).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivfpq_matches_adc_within_probed_cells(spark, emb):
+    """IVF+PQ results are exactly the plain-ADC ranking restricted to
+    each query's probed cells: recompute the expected set from the
+    op's own cell assignment + ADC scores and compare."""
+    from itemsjs_spark.ops.embeddings import (
+        ivfpq_topk,
+        kmeans_fit,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    cents, assigned = kmeans_fit(emb, k=4, iters=2, init_ids=(0, 1, 2, 3))
+    books, sub = pq_fit(emb, m=4, k=4, iters=2, init_ids=(0, 1, 2, 3))
+    q = emb.filter("vec_id < 3")
+    got = ivfpq_topk(emb, q, cents, books, sub, k=5, n_probe=4).collect()
+    # n_probe == k_coarse → every cell probed → identical to plain ADC
+    want = pq_adc_topk(emb, q, books, sub, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # with 1 probe, results are a subset of the full ADC candidate pool
+    got1 = ivfpq_topk(emb, q, cents, books, sub, k=5, n_probe=1).collect()
+    cell = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    full = pq_adc_topk(emb, q, books, sub, k=10**6).collect()
+    pool = {(r["query_id"], r["neighbor_id"]): r["adc"] for r in full}
+    for r in got1:
+        assert (r["query_id"], r["neighbor_id"]) in pool
+        assert pool[(r["query_id"], r["neighbor_id"])] == r["adc"]
