@@ -4057,6 +4057,47 @@ JOIN c ON c.conv_id = hc.conv_id
 """
 
 
+_HASCHILD_Q, _HASCHILD_ROLE = "merge sort", "assistant"
+_HASCHILD_MIN, _HASCHILD_K = 2, 10
+
+
+def _q_has_child(spark, sf_dir):
+    """ES has_child analog (`SearchEngine.has_child_hits`):
+    conversations owning ≥2 assistant turns matching the north-rule
+    query, ranked by the best child's score (score_mode=max) — one
+    child result-set derivation + one count/max groupBy on conv_id."""
+    eng = _tx_engine(spark, sf_dir)
+    out = eng.has_child_hits(
+        "conv_id",
+        {"query": _HASCHILD_Q, "filters": {"role": [_HASCHILD_ROLE]}},
+        min_children=_HASCHILD_MIN,
+        k=_HASCHILD_K,
+    )
+    return out.select(
+        F.col("parent").alias("conv_id"),
+        "n_children",
+        F.col("__score").alias("best_score"),
+    )
+
+
+def _tx_has_child_sql(qtext: str, role: str, min_children: int, k: int) -> str:
+    ft = _ft_sql(
+        qtext, 10**9,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    return f"""
+WITH f AS (SELECT _id, round(score, 6) AS s6 FROM ({ft}) q),
+c AS ({_TX_CORPUS_SQL}),
+j AS (SELECT c.conv_id, f.s6
+      FROM f JOIN c ON c._docid = f._id WHERE c.role = '{role}'),
+g AS (SELECT conv_id, count(*)::BIGINT AS n_children, max(s6) AS best_score
+      FROM j GROUP BY conv_id HAVING count(*) >= {min_children})
+SELECT conv_id, n_children, best_score
+FROM g ORDER BY best_score DESC, n_children DESC, conv_id ASC LIMIT {k}
+"""
+
+
 def _tx_conv_topk_sql(qtext: str, n_groups: int) -> str:
     ft = _ft_sql(
         qtext, 10**9,
@@ -4278,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collapsing, per-bucket top_hits, boosting, rescore
         "regexp_search": _q_regexp_search,
         "collapse_search": _q_collapse_search,
+        "has_child_search": _q_has_child,
         "top_hits_buckets": _q_top_hits_buckets,
         "boosting_search": _q_boosting_search,
         "rescore_topk": _q_rescore_topk,
@@ -6329,6 +6371,9 @@ GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)
     sqls["transcripts_conv_topk"] = _tx_conv_topk_sql("merge sort", 8)
+    sqls["has_child_search"] = _tx_has_child_sql(
+        _HASCHILD_Q, _HASCHILD_ROLE, _HASCHILD_MIN, _HASCHILD_K
+    )
     sqls["transcripts_time_range"] = _tx_time_range_sql(
         "merge sort", 12, _TX_TS_LO, _TX_TS_HI
     )

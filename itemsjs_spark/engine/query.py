@@ -2159,6 +2159,60 @@ class SearchEngine:
             .select(bucket_field, "rank", DOCID, SCORE)
         )
 
+    def has_child_hits(
+        self,
+        parent_field: str,
+        child_input: Optional[Dict[str, Any]] = None,
+        min_children: int = 1,
+        k: int = 10,
+    ) -> DataFrame:
+        """Parent/child search (extension; the Elasticsearch
+        ``has_child`` query over a join field): parents — the values of
+        ``parent_field``, e.g. the transcript corpus's conv_id — owning
+        at least ``min_children`` child documents that match
+        ``child_input`` (any standard search input: query, filters,
+        filters_query and range_filters all compose). Returns the top-k
+        ``(parent, n_children, __score)`` where ``__score`` is the best
+        child's relevance rounded to 6 (score_mode=max; NULL for
+        filter-only inputs, which then rank by child count), ordered
+        score desc → n_children desc → str(parent) asc.
+
+        Physical plan: ONE child result-set derivation (the exact
+        candidates/compile machinery every endpoint uses — nothing
+        re-implemented), a slim (docid, parent) projection, one
+        map-side-combined groupBy(parent) carrying count + max only
+        (a hot conversation bounds its own aggregate; state is two
+        scalars per parent), and a TakeOrdered top-k — never a full
+        sort, nothing corpus-sized past the aggregate."""
+        input = child_input or {}
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        flt = base.filter(
+            ir_to_column(compiled.final_pred, hits is not None)
+        )
+        kids = flt.select(F.col(DOCID), F.col(parent_field).alias("parent"))
+        if hits is not None:
+            s = hits.select(
+                F.col(DOCID), F.round(F.col(SCORE), 6).alias("__s6")
+            )
+            kids = kids.join(s, DOCID, "left")
+        else:
+            kids = kids.withColumn("__s6", F.lit(None).cast("double"))
+        agg = (
+            kids.groupBy("parent")
+            .agg(
+                F.count("*").cast("long").alias("n_children"),
+                F.max("__s6").alias(SCORE),
+            )
+            .filter(F.col("n_children") >= int(min_children))
+        )
+        return agg.orderBy(
+            F.col(SCORE).desc_nulls_last(),
+            F.col("n_children").desc(),
+            F.col("parent").cast("string").asc(),
+        ).limit(int(k))
+
     def boosting_hits(
         self, positive: str, negative: str, negative_boost: float = 0.5
     ) -> DataFrame:

@@ -205,3 +205,46 @@ def test_rescore_window_and_weights(eng):
     assert set(got) == {1, 2}
     for d in got:
         assert got[d] == pytest.approx(2.0 * base[d] + 0.5 * sec.get(d, 0.0))
+
+
+def test_has_child_counts_scores_and_filter_only(eng):
+    """has_child parents own >= min_children matching children; the
+    reported score is the best child's rounded score; a filter-only
+    input ranks by child count with NULL scores."""
+    import pyspark.sql.functions as F
+
+    out = eng.has_child_hits(
+        "grp", {"query": "zebra"}, min_children=1, k=100
+    ).collect()
+    got = {r["parent"]: (r["n_children"], r["__score"]) for r in out}
+    hits = eng.fulltext_hits("zebra")
+    kids = (
+        hits.join(eng.index.docs.select("_docid", "grp"), "_docid")
+        .select("grp", F.round("__score", 6).alias("s"))
+        .collect()
+    )
+    want = {}
+    for r in kids:
+        n, s = want.get(r["grp"], (0, None))
+        want[r["grp"]] = (n + 1, max(s if s is not None else -1e9, r["s"]))
+    assert got == want
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"][0] == 2  # ids 1 and 2 both contain zebra
+    # min_children prunes to the multi-child parent only
+    out2 = eng.has_child_hits(
+        "grp", {"query": "zebra"}, min_children=2, k=100
+    ).collect()
+    assert [r["parent"] for r in out2] == ["a"]
+    # filter-only: NULL scores, ordered by child count then parent
+    out3 = eng.has_child_hits(
+        "grp", {"filters": {"grp": ["a"]}}, min_children=1, k=5
+    ).collect()
+    assert all(r["__score"] is None for r in out3)
+    assert {r["parent"]: r["n_children"] for r in out3} == {"a": 2}
+    # conjunctive itemsjs filters: two values on a scalar field => empty
+    assert (
+        eng.has_child_hits(
+            "grp", {"filters": {"grp": ["a", "b"]}}, min_children=1, k=5
+        ).count()
+        == 0
+    )
