@@ -1133,6 +1133,26 @@ def _q_events_week_histogram(spark, sf_dir):
     )
 
 
+_RANGE_AGG = (
+    {"key": "sub50", "to": 50.0},
+    {"key": "mid", "from": 50.0, "to": 200.0},
+    {"key": "high", "from": 200.0},
+)
+
+
+def _q_facet_range_agg(spark, sf_dir):
+    """ES range aggregation (`SearchEngine.facet_ranges`): named
+    half-open [from, to) buckets over the filtered result set, every
+    requested bucket reported (zero-kept), all ranges computed as
+    conditional sums in ONE map-side-combined pass."""
+    eng = _events_engine(spark, sf_dir)
+    return eng.facet_ranges(
+        "value",
+        list(_RANGE_AGG),
+        {"filters": {"event_type": ["click", "purchase"]}},
+    )
+
+
 def _q_facet_value_suggest(spark, sf_dir):
     """Facet-value autocomplete: top-k keys of a facet field completing
     a case-insensitive prefix by global doc_count — one filter + top-k
@@ -4409,6 +4429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_histogram": _q_equi_depth_hist,
         # calendar-interval (date_trunc week) histogram variant
         "events_week_histogram": _q_events_week_histogram,
+        # ES named-range aggregation (same family, arbitrary bounds)
+        "facet_range_agg": _q_facet_range_agg,
         # facet-VALUE autocomplete (suggest family reported via
         # suggest_prefix, the terms analog)
         "facet_value_suggest": _q_facet_value_suggest,
@@ -6353,6 +6375,18 @@ LIMIT 15
     sqls["tool_chain_topk"] = _TOOL_CHAINS_SQL
 
     # calendar week histogram: date_trunc boundaries (Mondays), epoch s
+    sqls["facet_range_agg"] = """
+WITH f AS (SELECT value FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT 'sub50' AS bucket,
+       sum(CASE WHEN value IS NOT NULL AND value < 50.0 THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM f
+UNION ALL
+SELECT 'mid',
+       sum(CASE WHEN value >= 50.0 AND value < 200.0 THEN 1 ELSE 0 END)::BIGINT FROM f
+UNION ALL
+SELECT 'high',
+       sum(CASE WHEN value >= 200.0 THEN 1 ELSE 0 END)::BIGINT FROM f
+"""
+
     sqls["events_week_histogram"] = """
 SELECT epoch(date_trunc('week', ts))::BIGINT AS bucket,
        count(*)::BIGINT AS doc_count

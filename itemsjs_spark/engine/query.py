@@ -2645,6 +2645,72 @@ class SearchEngine:
             .agg(F.count("*").alias("doc_count"))
         )
 
+    def facet_ranges(
+        self,
+        field: str,
+        ranges: Sequence[Dict[str, Any]],
+        input: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """Named-range aggregation (extension; the Elasticsearch
+        ``range``/``date_range`` agg): each entry of ``ranges`` is
+        ``{"key": name, "from": lo?, "to": hi?}`` — half-open
+        ``[from, to)`` per ES semantics, either bound omittable, ranges
+        may overlap — counting the docs of the SAME result set a search
+        with ``input`` would page. Returns one ``(bucket, doc_count)``
+        row per requested range, zero-count ranges included (ES reports
+        every requested bucket). Timestamp fields compare by epoch
+        seconds.
+
+        Physical plan: the standard result-set derivation, then ONE
+        aggregate over the corpus computing every range as a
+        conditional sum (map-side combined, one pass regardless of how
+        many ranges — overlap costs nothing because ranges are columns,
+        not join keys), unpivoted to rows by a bounded stack."""
+        input = input or {}
+        if field not in self.index.docs.columns:
+            raise EngineError(f"unknown range field {field!r}")
+        if not ranges:
+            raise EngineError("facet_ranges needs at least one range")
+        hits, _ = self._candidates(input)
+        compiled = self.compile(input, has_query=hits is not None)
+        base = self._docs_with_query_flag(hits)
+        flt = base.filter(
+            ir_to_column(compiled.final_pred, hits is not None)
+        )
+        col = F.col(field)
+        dt = dict(self.index.docs.dtypes).get(field, "")
+        if dt.startswith("timestamp") or dt == "date":
+            col = col.cast("timestamp").cast("long")
+        aggs = []
+        keys = []
+        for i, r in enumerate(ranges):
+            key = str(r.get("key", f"range_{i}"))
+            keys.append(key)
+            cond = col.isNotNull()
+            if r.get("from") is not None:
+                cond = cond & (col >= F.lit(r["from"]))
+            if r.get("to") is not None:
+                cond = cond & (col < F.lit(r["to"]))
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__r{i}")
+            )
+        one = flt.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("bucket"),
+                    F.col(f"__r{i}").alias("doc_count"),
+                )
+                for i, k in enumerate(keys)
+            ]
+        )
+        return one.select(F.explode(pairs).alias("p")).select(
+            F.col("p.bucket").alias("bucket"),
+            F.col("p.doc_count").alias("doc_count"),
+        )
+
     def wildcard_hits(
         self, pattern: str, max_expansion: int = 1024
     ) -> DataFrame:

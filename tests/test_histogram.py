@@ -127,3 +127,33 @@ def test_calendar_interval_requires_time_field(spark):
         eng.facet_histogram("n", "week").collect()
     with pytest.raises(EngineError, match="unknown calendar interval"):
         eng.facet_histogram("n", "fortnight").collect()
+
+
+def test_facet_ranges_named_buckets(eng):
+    """Half-open [from,to) semantics, overlapping ranges allowed,
+    zero-count ranges reported, filters compose, errors on unknown
+    field / empty ranges."""
+    out = _h(
+        eng.facet_ranges(
+            "n",
+            [
+                {"key": "all"},
+                {"key": "neg", "to": 0},
+                {"key": "lo", "from": 0, "to": 10},
+                {"key": "hi", "from": 10},
+                {"key": "overlap", "from": 5, "to": 15},
+            ],
+        ).withColumnRenamed("doc_count", "doc_count")
+    )
+    # n values: 3, 9, 10, 19, 40
+    assert out == {"all": 5, "neg": 0, "lo": 2, "hi": 3, "overlap": 2}
+    flt = _h(
+        eng.facet_ranges(
+            "n", [{"key": "lo", "to": 10}], {"filters": {"kind": ["y"]}}
+        )
+    )
+    assert flt == {"lo": 1}
+    with pytest.raises(EngineError):
+        eng.facet_ranges("nope", [{"key": "x"}])
+    with pytest.raises(EngineError):
+        eng.facet_ranges("n", [])
