@@ -79,14 +79,17 @@ def read_transcripts(
 
     ``source`` is a catalog table name (contains no ``/``) or a path.
     ``format`` defaults to the catalog for table names and parquet for
-    paths; pass ``"iceberg"`` for path-based Iceberg warehouses, or
-    ``"json"`` / ``"csv"`` for text interchange dumps (the migration
-    path from the reference's JSON item arrays): both read with the
-    EXPLICIT transcript schema — schema inference over a 10^12-turn
-    dump would be a full extra pass AND would type ts as string —
-    and CSV defaults to ``header=true``. ``options`` forwards reader
-    options (e.g. Iceberg's snapshot-id / as-of-timestamp time
-    travel, CSV delimiters, JSON timestampFormat)."""
+    paths; pass ``"iceberg"`` for path-based Iceberg warehouses,
+    ``"orc"`` for ORC layouts (self-describing columnar like parquet —
+    native reader, predicate pushdown and column pruning apply as
+    usual), or ``"json"`` / ``"csv"`` for text interchange dumps (the
+    migration path from the reference's JSON item arrays): the text
+    formats read with the EXPLICIT transcript schema — schema inference
+    over a 10^12-turn dump would be a full extra pass AND would type ts
+    as string — and CSV defaults to ``header=true``. ``options``
+    forwards reader options (e.g. Iceberg's snapshot-id /
+    as-of-timestamp time travel, CSV delimiters, JSON
+    timestampFormat)."""
     reader = spark.read
     if format in ("json", "csv"):
         ddl = (

@@ -96,3 +96,15 @@ def test_json_source_feeds_the_engine(spark, corpus_path, tmp_path):
         order_by=["conv_id", "turn_idx"],
     )
     assert eng.fulltext_hits("spark").count() > 0
+
+
+def test_read_orc_transcripts_round_trip(spark, corpus_path, tmp_path):
+    base = read_transcripts(spark, corpus_path)
+    odir = str(tmp_path / "orc")
+    base.coalesce(1).write.orc(odir)
+    got = read_transcripts(spark, odir, format="orc")
+    assert dict(got.dtypes)["ts"].startswith("timestamp")
+    assert dict(got.dtypes)["turn_idx"] == "int"
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b
