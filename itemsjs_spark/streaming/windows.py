@@ -107,3 +107,25 @@ def running_conversation_state(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_turn_stream(
+    stream: DataFrame,
+    keys: Tuple[str, ...] = ("conv_id", "turn_idx"),
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest dedup for replayed deliveries (at-least-once
+    feeds re-deliver turns; the index must see each once):
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST row per key and
+    drops re-deliveries arriving within the watermark horizon of the
+    first sighting. State = keys seen inside the horizon, evicted as
+    the watermark advances — the bounded-state property a plain
+    ``dropDuplicates`` lacks (it would retain every key of a 10^12-turn
+    stream forever). Horizon semantics, not global: a key re-delivered
+    far beyond the watermark is admitted again — pair with the
+    snapshot-append path's idempotent epoch replay
+    (`streaming/__init__.py`) for end-to-end exactly-once."""
+    return stream.withWatermark(
+        time_col, watermark
+    ).dropDuplicatesWithinWatermark(list(keys))

@@ -163,3 +163,52 @@ def test_running_state_updates_across_batches(spark, stream_dir, tmp_path):
         assert batches[1] == {"c1": (3, "tool")}
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_replayed_deliveries(spark, stream_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).json(stream_dir)
+    out = sw.dedup_turn_stream(stream, watermark="10 minutes")
+    qname = "dd_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        # wave 1: (c1, 0) delivered twice in one batch + a unique row
+        _write_wave(stream_dir, "w1.json", [
+            _row("c1", 0, "user", "2024-01-01 00:00:00"),
+            _row("c1", 0, "user", "2024-01-01 00:00:30"),
+            _row("c1", 1, "assistant", "2024-01-01 00:01:00"),
+        ])
+        q.processAllAvailable()
+        # wave 2: (c1, 0) replayed again within the horizon → dropped
+        _write_wave(stream_dir, "w2.json", [
+            _row("c1", 0, "user", "2024-01-01 00:02:00"),
+            _row("c2", 0, "user", "2024-01-01 00:03:00"),
+        ])
+        q.processAllAvailable()
+        rows = [
+            (r["conv_id"], r["turn_idx"])
+            for r in spark.sql(f"SELECT conv_id, turn_idx FROM {qname}").collect()
+        ]
+        assert sorted(rows) == [("c1", 0), ("c1", 1), ("c2", 0)]
+        # waves 3-4: advance the watermark far past the horizon (state
+        # evicted), then redeliver the key with a fresh event time — the
+        # horizon semantics admit it again
+        _write_wave(stream_dir, "w3.json", [
+            _row("c9", 0, "system", "2024-01-01 02:00:00"),
+        ])
+        q.processAllAvailable()
+        _write_wave(stream_dir, "w4.json", [
+            _row("c1", 0, "user", "2024-01-01 02:30:00"),
+        ])
+        q.processAllAvailable()
+        n_c10 = spark.sql(
+            f"SELECT count(*) AS n FROM {qname} "
+            "WHERE conv_id = 'c1' AND turn_idx = 0"
+        ).collect()[0]["n"]
+        assert n_c10 == 2  # first sighting + post-eviction readmission
+    finally:
+        q.stop()
