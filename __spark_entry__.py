@@ -3336,6 +3336,48 @@ def _q_bucket_anomalies(spark, sf_dir):
     return stats_ops.bucket_anomalies(ev, "ts", 3600, _ANOM_Z)
 
 
+_FUNNEL_STEPS, _FUNNEL_WITHIN = ("signup", "click", "purchase"), 86400.0
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel (`conversations.funnel`): users completing
+    signup → click → purchase with each step strictly after the user's
+    earliest previous step and the chain inside 24 h of step 1 — one
+    shrinking min-aggregate per step (state = one timestamp per
+    surviving user), no window over the raw stream. 150→65→15 at
+    sf0.01, a real conversion triangle."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return conv_ops.funnel(
+        ev, "user_id", "ts", "event_type",
+        list(_FUNNEL_STEPS), within_seconds=_FUNNEL_WITHIN,
+    )
+
+
+def _q_session_error_join(spark, sf_dir):
+    """Point-in-interval attribution (`joins.interval_join`): error
+    events joined to their user's gap-sessions (closed ends — session
+    bounds are min/max event ts) via the bucketized equi-join (interval
+    → covered buckets, point → ONE bucket, exact predicate after; no
+    pair expansion), then one count per session. The oracle restates
+    sessionization + a plain range-predicate join."""
+    from itemsjs_spark.ops.joins import interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    iv = conv_ops.session_summary(
+        ev, "user_id", "ts", gap_seconds=21600, order_cols=("event_id",)
+    ).select("user_id", "session_idx", "start_ts", "end_ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    j = interval_join(
+        errors, iv, "ts", "start_ts", "end_ts",
+        key="user_id", bucket_seconds=21600, end_inclusive=True,
+    )
+    return j.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_errors")
+    )
+
+
 def _q_asof_last_purchase(spark, sf_dir):
     """Point-in-time attribution through the as-of join operator
     (`ops/joins.py`): every click event gains its user's most recent
@@ -4401,6 +4443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-term KL drift between corpus slices (term-analytics family
         # reported in-window via trending_terms / top_terms_per_group)
         "term_drift": _q_term_drift,
+        # ordered funnel conversion + point-in-interval session
+        # attribution (event-analytics family reported in-window via
+        # event_sessionize / retention_cohorts; temporal-join family via
+        # asof_last_purchase)
+        "funnel_conversion": _q_funnel,
+        "session_error_join": _q_session_error_join,
         # per-source boilerplate strip (text-cleanup family reported
         # in-window via normalize_text)
         "strip_boilerplate": _q_strip_boilerplate,
@@ -5995,6 +6043,56 @@ FROM staged
     # blocks + DC-exact quant table reconstruct bit-for-bit) and
     # decodes them back through Huffman + dequantize + IDCT; chunk-mean
     # k pools block-row k = bytes 4k..4k+3, so the features share the
+    # funnel: the same shrinking min-aggregate chain restated; epochs
+    # are fractional (epoch() keeps microseconds, matching the engine's
+    # cast-to-double), strict > between steps, 24 h horizon off step 1
+    _fw = _FUNNEL_WITHIN
+    _fs = _FUNNEL_STEPS
+    sqls["funnel_conversion"] = f"""
+WITH e AS (SELECT user_id AS u, event_type AS t, epoch(ts) AS ts FROM events),
+s1 AS (SELECT u, min(ts) AS t1 FROM e WHERE t = '{_fs[0]}' GROUP BY u),
+s2 AS (SELECT e.u, s1.t1, min(e.ts) AS t2 FROM e JOIN s1 ON e.u = s1.u
+       WHERE e.t = '{_fs[1]}' AND e.ts > s1.t1 AND e.ts - s1.t1 <= {_fw}
+       GROUP BY e.u, s1.t1),
+s3 AS (SELECT e.u, min(e.ts) AS t3 FROM e JOIN s2 ON e.u = s2.u
+       WHERE e.t = '{_fs[2]}' AND e.ts > s2.t2 AND e.ts - s2.t1 <= {_fw}
+       GROUP BY e.u)
+SELECT 1::INT AS step_idx, '{_fs[0]}' AS step, (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 2::INT, '{_fs[1]}', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3::INT, '{_fs[2]}', (SELECT count(*) FROM s3)::BIGINT
+"""
+
+    # interval join: sessionization restated (the event_sessionize CTEs
+    # with min/max bounds) + a plain range-predicate join — the oracle
+    # needs no bucket trick, which is exactly the point of checking the
+    # bucketized plan against it
+    sqls["session_error_join"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('second', lag(ts) OVER w, ts) > 21600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+x AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+),
+iv AS (SELECT user_id, session_idx::BIGINT AS session_idx,
+              min(ts) AS st, max(ts) AS en
+       FROM x GROUP BY user_id, x.session_idx)
+SELECT iv.user_id AS user_id, iv.session_idx AS session_idx,
+       count(*)::BIGINT AS n_errors
+FROM events e JOIN iv ON e.user_id = iv.user_id
+WHERE e.event_type = 'error' AND e.ts >= iv.st AND e.ts <= iv.en
+GROUP BY iv.user_id, iv.session_idx
+"""
+
     # retention cohorts: the same DISTINCT-grid → per-user-min → offset
     # count, restated independently; week keys are epoch(date_trunc)
     # per the timezone-proof convention, offsets exact 604800 steps

@@ -327,6 +327,12 @@ def headline_queries(spark, eng):
         # one-pass chained curation (dedup→langid→quality→PII) — the
         # end-to-end composition's corpus-pass throughput
         "curation_pipeline",
+        # round-4 eighth session: compressed-domain ANN (per-subspace
+        # codebook fit + map-only encode + ADC scan, all timed — the
+        # codes-only bandwidth story) and DSIR distribution-matching
+        # selection (two hashed-gram aggregates + exact integer weights)
+        "pq_adc_topk",
+        "dsir_select",
     ):
         qs[name] = lambda name=name: Q[name](spark, SF_DIR).count()
     return qs

@@ -469,3 +469,67 @@ def retention_cohorts(
     return active.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: "list[str]",
+    within_seconds: "float | None" = None,
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 strictly after their earliest step 1, then step 3 strictly
+    after that earliest step 2, … (the earliest-completion funnel every
+    product-analytics stack ships); ``within_seconds`` additionally
+    requires the whole chain to finish within that horizon of the
+    user's step-1 time. Returns ``(step_idx, step, n_users)`` with
+    step_idx 1-based.
+
+    Distributed shape: one min-aggregate per step — step k's frame is
+    events of that type joined (broadcast-friendly: per-user one row)
+    to the step-(k-1) frame, filtered ``ts > t_{k-1}``, then ONE
+    map-side-combined ``groupBy(user).min(ts)``. No window over the raw
+    stream, no per-user event lists: state per stage is one timestamp
+    per surviving user, and each stage only shrinks. The chain length
+    is the number of steps — the algorithm, not a scale compromise."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    # microsecond-precise epochs (unix_timestamp truncates to seconds,
+    # which would collapse strict-after comparisons within one second)
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        ep.alias("__ts"),
+    )
+    stage = (
+        ev.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t1"))
+    )
+    counts = [stage.count()]
+    prev_col = "__t1"
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("__t") == s)
+            .join(stage, "__u")
+            .filter(F.col("__ts") > F.col(prev_col))
+        )
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col("__ts") - F.col("__t1") <= float(within_seconds)
+            )
+        stage = nxt.groupBy("__u", "__t1").agg(
+            F.min("__ts").alias(f"__t{i}")
+        )
+        prev_col = f"__t{i}"
+        counts.append(stage.count())
+    spark = df.sparkSession
+    rows = [
+        (i + 1, s, int(c)) for i, (s, c) in enumerate(zip(steps, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users long"
+    )

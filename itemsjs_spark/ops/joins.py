@@ -127,3 +127,66 @@ def asof_join(
     out_cols.append(F.col(_R)[_TS].alias(f"{right_prefix}{right_ts}"))
     out_cols += [F.col(_R)[c].alias(f"{right_prefix}{c}") for c in payload]
     return matched.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    key: Optional[str] = None,
+    bucket_seconds: int = 3600,
+    end_inclusive: bool = False,
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Point-in-interval join without pair expansion: every ``points``
+    row joins the ``intervals`` rows whose ``[start, end)`` window
+    (``end_inclusive=True`` for closed ends) contains its timestamp,
+    optionally also matching ``key`` — the event-to-session /
+    event-to-maintenance-window attribution primitive.
+
+    A naive ``l.ts BETWEEN r.start AND r.end`` join is a cross product
+    with a post-filter at DataFrame level (Spark has no interval-index
+    operator). The scalable expression: intervals EXPLODE to the time
+    buckets they cover (``bucket_seconds`` wide), points compute their
+    single bucket map-only, and the join is an EQUI-join on
+    (key?, bucket) + the exact range predicate. A point lives in exactly
+    one bucket, so no output dedup is needed; an interval costs
+    ceil(len/bucket)+1 rows — pick ``bucket_seconds`` near the median
+    interval length and the blowup is ~2x, independent of table sizes.
+    The guard raises (never silently truncates) when an interval would
+    explode past ``max_buckets_per_interval``.
+
+    Output: the points columns plus the intervals columns (caller
+    aliases beforehand on name collisions). Skew: hot buckets (rush
+    hour) spread across the key dimension when ``key`` is set; a keyless
+    join against few giant intervals is inherently broadcast-shaped and
+    Spark's planner picks that up from the exploded side's size."""
+    # cast-to-double epochs keep microsecond precision (unix_timestamp
+    # truncates to seconds — a point 0.9s past a sub-second interval end
+    # would leak in); bucketing floors the same doubles
+    p_ep = F.col(point_ts).cast("timestamp").cast("double")
+    s_ep = F.col(start_ts).cast("timestamp").cast("double")
+    e_ep = F.col(end_ts).cast("timestamp").cast("double")
+    b = int(bucket_seconds)
+
+    n_buckets = (F.floor(e_ep / b) - F.floor(s_ep / b) + 1).cast("long")
+    iv = intervals.withColumn("__nb", n_buckets)
+    overflow = iv.filter(F.col("__nb") > int(max_buckets_per_interval))
+    if overflow.limit(1).count() > 0:
+        raise ValueError(
+            f"an interval spans more than {max_buckets_per_interval} "
+            f"buckets of {b}s; raise bucket_seconds (or the cap) — "
+            "refusing a silent row explosion"
+        )
+    iv = iv.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(s_ep / b), F.floor(e_ep / b))),
+    ).drop("__nb")
+    pt = points.withColumn("__bucket", F.floor(p_ep / b))
+    on = ["__bucket"] + ([key] if key else [])
+    rng = (p_ep >= s_ep) & (
+        (p_ep <= e_ep) if end_inclusive else (p_ep < e_ep)
+    )
+    return pt.join(iv, on=on, how="inner").filter(rng).drop("__bucket")

@@ -339,3 +339,43 @@ def test_retention_cohorts_triangle(spark):
         (w0 + wk, 1): 1,     # user 3 returns next week
         (w0 + 2 * wk, 0): 1, # user 4
     }
+
+
+def test_funnel_strict_order_and_horizon(spark):
+    """Steps count only strictly after the user's earliest previous
+    step; the within horizon anchors at step 1; step skipping doesn't
+    count; empty steps raise."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from itemsjs_spark.ops.conversations import funnel
+
+    def t(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc)
+
+    rows = [
+        (1, "view", t(0)), (1, "click", t(10)), (1, "purchase", t(20)),
+        (2, "view", t(0)), (2, "click", t(5)),
+        (3, "click", t(0)), (3, "view", t(10)),       # click precedes view
+        (4, "view", t(0)), (4, "purchase", t(5)),     # skips click
+        (5, "view", t(0)), (5, "click", t(10)), (5, "purchase", t(5000)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": 5, "click": 3, "purchase": 2}
+    bounded = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_seconds=100,
+        ).collect()
+    }
+    assert bounded == {"view": 5, "click": 3, "purchase": 1}  # user 5 too slow
+    with _pytest.raises(ValueError):
+        funnel(df, "user_id", "ts", "event_type", [])

@@ -98,3 +98,58 @@ def test_asof_matches_pandas_merge_asof(spark):
     for _, row in exp.iterrows():
         want = None if pd.isna(row["v"]) else row["v"]
         assert got[row["lid"]] == want
+
+
+def test_interval_join_buckets_bounds_and_guard(spark):
+    """Intervals spanning multiple buckets still match exactly once per
+    point; end is exclusive by default and inclusive on request;
+    sub-second precision respected; the explosion guard raises instead
+    of silently truncating."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from itemsjs_spark.ops.joins import interval_join
+
+    def t(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc)
+
+    pts = spark.createDataFrame(
+        [
+            (1, "a", t(10)),
+            (2, "a", t(7150)),      # same interval, different bucket
+            (3, "a", t(7200)),      # exactly at the end boundary
+            (4, "a", t(10.5)),      # sub-second inside
+            (5, "b", t(10)),        # other key
+        ],
+        ["eid", "u", "ts"],
+    )
+    ivs = spark.createDataFrame(
+        [("a", t(0), t(7200), "w1"), ("b", t(0), t(5), "w2")],
+        ["u", "start", "end", "win"],
+    )
+    excl = sorted(
+        r["eid"]
+        for r in interval_join(
+            pts, ivs, "ts", "start", "end", key="u", bucket_seconds=3600
+        ).collect()
+    )
+    assert excl == [1, 2, 4]  # 3 excluded (end-exclusive), 5 outside w2
+    incl = sorted(
+        r["eid"]
+        for r in interval_join(
+            pts, ivs, "ts", "start", "end", key="u",
+            bucket_seconds=3600, end_inclusive=True,
+        ).collect()
+    )
+    assert incl == [1, 2, 3, 4]
+    # each matched point appears exactly once despite the 3-bucket span
+    rows = interval_join(
+        pts, ivs, "ts", "start", "end", key="u", bucket_seconds=3600
+    ).collect()
+    assert len(rows) == len({r["eid"] for r in rows})
+    with _pytest.raises(ValueError):
+        interval_join(
+            pts, ivs, "ts", "start", "end", key="u",
+            bucket_seconds=1, max_buckets_per_interval=100,
+        ).count()
