@@ -1554,6 +1554,23 @@ def _q_pq_adc(spark, sf_dir):
     return emb_ops.pq_adc_topk(e, q, books, sub, k=10)
 
 
+_BQ_SHORTLIST, _BQ_NQ = 50, 5
+
+
+def _q_binary_hamming(spark, sf_dir):
+    """Binary-quantized ANN (`embeddings.binary_quantize/hamming_topk`):
+    1-bit codes under per-dimension midpoint thresholds (order-free
+    min/max — no float-sum drift), XOR+popcount Hamming shortlist of 50,
+    exact-cosine rerank to 10 — the two-stage plan production vector
+    stores run at 32x memory compression. Thresholds, packing, Hamming,
+    and both selection windows are restated bit-for-bit in the DuckDB
+    oracle, so the approximate algorithm itself is oracle-checked."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb_ops.hamming_topk(
+        e, e.filter(F.col("vec_id") < _BQ_NQ), k=10, shortlist=_BQ_SHORTLIST
+    )
+
+
 _RP_OUT_DIM, _RP_SEED = 16, 0
 
 
@@ -4531,6 +4548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coarse-cell probe + codes-only ADC scan (composition of the
         # in-window pq_adc_topk row and the trained-IVF row above)
         "ann_ivfpq_topk": _q_ivfpq,
+        # 1-bit binary quantization + Hamming shortlist + exact rerank
+        # (ANN family reported in-window via pq_adc_topk)
+        "binary_hamming_topk": _q_binary_hamming,
         # SemDeDup — semantic dedup over the same trained centroids
         # (dedup family reported in-window via neardup_jaccard_pairs /
         # embedding_neardup_pairs)
@@ -5594,6 +5614,40 @@ SELECT query_id, neighbor_id, adc FROM (
             f" / 1000000.0"
         )
     _rp_dims = ", ".join(f"{_j}::BIGINT" for _j in range(_RP_OUT_DIM))
+    # binary quantization: identical midpoint thresholds (order-free
+    # min/max), identical 32-bit word packing, XOR+popcount Hamming,
+    # same (hamming, id) shortlist and (cosine, id) rerank windows
+    _bq_word = lambda off: (
+        "list_sum(list_transform(range(0,32), j -> CASE WHEN "
+        f"emb[j+{off + 1}] > ts[j+{off + 1}] THEN (1::BIGINT << j) "
+        "ELSE 0::BIGINT END))::BIGINT"
+    )
+    sqls["binary_hamming_topk"] = f"""
+WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+thr AS (SELECT u.i AS pos, (min(emb[u.i]) + max(emb[u.i])) / 2.0 AS t
+        FROM eb, LATERAL unnest(range(1, 65)) u(i) GROUP BY 1),
+tl AS (SELECT list(t ORDER BY pos) AS ts FROM thr),
+codes AS (
+  SELECT vec_id, emb, {_bq_word(0)} AS w0, {_bq_word(32)} AS w1
+  FROM eb, tl
+),
+q AS (SELECT vec_id AS query_id, emb AS qe, w0 AS qw0, w1 AS qw1
+      FROM codes WHERE vec_id < {_BQ_NQ}),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         (bit_count(xor(c.w0, q.qw0)) + bit_count(xor(c.w1, q.qw1)))::INTEGER AS hamming,
+         round(list_dot_product(q.qe, c.emb) /
+               (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM codes c JOIN q ON c.vec_id <> q.query_id
+),
+short AS (SELECT * FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS srn FROM s
+) WHERE srn <= {_BQ_SHORTLIST})
+SELECT query_id, neighbor_id, hamming, cosine FROM (
+  SELECT short.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM short
+) WHERE rn <= 10
+"""
+
     sqls["random_projection"] = f"""
 WITH e AS (SELECT vec_id,
                   list_transform(embedding::DOUBLE[],

@@ -1169,3 +1169,147 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def binary_thresholds(
+    corpus: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension 1-bit quantization thresholds: the midpoint
+    ``(mn_i + mx_i) / 2`` of each dimension's corpus range, folded into
+    a single array row (same shape idiom as ``quantize_int8``).
+
+    min/max are order-free over the input floats (no float-sum drift),
+    and the midpoint is one IEEE add + one divide on doubles — any
+    engine reading the same floats lands on the bit-identical
+    threshold, which is what makes the binary codes (and therefore the
+    whole Hamming ANN) oracle-checkable."""
+    e = corpus.select(F.col(emb_col).cast("array<double>").alias("__v"))
+    return (
+        e.select(F.posexplode("__v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(((F.min("val") + F.max("val")) / F.lit(2.0)).alias("thr"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "thr"))).alias("__st")
+        )
+    )
+
+
+def binary_quantize(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    thresholds: Optional[DataFrame] = None,
+    keep_emb: bool = False,
+) -> DataFrame:
+    """1-bit binary quantization (the 32x compression used as the ANN
+    prefilter in production vector stores): bit ``j`` of word ``w`` is
+    set iff ``v[32w + j] > thr[32w + j]``, packed 32 bits per BIGINT
+    word — ``ceil(dim/32)`` words per row, named ``w0, w1, ...``.
+
+    Distributed shape: the threshold pass is one d-row aggregate
+    (``binary_thresholds``); the packing itself is a map-only JVM
+    expression (a 32-term conditional sum per word, all inside the
+    scan's codegen stage) under a broadcast of the single stats row.
+    Nothing corpus-sized shuffles; at 10^12 vectors this is one pass
+    writing 8 bytes per 32 dims.
+
+    Bits live in positions 0..31 of a 64-bit word, so the conditional
+    sum never touches the sign bit — no overflow semantics to match
+    across engines."""
+    words = (dim + 31) // 32
+    e = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__v"),
+    )
+    st = thresholds if thresholds is not None else binary_thresholds(
+        corpus, emb_col
+    )
+
+    def word(w: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(32):
+            d = 32 * w + j
+            if d >= dim:
+                break
+            thr = F.element_at(F.col("__st"), d + 1)["thr"]
+            acc = acc + F.when(
+                F.element_at("__v", d + 1) > thr, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return acc.alias(f"w{w}")
+
+    cols = [F.col("__id").alias(id_col)] + [word(w) for w in range(words)]
+    if keep_emb:
+        cols.append(F.col("__v").alias("__emb"))
+    return e.crossJoin(F.broadcast(st)).select(*cols)
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-quantized ANN, the standard two-stage serving plan:
+    Hamming distance over 1-bit codes admits a ``shortlist`` per query
+    (cheap — XOR + popcount per candidate), then exact cosine re-ranks
+    the shortlist to the final ``k``. Returns
+    ``(query_id, neighbor_id, hamming, cosine)`` in rerank order.
+
+    Both stages are deterministic and restated by the DuckDB oracle:
+    corpus and queries are coded under the SAME corpus thresholds
+    (``binary_thresholds`` — midpoints of order-free min/max), Hamming
+    is ``sum_w bit_count(w_q XOR w_c)`` (integer-exact), the shortlist
+    window orders ``(hamming ASC, neighbor_id ASC)``, and the rerank
+    orders ``(round(cosine, 6) DESC, neighbor_id ASC)`` — the repo's
+    decision grid for float comparisons.
+
+    Distributed shape: ONE d-row aggregate for thresholds, map-only
+    coding, a broadcast of the coded query set against coded candidates
+    (no shuffle on the corpus side), and a per-query window for the
+    shortlist. The corpus embedding rides along to the rerank so no
+    second corpus join is needed; shortlist x queries rows (tiny) do
+    the cosine."""
+    words = (dim + 31) // 32
+    st = binary_thresholds(corpus, emb_col)
+    cand = binary_quantize(
+        corpus, id_col, emb_col, dim, thresholds=st, keep_emb=True
+    ).withColumnRenamed(id_col, "neighbor_id")
+    qcodes = binary_quantize(
+        queries, id_col, emb_col, dim, thresholds=st, keep_emb=True
+    ).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(words)],
+        F.col("__emb").alias("__qe"),
+    )
+    j = cand.join(
+        F.broadcast(qcodes), F.col("neighbor_id") != F.col("query_id")
+    )
+    hd = F.lit(0).cast("int")
+    for w in range(words):
+        hd = hd + F.bit_count(
+            F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}"))
+        ).cast("int")
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        hd.alias("hamming"),
+        F.round(cosine(F.col("__qe"), F.col("__emb")), 6).alias("cosine"),
+    )
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = scored.withColumn("srn", F.row_number().over(wsl)).filter(
+        F.col("srn") <= shortlist
+    )
+    wrk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.withColumn("rn", F.row_number().over(wrk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine")
+    )

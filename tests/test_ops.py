@@ -1229,3 +1229,75 @@ def test_ivfpq_matches_adc_within_probed_cells(spark, emb):
     for r in got1:
         assert (r["query_id"], r["neighbor_id"]) in pool
         assert pool[(r["query_id"], r["neighbor_id"])] == r["adc"]
+
+
+def test_binary_quantize_codes_match_thresholds(spark, emb):
+    """Every set bit corresponds to a value strictly above its
+    dimension's midpoint threshold, and codes pack 32 bits per word."""
+    st = embeddings.binary_thresholds(emb).collect()[0]["__st"]
+    thr = [s["thr"] for s in st]
+    assert len(thr) == 64
+    codes = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in embeddings.binary_quantize(emb).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for vid in list(codes)[:25]:
+        w0, w1 = codes[vid]
+        for d in range(64):
+            word, j = (w0, d) if d < 32 else (w1, d - 32)
+            bit = (word >> j) & 1
+            assert bit == (1 if float(vecs[vid][d]) > thr[d] else 0)
+        assert 0 <= w0 < (1 << 32) and 0 <= w1 < (1 << 32)
+
+
+def test_hamming_topk_matches_bruteforce_python(spark, emb):
+    """The two-stage (Hamming shortlist -> exact rerank) result equals a
+    driver-side brute-force replay of the same rule."""
+    k, shortlist, nq = 7, 40, 3
+    qs = emb.filter(F.col("vec_id") < nq)
+    got = embeddings.hamming_topk(emb, qs, k=k, shortlist=shortlist)
+    got_rows = {
+        (r["query_id"], r["neighbor_id"]): (r["hamming"], r["cosine"])
+        for r in got.collect()
+    }
+    codes = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in embeddings.binary_quantize(emb).collect()
+    }
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+
+    def cos(a, b):
+        import math
+
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    want = {}
+    for q in range(nq):
+        qw0, qw1 = codes[q]
+        hams = sorted(
+            (
+                (
+                    bin((codes[c][0] ^ qw0)).count("1")
+                    + bin((codes[c][1] ^ qw1)).count("1"),
+                    c,
+                )
+                for c in codes
+                if c != q
+            )
+        )[:shortlist]
+        rer = sorted(
+            ((-cos(vecs[q], vecs[c]), c, h) for h, c in hams),
+        )[:k]
+        for negc, c, h in rer:
+            want[(q, c)] = (h, -negc)
+    assert got_rows == want
+    assert got.count() == nq * k
