@@ -1133,6 +1133,27 @@ def _q_events_week_histogram(spark, sf_dir):
     )
 
 
+_PIPE_WIN, _PIPE_LAG = 3, 7
+
+
+def _q_histogram_pipeline(spark, sf_dir):
+    """ES pipeline aggregations (`ops/timeseries.py::pipeline_aggs`)
+    over the engine's day-interval histogram: densified zero-fill
+    buckets, cumulative_sum / derivative / serial_diff in exact BIGINT,
+    trailing moving average (window 3) as one integer-sum division —
+    the whole derived-metric layer runs on the calendar-bounded bucket
+    series, never the corpus."""
+    from itemsjs_spark.ops import timeseries as ts_ops
+
+    eng = _events_engine(spark, sf_dir)
+    hist = eng.facet_histogram(
+        "ts", 86400.0, {"filters": {"event_type": ["click", "purchase"]}}
+    )
+    return ts_ops.pipeline_aggs(
+        hist, window=_PIPE_WIN, lag=_PIPE_LAG, interval=86400
+    )
+
+
 _RANGE_AGG = (
     {"key": "sub50", "to": 50.0},
     {"key": "mid", "from": 50.0, "to": 200.0},
@@ -4494,6 +4515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_histogram": _q_equi_depth_hist,
         # calendar-interval (date_trunc week) histogram variant
         "events_week_histogram": _q_events_week_histogram,
+        # ES pipeline aggregations (cumulative_sum / derivative /
+        # serial_diff / moving_avg / bucket_selector) over the densified
+        # day histogram (histogram family reported in-window via
+        # transcripts_histogram)
+        "histogram_pipeline_aggs": _q_histogram_pipeline,
         # ES named-range aggregation (same family, arbitrary bounds)
         "facet_range_agg": _q_facet_range_agg,
         # facet-VALUE autocomplete (suggest family reported via
@@ -6544,6 +6570,33 @@ SELECT epoch(date_trunc('week', ts))::BIGINT AS bucket,
        count(*)::BIGINT AS doc_count
 FROM events WHERE event_type IN ('click', 'purchase')
 GROUP BY bucket
+"""
+
+    # pipeline aggs: identical dense grid (range over the series' own
+    # extent), identical window frames, moving_avg = exact BIGINT window
+    # sum / window count (one IEEE division, rounded 6)
+    sqls["histogram_pipeline_aggs"] = f"""
+WITH h AS (
+  SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+),
+ext AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+grid AS (SELECT unnest(range(lo, hi + 86400, 86400)) AS bucket FROM ext),
+d AS (
+  SELECT g.bucket, coalesce(h.doc_count, 0)::BIGINT AS doc_count
+  FROM grid g LEFT JOIN h ON g.bucket = h.bucket
+)
+SELECT bucket, doc_count,
+       (sum(doc_count) OVER w)::BIGINT AS cum_sum,
+       (doc_count - lag(doc_count, 1) OVER w)::BIGINT AS derivative,
+       (doc_count - lag(doc_count, {_PIPE_LAG}) OVER w)::BIGINT AS serial_diff,
+       round((sum(doc_count) OVER m)::DOUBLE
+             / (count(*) OVER m)::DOUBLE, 6) AS moving_avg
+FROM d
+WINDOW w AS (ORDER BY bucket),
+       m AS (ORDER BY bucket
+             ROWS BETWEEN {_PIPE_WIN - 1} PRECEDING AND CURRENT ROW)
 """
 
     # facet-value autocomplete: dimension counts = per-value doc counts

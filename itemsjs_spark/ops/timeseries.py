@@ -1,0 +1,127 @@
+"""ES-style pipeline aggregations over histogram buckets.
+
+Elasticsearch layers *pipeline* aggregations on top of a date-histogram:
+``cumulative_sum``, ``derivative``, ``moving_fn`` (moving average),
+``serial_diff`` and ``bucket_selector`` all post-process the bucket
+series rather than the documents.  itemsjs has no analog (its buckets
+are categorical — reference ``/root/reference/src/helpers.ts``), so this
+is a §2.4 ES-surface extension like ``facet_ranges``/``facet_rollup``:
+same engine result-set semantics underneath (the histogram is produced
+by ``SearchEngine.facet_histogram``), new derived metrics on top.
+
+Scale shape: every function here operates on the HISTOGRAM OUTPUT, whose
+cardinality is ``time_range / interval`` — bounded by the calendar, not
+the corpus (10 years of hourly buckets is 87 600 rows).  A single
+ordered window over that series is therefore safe at 10^12 turns; the
+corpus-proportional work already happened inside the one
+map-side-combined groupBy that built the histogram.
+
+Determinism contract (what makes these oracle-checkable):
+
+* ``cumulative_sum`` / ``derivative`` / ``serial_diff`` stay in exact
+  BIGINT arithmetic — no float accumulation at all.
+* ``moving_avg`` divides an exact BIGINT window sum by an exact window
+  count — ONE IEEE division per bucket, rounded to the repo's 6-decimal
+  grid.  No engine-order-dependent float sums anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def densify_histogram(
+    hist: DataFrame,
+    interval: int,
+    bucket_col: str = "bucket",
+    count_cols: Sequence[str] = ("doc_count",),
+) -> DataFrame:
+    """Zero-fill the gaps of a sparse histogram.
+
+    ``facet_histogram`` omits empty bins (materializing the time axis at
+    build time would be wrong at scale), but pipeline aggregations are
+    defined over the *dense* series — ES's ``min_doc_count: 0`` — or a
+    derivative would silently span a gap.  The dense grid is generated
+    from the series' own [min, max] extent with ``F.sequence`` (one
+    1-row aggregate + one explode — grid-sized, never corpus-sized) and
+    left-joined back; missing counts become 0.
+    """
+    ext = hist.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = ext.select(
+        F.explode(
+            F.sequence("__lo", "__hi", F.lit(interval).cast("long"))
+        ).alias(bucket_col)
+    )
+    out = grid.join(F.broadcast(hist), bucket_col, "left")
+    return out.select(
+        bucket_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+            for c in count_cols
+        ],
+    )
+
+
+def pipeline_aggs(
+    hist: DataFrame,
+    bucket_col: str = "bucket",
+    value_col: str = "doc_count",
+    window: int = 3,
+    lag: int = 1,
+    interval: Optional[int] = None,
+    having: Optional[Column] = None,
+) -> DataFrame:
+    """The ES pipeline-aggregation bundle over one bucket series.
+
+    Returns ``(bucket, <value>, cum_sum, derivative, serial_diff,
+    moving_avg)`` ordered by bucket:
+
+    * ``cum_sum`` — running BIGINT total (ES ``cumulative_sum``).
+    * ``derivative`` — ``value - lag(value, 1)``; NULL on the first
+      bucket, exactly like ES (no derivative without a predecessor).
+    * ``serial_diff`` — ``value - lag(value, lag)`` (ES ``serial_diff``
+      with period ``lag``); NULL for the first ``lag`` buckets.
+    * ``moving_avg`` — mean of the trailing ``window`` buckets
+      *including* the current one (rows between ``window-1`` preceding
+      and current), rounded to 6 decimals.  Early buckets average over
+      the shorter available prefix, matching ES's default
+      ``MovingFunctions.unweightedAvg`` over a partial window.
+
+    ``interval`` (when given) densifies first via
+    :func:`densify_histogram`, so gaps contribute zeros rather than
+    being skipped — required for derivative semantics on sparse series.
+    ``having`` (a Column over the output columns) applies ES's
+    ``bucket_selector`` as a final filter — buckets are dropped AFTER
+    the window math, so selection never changes the metrics.
+
+    One ordered window over a calendar-bounded series (see module
+    docstring); everything inside is exact integer arithmetic except the
+    single division in ``moving_avg``.
+    """
+    if interval is not None:
+        hist = densify_histogram(hist, interval, bucket_col, (value_col,))
+    w = Window.orderBy(F.col(bucket_col).asc())
+    v = F.col(value_col).cast("long")
+    mov = Window.orderBy(F.col(bucket_col).asc()).rowsBetween(
+        -(window - 1), 0
+    )
+    out = hist.select(
+        F.col(bucket_col),
+        v.alias(value_col),
+        F.sum(v).over(w).alias("cum_sum"),
+        (v - F.lag(v, 1).over(w)).alias("derivative"),
+        (v - F.lag(v, lag).over(w)).alias("serial_diff"),
+        F.round(
+            F.sum(v).over(mov)
+            / F.count(F.lit(1)).over(mov).cast("double"),
+            6,
+        ).alias("moving_avg"),
+    )
+    if having is not None:
+        out = out.filter(having)
+    return out
