@@ -685,6 +685,8 @@ def _ft_sql(
     synonyms: Optional[Dict[str, List[str]]] = None,
     min_match: Optional[int] = None,
     raw_scores: bool = False,
+    token_classes: Optional[List[str]] = None,
+    cand_where: str = "",
 ) -> str:
     """lunr-1.0.0 scoring restated in ANSI SQL over ``corpus`` (a table
     or a CTE defined by ``extra_ctes``) keyed by ``id_col``. ``fuzzy``
@@ -755,8 +757,31 @@ q(tok_idx, tok) AS (
   SELECT q0.tok_idx, coalesce(corr.term, q0.tok)
   FROM q0 LEFT JOIN corr USING (tok_idx)
 ),""".replace("{values}", values)
+    elif token_classes is not None:
+        # query_string restatement: each token position carries its
+        # clause class ('m' must / 's' should); admission below becomes
+        # the per-class HAVING instead of the arity count
+        assert len(token_classes) == len(tokens)
+        kvalues = ", ".join(
+            f"({i}, '{t}', '{c}')"
+            for i, (t, c) in enumerate(zip(tokens, token_classes))
+        )
+        q_cte = f"q(tok_idx, tok, kl) AS (VALUES {kvalues}),"
     else:
         q_cte = f"q(tok_idx, tok) AS (VALUES {values}),"
+    if token_classes is not None:
+        n_must = token_classes.count("m")
+        having = (
+            "count(DISTINCT CASE WHEN qw.kl = 'm' THEN qw.tok_idx END) "
+            f"= {n_must}"
+        )
+        if token_classes.count("s"):
+            having += " AND count(CASE WHEN qw.kl = 's' THEN 1 END) >= 1"
+    elif min_match is not None:
+        having = f"count(DISTINCT qw.tok_idx) >= {min_match}"
+    else:
+        having = f"count(DISTINCT qw.tok_idx) = {n}"
+    kl_col = "q.kl, " if token_classes is not None else ""
     return f"""
 WITH {extra_ctes} tok AS (
   SELECT {id_col} AS doc_id, {_stem_case('u.t')} AS term
@@ -775,7 +800,7 @@ idf AS (
 ),
 {q_cte}
 qw AS (
-  SELECT q.tok_idx, q.tok, i.term, i.idf,
+  SELECT {kl_col}q.tok_idx, q.tok, i.term, i.idf,
          i.idf * (CASE WHEN i.term = q.tok THEN 1.0
                   ELSE 1.0 / ln(greatest(3, length(i.term) - length(q.tok))) END) AS w
   FROM q JOIN idf i ON i.term LIKE q.tok || '%'
@@ -788,8 +813,9 @@ qw1 AS (
 ),
 cand AS (
   SELECT tf.doc_id FROM tf JOIN qw ON tf.term = qw.term
+  {cand_where}
   GROUP BY tf.doc_id
-  HAVING count(DISTINCT qw.tok_idx) {f">= {min_match}" if min_match is not None else f"= {n}"}
+  HAVING {having}
 ),
 scored AS (
   SELECT tf.doc_id AS _id, sum(qw1.w * tf.tf * qw1.idf) / max(mag.m) AS score
@@ -801,6 +827,83 @@ scored AS (
 ORDER BY round(score, 6) DESC, CAST(_id AS VARCHAR) ASC
 LIMIT {k}'''}
 """
+
+
+def _qs_sql(qs: str, k: int) -> str:
+    """Lucene query_string restated in SQL: the SAME parser classifies
+    the clauses at SQL-build time (driver-side config, like the
+    percolator rules), then the lunr scoring SQL runs with per-class
+    admission (must-arity + at-least-one-should HAVING), a NOT IN
+    prefix-match exclusion inside the candidate CTE, and facet/phrase
+    constraints as scored-set membership predicates."""
+    from itemsjs_spark.engine.query import parse_query_string
+
+    pipeline = build_pipeline()
+    spec = parse_query_string(qs, facet_fields=["lang", "source"])
+    classes: List[str] = []
+    for w, kl in spec.units:
+        classes.extend(kl for _ in pipeline(tokenize(w)))
+    scoring_text = " ".join(w for w, _ in spec.units)
+    not_toks = sorted(
+        {t for w in spec.not_words for t in pipeline(tokenize(w))}
+    )
+    cand_where = ""
+    if not_toks:
+        likes = " OR ".join(f"t2.term LIKE '{t}%'" for t in not_toks)
+        cand_where = (
+            "WHERE tf.doc_id NOT IN "
+            f"(SELECT t2.doc_id FROM tok t2 WHERE {likes})"
+        )
+    conds: List[str] = []
+    for fld, vals in spec.filters.items():
+        conds.append(f"{fld} IN ({', '.join(repr(v) for v in vals)})")
+    for fld, vals in spec.not_filters.items():
+        conds.append(f"{fld} NOT IN ({', '.join(repr(v) for v in vals)})")
+    where_parts: List[str] = []
+    if conds:
+        where_parts.append(
+            "_id IN (SELECT doc_id FROM documents WHERE "
+            + " AND ".join(conds)
+            + ")"
+        )
+    for p in spec.must_phrases:
+        where_parts.append(f"_id IN (SELECT _id FROM ({_phrase_sql(p)}) ph)")
+    for p in spec.not_phrases:
+        where_parts.append(
+            f"_id NOT IN (SELECT _id FROM ({_phrase_sql(p)}) ph)"
+        )
+    where_scored = (
+        "WHERE " + " AND ".join(where_parts) if where_parts else ""
+    )
+    return _ft_sql(
+        scoring_text,
+        k,
+        token_classes=classes,
+        cand_where=cand_where,
+        where_scored=where_scored,
+    )
+
+
+_QS_QUERY = '+spark stream window -batch -lang:de -"value a table"'
+_QS_K = 40
+
+
+def _q_query_string(spark, sf_dir):
+    """Lucene/ES query_string search (`query.py::query_string_hits`,
+    syntax scope on `parse_query_string`): +must / bare-should /
+    -must_not clauses, a quoted adjacency constraint, and a negative
+    facet clause in ONE query string — admission is a bitmask predicate
+    on the same single scoring aggregate as every fulltext path, the
+    exclusions are index-pruned anti-joins, and scores stay the exact
+    lunr dot product over the matched terms."""
+    eng = _doc_engine(spark, sf_dir)
+    hits = eng.query_string_hits(_QS_QUERY)
+    s = F.round(F.col("__score"), 6)
+    return (
+        hits.orderBy(s.desc(), F.col(DOCID).cast("string").asc())
+        .limit(_QS_K)
+        .select(F.col(DOCID).alias("_id"), s.alias("score"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4435,6 +4538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wildcard term search (query-type family reported in-window via
         # substring_search / fulltext_fuzzy / suggest_prefix)
         "wildcard_search": _q_wildcard_search,
+        # Lucene query_string: +must/should/-must_not clauses, quoted
+        # phrase constraint, negative facet clause (the fulltext-syntax
+        # family is reported in-window via fulltext_min_should_match /
+        # phrase_search; admission machinery identical)
+        "query_string_search": _q_query_string,
         # composite aggregation: keyset-paged multi-field buckets (the
         # paging family is reported in-window via search_after_page and
         # aggregation_endpoint)
@@ -6291,6 +6399,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["suggest_prefix"] = _SUGGEST_SQL
     sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
+    sqls["query_string_search"] = _qs_sql(_QS_QUERY, _QS_K)
     # OR-mode admission: identical lunr scoring SQL, the conjunctive
     # HAVING = n relaxed to HAVING >= m
     sqls["fulltext_min_should_match"] = _ft_sql(

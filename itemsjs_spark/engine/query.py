@@ -103,6 +103,87 @@ def parse_quoted_query(query: str) -> Tuple[str, List[str]]:
     return query.replace('"', " "), [p for p in phrases if p]
 
 
+_QS_CLAUSE_RE = re.compile(r'[+\-]?"[^"]*"|\S+')
+_QS_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
+
+class QueryStringSpec:
+    """Parsed Lucene-style query string (see ``parse_query_string``)."""
+
+    def __init__(self) -> None:
+        # scoring words in appearance order, each tagged 'm' (must) or
+        # 's' (should); phrase words are must — a phrase can't match
+        # without its words, so tagging them must keeps admission and
+        # the adjacency constraint consistent
+        self.units: List[Tuple[str, str]] = []
+        self.not_words: List[str] = []
+        self.must_phrases: List[str] = []
+        self.not_phrases: List[str] = []
+        self.filters: Dict[str, List[str]] = {}
+        self.not_filters: Dict[str, List[str]] = {}
+
+
+def parse_query_string(
+    query: str,
+    facet_fields: Sequence[str] = (),
+    default_operator: str = "or",
+) -> QueryStringSpec:
+    """Parse the Lucene/ES ``query_string`` subset this engine executes
+    (extension — itemsjs's query is a plain token bag, reference
+    src/search.ts):
+
+    * bare ``word`` — SHOULD clause (``default_operator="or"``, the ES
+      default) or MUST (``"and"``); at least one should must match when
+      any exist.
+    * ``+word`` / ``-word`` — MUST / MUST_NOT. Prohibited words exclude
+      every doc matching the analyzed token under the engine's standard
+      prefix-expansion semantics.
+    * ``"quoted phrase"`` — adjacency CONSTRAINT whose words also score
+      (the repo's quoted-query semantics); ``-"quoted phrase"`` excludes
+      phrase matches.
+    * ``field:value`` — when ``field`` names a facet field: a
+      conjunctive facet filter (OR within a repeated field, AND across
+      fields — itemsjs filter semantics); ``-field:value`` a negative
+      filter. Non-facet prefixes fall back to plain words (lenient,
+      JS-flavored like the rest of the input handling).
+
+    Out of scope (documented): parens / AND OR NOT keywords (the
+    boolean algebra lives in ``filters_query``'s DNF compiler), per-term
+    boosts ``^n`` (field boosts are index config), and per-field text
+    search (``multifield`` engines score all configured fields).
+    """
+    spec = QueryStringSpec()
+    fieldset = {str(f) for f in facet_fields}
+    should_kl = "m" if default_operator == "and" else "s"
+    for raw in _QS_CLAUSE_RE.findall(query or ""):
+        kl = "s"
+        if raw[0] in "+-":
+            kl = "m" if raw[0] == "+" else "n"
+            raw = raw[1:]
+        if not raw:
+            continue
+        if raw.startswith('"'):
+            phrase = raw.strip('"').strip()
+            if not phrase:
+                continue
+            if kl == "n":
+                spec.not_phrases.append(phrase)
+            else:
+                spec.must_phrases.append(phrase)
+                spec.units.extend((w, "m") for w in phrase.split())
+            continue
+        fm = _QS_FIELD_RE.match(raw)
+        if fm and fm.group(1) in fieldset:
+            target = spec.not_filters if kl == "n" else spec.filters
+            target.setdefault(fm.group(1), []).append(fm.group(2))
+            continue
+        if kl == "n":
+            spec.not_words.append(raw)
+        else:
+            spec.units.append((raw, "m" if kl == "m" else should_kl))
+    return spec
+
+
 def _parse_paging(input: Dict[str, Any]) -> Tuple[int, int]:
     per_page = input.get("per_page")
     page = input.get("page")
@@ -1226,8 +1307,23 @@ class SearchEngine:
         if analyzed is None:
             return empty
         qv, idf_map = analyzed
-
+        per_doc, score = self._scored_per_doc(qv, idf_map)
         full_mask = (1 << qv.n_tokens) - 1
+        keep = self._admission_pred(full_mask, qv.n_tokens, min_should_match)
+        return self._live(
+            per_doc.filter(keep).withColumn(SCORE, score).select(DOCID, SCORE)
+        )
+
+    def _scored_per_doc(
+        self, qv: "scoring.QueryVector", idf_map: Dict[str, float]
+    ) -> Tuple[DataFrame, Column]:
+        """The shared lunr scoring plan: per-doc aggregated token mask +
+        the deterministic score column, BEFORE any admission predicate —
+        ``fulltext_hits`` applies conjunctive/popcount admission,
+        ``query_string_hits`` a per-class (+must/should) mask predicate.
+        One co-partitioned aggregate either way; see ``fulltext_hits``
+        for the plan rationale."""
+        idx = self.index
         rows = [
             (term, float(qv.weights[term] * idf_map[term]),
              sum(1 << i for i in qv.term_tokens[term]))
@@ -1303,10 +1399,7 @@ class SearchEngine:
                 F.lit(0.0),
                 lambda acc, x: acc + x["c"],
             ) / F.lit(qv.magnitude)
-        keep = self._admission_pred(full_mask, qv.n_tokens, min_should_match)
-        return self._live(
-            per_doc.filter(keep).withColumn(SCORE, score).select(DOCID, SCORE)
-        )
+        return per_doc, score
 
     @staticmethod
     def _admission_pred(
@@ -1318,6 +1411,131 @@ class SearchEngine:
             return F.col("mask") == full_mask
         m = max(1, min(int(min_should_match), n_tokens))
         return F.bit_count("mask") >= m
+
+    def _prefix_match_docids(self, toks: Sequence[str]) -> DataFrame:
+        """Distinct docids whose postings contain ANY term completing
+        one of ``toks`` — the MUST_NOT exclusion set. Pure index-side:
+        a StartsWith disjunction on the term column (pushed into the
+        term-sorted parquet scan / block store exactly like the prefix
+        query path), then one distinct. Never driver-bounded — the
+        excluded set may be huge and stays distributed."""
+        idx = self.index
+        cond = None
+        for t in toks:
+            c = F.col("term").startswith(t)
+            cond = c if cond is None else (cond | c)
+        if idx.postings is not None:
+            return idx.postings.filter(cond).select(DOCID).distinct()
+        if idx.posting_blocks is None:
+            raise ValueError("index has no fulltext postings")
+        from .blocks import postings_from_blocks
+
+        return (
+            postings_from_blocks(idx.posting_blocks.filter(cond))
+            .select(DOCID)
+            .distinct()
+        )
+
+    def query_string_hits(
+        self, query: str, default_operator: str = "or"
+    ) -> DataFrame:
+        """Lucene-style ``query_string`` execution (extension; syntax and
+        scope on ``parse_query_string``): (_docid, __score) where
+
+        * admission = every MUST token position matched AND (when any
+          SHOULD clauses exist) at least one SHOULD position matched AND
+          no MUST_NOT token matches AND every quoted phrase matches
+          adjacently AND the facet clauses hold;
+        * score = the IDENTICAL lunr dot product over the matched
+          must/should/phrase terms (prohibited clauses and facet
+          filters never touch the score — Lucene filter-context
+          semantics).
+
+        Physical plan: ONE scoring aggregate (the shared
+        ``_scored_per_doc`` plan — the admission is a bitmask predicate
+        on the already-aggregated token mask, exactly like
+        min_should_match), plus per-constraint semi/anti joins that are
+        each index-pruned: MUST_NOT is a StartsWith-pushed postings
+        distinct, phrases ride ``phrase_hits`` (rarest-term-bounded or
+        positional), facet clauses are one predicate scan of the docs
+        table. Nothing corpus-quadratic, nothing driver-side."""
+        idx = self.index
+        spec = parse_query_string(
+            query, facet_fields=idx.facet_fields,
+            default_operator=default_operator,
+        )
+        empty = self.spark.createDataFrame([], f"{DOCID} long, {SCORE} double")
+        if not spec.units:
+            raise EngineError(
+                "query_string needs at least one scoring term; filter-only "
+                "inputs go through search({filters}/{not_filters})"
+            )
+        klasses: List[str] = []
+        for w, kl in spec.units:
+            klasses.extend(kl for _ in self.pipeline(tokenize(w)))
+        if not klasses:
+            return empty
+        scoring_text = " ".join(w for w, _ in spec.units)
+        try:
+            analyzed = self._query_vector(
+                scoring_text, require_all_tokens=False
+            )
+        except _ExpansionTooLarge:
+            raise EngineError(
+                "query_string requires the driver expansion path; this "
+                "query's prefix expansion exceeds driver capacity"
+            )
+        if analyzed is None:
+            return empty
+        qv, idf_map = analyzed
+        if qv.n_tokens != len(klasses):  # pragma: no cover - invariant
+            raise EngineError("query_string token/class misalignment")
+        must_mask = sum(1 << i for i, k in enumerate(klasses) if k == "m")
+        should_mask = sum(1 << i for i, k in enumerate(klasses) if k == "s")
+        covered = 0
+        for t in qv.weights:
+            covered |= sum(1 << i for i in qv.term_tokens[t])
+        if must_mask & ~covered:
+            # a MUST token with no dictionary completion can never match
+            return empty
+        per_doc, score = self._scored_per_doc(qv, idf_map)
+        keep = (
+            F.col("mask").bitwiseAND(F.lit(must_mask)) == F.lit(must_mask)
+        )
+        if should_mask:
+            keep = keep & (
+                F.col("mask").bitwiseAND(F.lit(should_mask)) != F.lit(0)
+            )
+        hits = per_doc.filter(keep).withColumn(SCORE, score).select(
+            DOCID, SCORE
+        )
+        not_toks = sorted(
+            {t for w in spec.not_words for t in self.pipeline(tokenize(w))}
+        )
+        if not_toks:
+            hits = hits.join(
+                self._prefix_match_docids(not_toks), DOCID, "left_anti"
+            )
+        for p in spec.must_phrases:
+            hits = hits.join(
+                self.phrase_hits(p).select(DOCID), DOCID, "left_semi"
+            )
+        for p in spec.not_phrases:
+            hits = hits.join(
+                self.phrase_hits(p).select(DOCID), DOCID, "left_anti"
+            )
+        if spec.filters or spec.not_filters:
+            compiled = self.compile(
+                {"filters": spec.filters, "not_filters": spec.not_filters},
+                has_query=False,
+            )
+            allowed = (
+                self._live(idx.docs)
+                .filter(ir_to_column(compiled.final_pred, False))
+                .select(DOCID)
+            )
+            hits = hits.join(allowed, DOCID, "left_semi")
+        return self._live(hits)
 
     def _phrase_field(self, field: Optional[str]) -> Optional[str]:
         """Resolve the text field a phrase query runs over (first
