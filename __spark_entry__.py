@@ -2906,6 +2906,22 @@ def _q_deterministic_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+_FIM_RATE = 0.5
+
+
+def _q_fim_split(spark, sf_dir):
+    """Fill-in-the-middle transform (`sampling.fim_split`, Bavarian
+    2022): a deterministic half of the corpus rewritten to PSM order
+    with character-level cut points — apply decision and both cuts are
+    the repo's portable md5 idiom, so the oracle reproduces every byte.
+    Map-only projection; no shuffle at any scale."""
+    from itemsjs_spark.ops import sampling
+
+    return sampling.fim_split(
+        _documents(spark, sf_dir), "doc_id", "text", rate=_FIM_RATE
+    )
+
+
 def _q_split_by_conversation(spark, sf_dir):
     """Leakage-safe split for conversational data: the split key is
     conv_id, so every turn of a conversation lands in the same split
@@ -4671,6 +4687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-prefix membership rule stays reported via
         # domain_mixture_sample in-window and split_by_conversation here)
         "deterministic_split": _q_deterministic_split,
+        # fill-in-the-middle PSM rewrite (sampling/transform family
+        # reported in-window via domain_mixture_sample / pack_sequences)
+        "fim_split": _q_fim_split,
         "split_by_conversation": _q_split_by_conversation,
         "repetition_signals": _q_repetition_signals,
         # canonical trained-centroid IVF (ANN family reported via
@@ -5076,6 +5095,35 @@ SELECT query_id, neighbor_id, cosine FROM (
     sqls["deterministic_split"] = (
         f"SELECT doc_id, {_case} AS split FROM documents"
     )
+
+    # FIM: same md5 apply-fraction, same md5-mod cut points, same
+    # 1-based substring arithmetic — byte-exact PSM restatement
+    from itemsjs_spark.ops.sampling import FIM_MID, FIM_PRE, FIM_SUF
+
+    _fim_frac = _hex8_int("md5('0:fim:' || doc_id::VARCHAR)")
+    _fim_md1 = "md5('0:fim1:' || doc_id::VARCHAR)"
+    _fim_md2 = "md5('0:fim2:' || doc_id::VARCHAR)"
+    _fim_c1 = f"({_hex8_int(_fim_md1)} % (length(text) + 1))"
+    _fim_c2 = f"({_hex8_int(_fim_md2)} % (length(text) + 1))"
+    sqls["fim_split"] = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         ({_fim_frac} / 4294967296.0) < {_FIM_RATE!r} AS fim,
+         {_fim_c1} AS c1, {_fim_c2} AS c2
+  FROM documents
+),
+e AS (SELECT doc_id, text, fim,
+             least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM d)
+SELECT doc_id, fim,
+  CASE WHEN fim THEN substring(text, 1, lo) ELSE text END AS prefix,
+  CASE WHEN fim THEN substring(text, lo + 1, hi - lo) ELSE '' END AS middle,
+  CASE WHEN fim THEN substring(text, hi + 1) ELSE '' END AS suffix,
+  CASE WHEN fim THEN '{FIM_PRE}' || substring(text, 1, lo)
+        || '{FIM_SUF}' || substring(text, hi + 1)
+        || '{FIM_MID}' || substring(text, lo + 1, hi - lo)
+       ELSE text END AS fim_text
+FROM e
+"""
 
     # DSIR: identical gram stream (unigrams + space-joined bigrams),
     # identical md5-6-hex bucket, exact-integer counts, ONE nano-unit

@@ -519,3 +519,69 @@ def dsir_select(
             ),
         )
     )
+
+
+FIM_PRE, FIM_SUF, FIM_MID = "<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>"
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.5,
+    seed: str = "0",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022 — the code-LLM
+    pretraining augmentation): a deterministic ``rate`` fraction of
+    documents is rewritten into PSM order (prefix, suffix, middle with
+    sentinel tokens); the rest pass through untouched.
+
+    All randomness is the repo's engine-portable md5 idiom — the apply
+    decision is :func:`hash_fraction` and the two character cut points
+    are independent md5-prefix integers mod ``len+1`` — so ANY engine
+    (including the DuckDB oracle) reproduces every byte, and the
+    transform is stable under retries/repartitioning. Cuts are
+    character-level (the paper splits at character level specifically
+    so spans need not align to token boundaries).
+
+    Map-only: one projection, no shuffle, no UDF — at 10^12 turns this
+    is a pure scan stage that fuses into whatever reads it. Returns
+    ``(id, fim, prefix, middle, suffix, fim_text)`` where ``fim_text``
+    is the training string (sentinel-joined PSM for FIM rows, the raw
+    text otherwise)."""
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def cut(salt: str) -> Column:
+        hx = F.md5(
+            F.concat(F.lit(f"{seed}:{salt}:"), F.col(id_col).cast("string"))
+        )
+        return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % (
+            n.cast("long") + F.lit(1).cast("long")
+        )
+
+    c1, c2 = cut("fim1"), cut("fim2")
+    lo, hi = F.least(c1, c2).cast("int"), F.greatest(c1, c2).cast("int")
+    is_fim = hash_fraction(F.col(id_col), seed + ":fim") < F.lit(float(rate))
+    prefix = F.when(is_fim, text.substr(F.lit(1), lo)).otherwise(text)
+    middle = F.when(
+        is_fim, text.substr(lo + F.lit(1), hi - lo)
+    ).otherwise(F.lit(""))
+    suffix = F.when(
+        is_fim, text.substr(hi + F.lit(1), n - hi)
+    ).otherwise(F.lit(""))
+    fim_text = F.when(
+        is_fim,
+        F.concat(
+            F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix,
+            F.lit(FIM_MID), middle,
+        ),
+    ).otherwise(text)
+    return df.select(
+        F.col(id_col),
+        is_fim.alias("fim"),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        fim_text.alias("fim_text"),
+    )

@@ -333,3 +333,40 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         for r in dsir_weights(raw, target).collect()
     }
     assert w == w2
+
+
+def test_fim_split_reassembles_and_passes_through(spark):
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string"),
+                 F.lit(" body text tail")).alias("text"),
+    )
+    out = sampling.fim_split(docs, rate=0.5).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_fim = 0
+    for r in out:
+        t = texts[r["doc_id"]]
+        if r["fim"]:
+            n_fim += 1
+            # character-exact reassembly: no byte invented or lost
+            assert r["prefix"] + r["middle"] + r["suffix"] == t
+            assert r["fim_text"] == (
+                sampling.FIM_PRE + r["prefix"] + sampling.FIM_SUF
+                + r["suffix"] + sampling.FIM_MID + r["middle"]
+            )
+        else:
+            assert (r["prefix"], r["middle"], r["suffix"]) == (t, "", "")
+            assert r["fim_text"] == t
+    assert 120 < n_fim < 280  # ~rate of 400, deterministic
+
+
+def test_fim_split_deterministic_and_seeded(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta").alias("text"),
+    )
+    a = sorted(map(tuple, sampling.fim_split(docs).collect()))
+    b = sorted(map(tuple, sampling.fim_split(docs).collect()))
+    assert a == b
+    c = sorted(map(tuple, sampling.fim_split(docs, seed="7").collect()))
+    assert a != c
