@@ -3823,6 +3823,56 @@ def _q_lineitem_percentiles(spark, sf_dir):
     )
 
 
+_PRANK_VALUES = (10.0, 25.0, 40.0)
+
+
+def _q_lineitem_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks aggregation, exact
+    (`ops/stats.py::percentile_ranks`): per-bucket percentage of docs
+    with value <= each probe — integer-count ratios, one
+    map-side-combined aggregate for all probes (no sort, no buffering,
+    the inverse of bucket_percentiles)."""
+    from itemsjs_spark.ops import stats as stats_ops
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return stats_ops.percentile_ranks(
+        li, ["l_returnflag"], "l_quantity", _PRANK_VALUES
+    )
+
+
+def _q_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation (`query.py::facet_rare_terms`): the
+    long-tail keys (doc_count in (0, max]) of the source facet under a
+    lang filter — exact over the same one-pass bucket counts every
+    facet query runs (ES itself is approximate here), zero extra
+    shuffles."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.facet_rare_terms(
+        "source", max_doc_count=2, input={"filters": {"lang": ["fr"]}}
+    ).select("key", "doc_count")
+
+
+_ADJ_FILTERS_SQL = {
+    "click": "event_type = 'click'",
+    "purchase": "event_type = 'purchase'",
+    "hival": "value >= 200.0",
+}
+
+
+def _q_events_adjacency(spark, sf_dir):
+    """ES adjacency_matrix aggregation
+    (`ops/stats.py::adjacency_matrix`): named filters -> every filter
+    and pairwise-intersection doc count ('a', 'a&b' keys, zero-count
+    pairs omitted) in ONE whole-input aggregate — k(k+1)/2 conditional
+    sums, no joins, no explode."""
+    from itemsjs_spark.ops import stats as stats_ops
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return stats_ops.adjacency_matrix(
+        ev, {k: F.expr(v) for k, v in _ADJ_FILTERS_SQL.items()}
+    )
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (Reciprocal Rank Fusion, Cormack et al.
     SIGIR'09): the lexical lunr top-50 for 'spark table' fused with the
@@ -4646,6 +4696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_pipeline_aggs": _q_histogram_pipeline,
         # ES named-range aggregation (same family, arbitrary bounds)
         "facet_range_agg": _q_facet_range_agg,
+        # ES adjacency_matrix: named-filter pairwise intersections in
+        # one aggregate (conditional-sum family like facet_range_agg)
+        "events_adjacency_matrix": _q_events_adjacency,
+        # ES rare_terms: exact long-tail keys over the same one-pass
+        # bucket counts (terms-agg family reported via bucket rows)
+        "facet_rare_terms": _q_rare_terms,
+        # ES percentile_ranks: exact inverse of lineitem_facet_percentiles
+        "lineitem_percentile_ranks": _q_lineitem_percentile_ranks,
         # facet-VALUE autocomplete (suggest family reported via
         # suggest_prefix, the terms analog)
         "facet_value_suggest": _q_facet_value_suggest,
@@ -6754,6 +6812,47 @@ FROM d
 WINDOW w AS (ORDER BY bucket),
        m AS (ORDER BY bucket
              ROWS BETWEEN {_PIPE_WIN - 1} PRECEDING AND CURRENT ROW)
+"""
+
+    # adjacency_matrix: same k(k+1)/2 conditional sums, zero-count
+    # intersections dropped
+    _adj_names = sorted(_ADJ_FILTERS_SQL)
+    _adj_parts = []
+    for _i, _a in enumerate(_adj_names):
+        for _b in _adj_names[_i:]:
+            _key = _a if _a == _b else f"{_a}&{_b}"
+            _cond = (
+                _ADJ_FILTERS_SQL[_a]
+                if _a == _b
+                else f"({_ADJ_FILTERS_SQL[_a]}) AND ({_ADJ_FILTERS_SQL[_b]})"
+            )
+            _adj_parts.append(
+                f"SELECT '{_key}' AS key, sum(CASE WHEN {_cond} THEN 1 "
+                "ELSE 0 END)::BIGINT AS doc_count FROM events"
+            )
+    sqls["events_adjacency_matrix"] = (
+        "SELECT key, doc_count FROM ("
+        + " UNION ALL ".join(_adj_parts)
+        + ") WHERE doc_count > 0"
+    )
+
+    # rare_terms: long-tail of the crossed bucket counts
+    sqls["facet_rare_terms"] = """
+SELECT source AS key, count(*)::BIGINT AS doc_count
+FROM documents WHERE lang = 'fr'
+GROUP BY source HAVING count(*) <= 2
+"""
+
+    # percentile_ranks: exact integer-count ratios, one division each
+    _prank_cols = ", ".join(
+        f"round(sum(CASE WHEN l_quantity <= {x!r} THEN 1 ELSE 0 "
+        f"END)::DOUBLE * 100.0 / count(*)::DOUBLE, 6) AS "
+        "rank_" + f"{x:g}".replace(".", "_")
+        for x in _PRANK_VALUES
+    )
+    sqls["lineitem_percentile_ranks"] = f"""
+SELECT l_returnflag, count(*)::BIGINT AS n, {_prank_cols}
+FROM lineitem GROUP BY l_returnflag
 """
 
     # facet-value autocomplete: dimension counts = per-value doc counts

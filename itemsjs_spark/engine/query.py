@@ -5184,6 +5184,27 @@ class SearchEngine:
         base = self._docs_with_query_flag(hits)
         return self._field_counts(base, field, compiled, hits is not None)
 
+    def facet_rare_terms(
+        self,
+        field: str,
+        max_doc_count: int = 1,
+        input: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """ES ``rare_terms`` aggregation (extension): the LONG-TAIL
+        inverse of a terms agg — facet keys whose doc_count under the
+        request's result set is in (0, ``max_doc_count``], ordered
+        doc_count ASC, key ASC. ES computes this approximately with a
+        CuckooFilter; over a counted facet dimension the exact answer
+        is one filter over the same single-pass bucket counts that
+        every facet query already runs (zero extra shuffles), so the
+        engine is exact AND oracle-checkable. Zero-count keys are not
+        'rare' — they're absent, matching ES."""
+        counts = self.bucket_counts_df(field, input)
+        return counts.filter(
+            (F.col("doc_count") > 0)
+            & (F.col("doc_count") <= int(max_doc_count))
+        ).orderBy(F.col("doc_count").asc(), F.col("key").asc())
+
     def bucket_heads_df(
         self,
         field: str,

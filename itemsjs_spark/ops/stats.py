@@ -19,9 +19,9 @@ physical paths, same API:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Dict, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -198,3 +198,81 @@ def bucket_anomalies(
         .select("bucket", "n", zscore.alias("zscore"))
         .filter(F.abs(F.col("zscore")) >= float(z))
     )
+
+
+def percentile_ranks(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    values: Sequence[float],
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation, exact: for each probe value
+    ``v`` the percentage of the group's docs with ``value <= v``
+    (inverse of ``bucket_percentiles``). ES approximates with a
+    TDigest; the exact definition here is ``100 * count(<=v) / n`` —
+    an integer-count ratio, ONE IEEE division per (group, probe),
+    rounded to the repo's 6-decimal grid, so the oracle is bit-exact.
+
+    One map-side-combined groupBy regardless of probe count: every
+    probe is a conditional sum inside the same aggregate — the
+    100 TB shape (no per-probe pass, no sort, no buffering)."""
+    v = F.col(value_col).cast("double")
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, x in enumerate(values):
+        aggs.append(
+            F.sum(F.when(v <= float(x), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__le{i}")
+        )
+    out = df.groupBy(*group_cols).agg(*aggs)
+    proj = [F.col(c) for c in group_cols] + [F.col("n")]
+    for i, x in enumerate(values):
+        name = "rank_" + f"{x:g}".replace(".", "_").replace("-", "m")
+        proj.append(
+            F.round(
+                F.col(f"__le{i}").cast("double") * 100.0
+                / F.col("n").cast("double"),
+                6,
+            ).alias(name)
+        )
+    return out.select(*proj)
+
+
+def adjacency_matrix(
+    df: DataFrame, filters: Dict[str, Column]
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named filter predicates →
+    doc counts of every filter AND every pairwise intersection, keys
+    ``a`` / ``a&b`` (names sorted, ES's key convention), zero-count
+    intersections omitted like ES.
+
+    ONE whole-input aggregate: with k filters the plan is k(k+1)/2
+    conditional sums inside a single map-side-combined agg — no joins,
+    no explode, no per-pair pass. k is config-sized (ES caps it at
+    100), so the row count is bounded regardless of corpus size."""
+    names = sorted(filters)
+    aggs = []
+    keys = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            key = a if a == b else f"{a}&{b}"
+            keys.append(key)
+            cond = filters[a] & filters[b] if a != b else filters[a]
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__c{len(keys) - 1}")
+            )
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"), F.col(f"__c{i}").alias("doc_count")
+            )
+            for i, k in enumerate(keys)
+        ]
+    )
+    out = row.select(F.explode(pairs).alias("kv")).select(
+        F.col("kv.key").alias("key"), F.col("kv.doc_count").alias("doc_count")
+    )
+    return out.filter(F.col("doc_count") > 0)
