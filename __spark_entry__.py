@@ -2922,6 +2922,26 @@ def _q_fim_split(spark, sf_dir):
     )
 
 
+_EXPORT_SHARDS = 8
+_EXPORT_COLS = ["doc_id", "text", "lang"]
+
+
+def _q_export_manifest(spark, sf_dir):
+    """Training-shard export manifest algebra (`ops/export.py`):
+    deterministic md5 shard assignment + per-shard row counts and
+    ORDER-INDEPENDENT xor-fold content checksums — the stats
+    `write_training_shards` records in `_MANIFEST.json` and
+    `verify_training_shards` re-derives from the written store (write/
+    verify round-trip + tamper detection pinned in tests/test_export.py;
+    this row proves the manifest math itself cross-engine)."""
+    from itemsjs_spark.ops import export as export_ops
+
+    d = _documents(spark, sf_dir).select(*_EXPORT_COLS).withColumn(
+        "shard", export_ops.shard_of(F.col("doc_id"), _EXPORT_SHARDS)
+    )
+    return export_ops._shard_stats(d, _EXPORT_COLS)
+
+
 def _q_split_by_conversation(spark, sf_dir):
     """Leakage-safe split for conversational data: the split key is
     conv_id, so every turn of a conversation lands in the same split
@@ -4748,6 +4768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fill-in-the-middle PSM rewrite (sampling/transform family
         # reported in-window via domain_mixture_sample / pack_sequences)
         "fim_split": _q_fim_split,
+        # training-shard export manifest: md5 shard assignment +
+        # xor-fold checksums (write/verify round-trip in tests)
+        "export_shard_manifest": _q_export_manifest,
         "split_by_conversation": _q_split_by_conversation,
         "repetition_signals": _q_repetition_signals,
         # canonical trained-centroid IVF (ANN family reported via
@@ -6853,6 +6876,29 @@ GROUP BY source HAVING count(*) <= 2
     sqls["lineitem_percentile_ranks"] = f"""
 SELECT l_returnflag, count(*)::BIGINT AS n, {_prank_cols}
 FROM lineitem GROUP BY l_returnflag
+"""
+
+    # export manifest: same md5 shard mod, same ␟-joined payload, same
+    # 15-nibble 60-bit token, same commutative bit_xor fold
+    from itemsjs_spark.ops.export import _SEP as _EXP_SEP
+
+    def _hexn_int(hx: str, n: int) -> str:
+        expr = _sql_nib(hx, 1)
+        for p in range(2, n + 1):
+            expr = f"({expr} * 16 + {_sql_nib(hx, p)})"
+        return expr
+
+    _exp_payload = f"concat_ws('{_EXP_SEP}', " + ", ".join(
+        f"coalesce({c}::VARCHAR, '')" for c in _EXPORT_COLS
+    ) + ")"
+    sqls["export_shard_manifest"] = f"""
+WITH t AS (
+  SELECT ({_hexn_int("md5('0:' || doc_id::VARCHAR)", 8)} % {_EXPORT_SHARDS})::INTEGER AS shard,
+         {_hexn_int(f"md5({_exp_payload})", 15)}::BIGINT AS token
+  FROM documents
+)
+SELECT shard, count(*)::BIGINT AS n_rows, bit_xor(token)::BIGINT AS checksum
+FROM t GROUP BY shard
 """
 
     # facet-value autocomplete: dimension counts = per-value doc counts
