@@ -4387,6 +4387,49 @@ FROM g ORDER BY best_score DESC, n_children DESC, conv_id ASC LIMIT {k}
 """
 
 
+_HASPARENT_K = 12
+
+
+def _q_has_parent(spark, sf_dir):
+    """ES has_parent analog (`SearchEngine.has_parent_hits`, the other
+    join-field direction): user turns of conversations where some
+    assistant turn matches the north-rule query, each carrying the
+    parent conversation's best matching score (score: true) — two
+    result-set derivations + one group-bounded max + one join on
+    conv_id."""
+    eng = _tx_engine(spark, sf_dir)
+    out = eng.has_parent_hits(
+        "conv_id",
+        {"query": _HASCHILD_Q, "filters": {"role": [_HASCHILD_ROLE]}},
+        {"filters": {"role": ["user"]}},
+        k=_HASPARENT_K,
+    )
+    return out.select(
+        F.col(DOCID).alias("_id"),
+        F.col("parent").alias("conv_id"),
+        F.col("__score").alias("parent_score"),
+    )
+
+
+def _tx_has_parent_sql(qtext: str, prole: str, crole: str, k: int) -> str:
+    ft = _ft_sql(
+        qtext, 10**9,
+        extra_ctes=f"corpus AS ({_TX_CORPUS_SQL}),",
+        corpus="corpus", id_col="_docid",
+    )
+    return f"""
+WITH f AS (SELECT _id, round(score, 6) AS s6 FROM ({ft}) q),
+c AS ({_TX_CORPUS_SQL}),
+pj AS (SELECT c.conv_id, f.s6
+       FROM f JOIN c ON c._docid = f._id WHERE c.role = '{prole}'),
+p AS (SELECT conv_id, max(s6) AS pscore FROM pj GROUP BY conv_id),
+kids AS (SELECT c._docid, c.conv_id FROM c WHERE c.role = '{crole}')
+SELECT kids._docid AS _id, kids.conv_id, p.pscore AS parent_score
+FROM kids JOIN p ON kids.conv_id = p.conv_id
+ORDER BY pscore DESC, _docid::VARCHAR ASC LIMIT {k}
+"""
+
+
 def _tx_conv_topk_sql(qtext: str, n_groups: int) -> str:
     ft = _ft_sql(
         qtext, 10**9,
@@ -4609,6 +4652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_search": _q_regexp_search,
         "collapse_search": _q_collapse_search,
         "has_child_search": _q_has_child,
+        # ES has_parent: the other join-field direction (family
+        # reported in-window via has_child_search)
+        "has_parent_search": _q_has_parent,
         "top_hits_buckets": _q_top_hits_buckets,
         "boosting_search": _q_boosting_search,
         "rescore_topk": _q_rescore_topk,
@@ -6912,6 +6958,9 @@ GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 8
     sqls["search_highlight"] = _search_highlight_sql("merge sort", 10, 2, 2)
     sqls["transcripts_hit_context"] = _tx_hit_context_sql("merge sort", 10, 2, 2)
     sqls["transcripts_conv_topk"] = _tx_conv_topk_sql("merge sort", 8)
+    sqls["has_parent_search"] = _tx_has_parent_sql(
+        _HASCHILD_Q, _HASCHILD_ROLE, "user", _HASPARENT_K
+    )
     sqls["has_child_search"] = _tx_has_child_sql(
         _HASCHILD_Q, _HASCHILD_ROLE, _HASCHILD_MIN, _HASCHILD_K
     )

@@ -2431,6 +2431,66 @@ class SearchEngine:
             F.col("parent").cast("string").asc(),
         ).limit(int(k))
 
+    def has_parent_hits(
+        self,
+        parent_field: str,
+        parent_input: Optional[Dict[str, Any]] = None,
+        child_input: Optional[Dict[str, Any]] = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """The ``has_parent`` mirror of :meth:`has_child_hits`
+        (extension; Elasticsearch's other join-field direction): return
+        CHILD documents whose parent group — the shared
+        ``parent_field`` value, e.g. conv_id — contains at least one
+        document matching ``parent_input``. Children may themselves be
+        narrowed by ``child_input`` (any standard search input).
+        Returns the top-k ``(_docid, parent, __score)`` where
+        ``__score`` is the parent group's best matching score rounded
+        to 6 (ES ``has_parent`` with ``score: true``; NULL for
+        filter-only parent inputs), ordered score desc →
+        str(docid) asc.
+
+        Physical plan: TWO result-set derivations through the same
+        candidates/compile machinery (parent and child sides), a
+        group-bounded count/max aggregate on the parent side, and ONE
+        shuffle join on the parent key — the parent set is
+        group-cardinality-sized (≤ |conversations|), never turns-sized,
+        and no side is collected. Hot parents skew only the join, which
+        AQE splits."""
+        pin = parent_input or {}
+        phits, _ = self._candidates(pin)
+        pcompiled = self.compile(pin, has_query=phits is not None)
+        pbase = self._docs_with_query_flag(phits)
+        pflt = pbase.filter(
+            ir_to_column(pcompiled.final_pred, phits is not None)
+        )
+        pk = pflt.select(F.col(DOCID), F.col(parent_field).alias("parent"))
+        if phits is not None:
+            s = phits.select(
+                F.col(DOCID), F.round(F.col(SCORE), 6).alias("__s6")
+            )
+            pk = pk.join(s, DOCID, "left")
+        else:
+            pk = pk.withColumn("__s6", F.lit(None).cast("double"))
+        parents = pk.groupBy("parent").agg(F.max("__s6").alias("__ps"))
+        cin = child_input or {}
+        chits, _ = self._candidates(cin)
+        ccompiled = self.compile(cin, has_query=chits is not None)
+        cbase = self._docs_with_query_flag(chits)
+        cflt = cbase.filter(
+            ir_to_column(ccompiled.final_pred, chits is not None)
+        )
+        kids = cflt.select(F.col(DOCID), F.col(parent_field).alias("parent"))
+        return (
+            kids.join(parents, "parent")
+            .select(DOCID, "parent", F.col("__ps").alias(SCORE))
+            .orderBy(
+                F.col(SCORE).desc_nulls_last(),
+                F.col(DOCID).cast("string").asc(),
+            )
+            .limit(int(k))
+        )
+
     def boosting_hits(
         self, positive: str, negative: str, negative_boost: float = 0.5
     ) -> DataFrame:

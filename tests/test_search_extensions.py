@@ -248,3 +248,39 @@ def test_has_child_counts_scores_and_filter_only(eng):
         ).count()
         == 0
     )
+
+
+def test_has_parent_children_carry_parent_best_score(eng):
+    """has_parent: children of groups with >=1 'zebra' match, each
+    carrying the group's best rounded score; child_input narrows the
+    returned children without touching scores."""
+    import pyspark.sql.functions as F
+
+    out = eng.has_parent_hits("grp", {"query": "zebra"}, k=100).collect()
+    hits = eng.fulltext_hits("zebra")
+    kids = (
+        hits.join(eng.index.docs.select("_docid", "grp"), "_docid")
+        .select("grp", F.round("__score", 6).alias("s"))
+        .collect()
+    )
+    best = {}
+    for r in kids:
+        best[r["grp"]] = max(best.get(r["grp"], -1e9), r["s"])
+    # every doc belongs to a matching group here (a, b, c all match)
+    assert {r["_docid"]: r["__score"] for r in out} == {
+        i: best[g]
+        for i, g in [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"), (6, "c")]
+    }
+    # child filter narrows the result set, scores unchanged
+    out2 = eng.has_parent_hits(
+        "grp", {"query": "zebra"}, {"filters": {"grp": ["b"]}}, k=100
+    ).collect()
+    assert {r["_docid"]: r["__score"] for r in out2} == {
+        3: best["b"], 4: best["b"]
+    }
+    # filter-only parent input: NULL scores, membership still enforced
+    out3 = eng.has_parent_hits(
+        "grp", {"filters": {"grp": ["a"]}}, k=100
+    ).collect()
+    assert {r["_docid"] for r in out3} == {1, 2}
+    assert all(r["__score"] is None for r in out3)
