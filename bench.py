@@ -288,6 +288,12 @@ def headline_queries(spark, eng):
     qs["query_plus_facet"] = lambda: eng.result_df(
         {"query": "broadcast join", "filters": {"role": ["assistant"]}}
     ).count()
+    # Lucene query_string (round-4 ninth session): one scoring
+    # aggregate + a StartsWith-pushed anti join + a facet-clause
+    # semi join — the composed-admission throughput
+    qs["query_string"] = lambda: eng.query_string_hits(
+        "+broadcast join -checkpoint -role:system"
+    ).count()
     # percolation (reverse search): 8 stored alert rules matched against
     # the whole corpus in one pass — the alerting primitive's throughput
     _rules = [
@@ -333,6 +339,9 @@ def headline_queries(spark, eng):
         # selection (two hashed-gram aggregates + exact integer weights)
         "pq_adc_topk",
         "dsir_select",
+        # round-4 ninth session: 1-bit binary quantization + Hamming
+        # shortlist + exact rerank — the 32x-compression serving plan
+        "binary_hamming_topk",
     ):
         qs[name] = lambda name=name: Q[name](spark, SF_DIR).count()
     return qs
