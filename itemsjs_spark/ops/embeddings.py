@@ -17,7 +17,7 @@
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1199,7 +1199,7 @@ def binary_quantize(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = 64,
-    thresholds: Optional[DataFrame] = None,
+    thresholds: Union[DataFrame, Sequence[float], None] = None,
     keep_emb: bool = False,
 ) -> DataFrame:
     """1-bit binary quantization (the 32x compression used as the ANN
@@ -1210,9 +1210,13 @@ def binary_quantize(
     Distributed shape: the threshold pass is one d-row aggregate
     (``binary_thresholds``); the packing itself is a map-only JVM
     expression (a 32-term conditional sum per word, all inside the
-    scan's codegen stage) under a broadcast of the single stats row.
-    Nothing corpus-sized shuffles; at 10^12 vectors this is one pass
-    writing 8 bytes per 32 dims.
+    scan's codegen stage). ``thresholds`` may be the stats DataFrame
+    (broadcast-joined) or a plain d-length float sequence — the
+    collected form is d-sized (NOT corpus-sized), so callers coding
+    several inputs under one model (``hamming_topk``) collect once and
+    inline literals, saving repeated aggregate jobs. Nothing
+    corpus-sized shuffles; at 10^12 vectors this is one pass writing
+    8 bytes per 32 dims.
 
     Bits live in positions 0..31 of a 64-bit word, so the conditional
     sum never touches the sign bit — no overflow semantics to match
@@ -1222,9 +1226,13 @@ def binary_quantize(
         F.col(id_col).alias("__id"),
         F.col(emb_col).cast("array<double>").alias("__v"),
     )
-    st = thresholds if thresholds is not None else binary_thresholds(
-        corpus, emb_col
-    )
+    thr_list: Optional[List[float]] = None
+    if thresholds is None:
+        st: Optional[DataFrame] = binary_thresholds(corpus, emb_col)
+    elif isinstance(thresholds, DataFrame):
+        st = thresholds
+    else:
+        st, thr_list = None, [float(t) for t in thresholds]
 
     def word(w: int) -> Column:
         acc = F.lit(0).cast("long")
@@ -1232,7 +1240,10 @@ def binary_quantize(
             d = 32 * w + j
             if d >= dim:
                 break
-            thr = F.element_at(F.col("__st"), d + 1)["thr"]
+            if thr_list is not None:
+                thr: Column = F.lit(thr_list[d])
+            else:
+                thr = F.element_at(F.col("__st"), d + 1)["thr"]
             acc = acc + F.when(
                 F.element_at("__v", d + 1) > thr, F.lit(1 << j).cast("long")
             ).otherwise(F.lit(0).cast("long"))
@@ -1241,7 +1252,9 @@ def binary_quantize(
     cols = [F.col("__id").alias(id_col)] + [word(w) for w in range(words)]
     if keep_emb:
         cols.append(F.col("__v").alias("__emb"))
-    return e.crossJoin(F.broadcast(st)).select(*cols)
+    if st is not None:
+        e = e.crossJoin(F.broadcast(st))
+    return e.select(*cols)
 
 
 def hamming_topk(
@@ -1267,23 +1280,31 @@ def hamming_topk(
     orders ``(round(cosine, 6) DESC, neighbor_id ASC)`` — the repo's
     decision grid for float comparisons.
 
-    Distributed shape: ONE d-row aggregate for thresholds, map-only
-    coding, a broadcast of the coded query set against coded candidates
-    (no shuffle on the corpus side), and a per-query window for the
-    shortlist. The corpus embedding rides along to the rerank so no
-    second corpus join is needed; shortlist x queries rows (tiny) do
-    the cosine."""
+    Distributed shape — the actual production serving plan: ONE d-row
+    aggregate for thresholds, map-only coding, then the Hamming scan
+    touches CODES ONLY (a broadcast of the coded query set against the
+    coded candidates — 8 bytes per 32 dims, no float vector moves, no
+    corpus shuffle); the per-query shortlist window carries just
+    (query, neighbor, hamming); float embeddings are fetched for the
+    ``shortlist x |queries|`` surviving rows alone via a broadcast
+    point-lookup join. At 10^12 vectors the full-precision vectors are
+    read for ~50 rows per query instead of the whole corpus — that IS
+    the 32x bandwidth win binary quantization exists for."""
     words = (dim + 31) // 32
-    st = binary_thresholds(corpus, emb_col)
+    # the threshold model is d-sized: collect ONCE and inline literals,
+    # so coding corpus + queries costs one aggregate job, not two
+    st_row = binary_thresholds(corpus, emb_col).collect()
+    if not st_row:
+        raise ValueError("hamming_topk needs a non-empty corpus")
+    thr = [s["thr"] for s in st_row[0]["__st"]]
     cand = binary_quantize(
-        corpus, id_col, emb_col, dim, thresholds=st, keep_emb=True
+        corpus, id_col, emb_col, dim, thresholds=thr
     ).withColumnRenamed(id_col, "neighbor_id")
     qcodes = binary_quantize(
-        queries, id_col, emb_col, dim, thresholds=st, keep_emb=True
+        queries, id_col, emb_col, dim, thresholds=thr
     ).select(
         F.col(id_col).alias("query_id"),
         *[F.col(f"w{w}").alias(f"qw{w}") for w in range(words)],
-        F.col("__emb").alias("__qe"),
     )
     j = cand.join(
         F.broadcast(qcodes), F.col("neighbor_id") != F.col("query_id")
@@ -1293,23 +1314,38 @@ def hamming_topk(
         hd = hd + F.bit_count(
             F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}"))
         ).cast("int")
-    scored = j.select(
-        "query_id",
-        "neighbor_id",
-        hd.alias("hamming"),
-        F.round(cosine(F.col("__qe"), F.col("__emb")), 6).alias("cosine"),
-    )
+    slim = j.select("query_id", "neighbor_id", hd.alias("hamming"))
     wsl = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("neighbor_id").asc()
     )
-    short = scored.withColumn("srn", F.row_number().over(wsl)).filter(
-        F.col("srn") <= shortlist
+    short = (
+        slim.withColumn("srn", F.row_number().over(wsl))
+        .filter(F.col("srn") <= shortlist)
+        .drop("srn")
+    )
+    # exact rerank over the tiny surviving set: broadcast the shortlist
+    # against the corpus (map-side vector fetch), broadcast the query
+    # vectors (query-set-sized)
+    emb_tbl = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("__emb"),
+    )
+    qe_tbl = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    rer = (
+        emb_tbl.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qe_tbl), "query_id")
+        .withColumn(
+            "cosine", F.round(cosine(F.col("__qe"), F.col("__emb")), 6)
+        )
     )
     wrk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        short.withColumn("rn", F.row_number().over(wrk))
+        rer.withColumn("rn", F.row_number().over(wrk))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "hamming", "cosine")
     )
