@@ -145,3 +145,99 @@ def verify_training_shards(spark: SparkSession, path: str) -> Dict:
                 }
             )
     return {"ok": not bad, "bad_shards": bad, "total_rows": total}
+
+
+class StreamingShardExporter:
+    """foreachBatch sink streaming micro-batches into the SAME shard
+    layout ``write_training_shards`` produces — the continuous-ingest
+    side of the export story (stream → dedup → curate → shards).
+
+    Each epoch writes its rows under ``epoch=<N>/shard=<i>/`` (immutable
+    delta files — no existing file is ever rewritten) and MERGES the
+    epoch's per-shard stats into ``_MANIFEST.json``: row counts add,
+    checksums XOR.  Because the row token fold is a commutative group
+    op, the incrementally merged manifest is IDENTICAL to what a full
+    recompute over every epoch yields — so :func:`verify_training_shards`
+    (reading the whole store) validates a streamed store exactly like a
+    batch one, and the equality is itself the exactly-once proof.
+
+    Exactly-once across retries: Structured Streaming replays a failed
+    epoch with the same ``epoch_id``; the epoch's parquet write is
+    idempotent (deterministic path, overwrite mode) and an epoch already
+    recorded in the manifest's ``epochs`` list is skipped outright, so
+    its stats never double-merge.  Per-epoch work is delta-proportional:
+    one hash-partitioned write + one shard-sized aggregate."""
+
+    def __init__(
+        self,
+        out_path: str,
+        id_col: str,
+        n_shards: int = 64,
+        seed: str = "0",
+        columns: Optional[List[str]] = None,
+    ):
+        self.out_path = out_path
+        self.id_col = id_col
+        self.n_shards = int(n_shards)
+        self.seed = seed
+        self.columns = list(columns) if columns is not None else None
+
+    def _manifest_path(self) -> str:
+        return self.out_path.rstrip("/") + "/" + MANIFEST_NAME
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..engine.checkpoint import _HadoopFS
+
+        spark = batch_df.sparkSession
+        fs = _HadoopFS(spark, self.out_path)
+        fs.mkdirs(self.out_path)
+        text = fs.read_text(self._manifest_path())
+        if text is None:
+            man = {
+                "format": "parquet",
+                "id_col": self.id_col,
+                "columns": self.columns or list(batch_df.columns),
+                "n_shards": self.n_shards,
+                "seed": self.seed,
+                "total_rows": 0,
+                "epochs": [],
+                "shards": [
+                    {"shard": s, "n_rows": 0, "checksum": 0}
+                    for s in range(self.n_shards)
+                ],
+            }
+        else:
+            man = json.loads(text)
+        if int(epoch_id) in man["epochs"]:
+            return  # replayed epoch: already committed
+        cols = man["columns"]
+        out = batch_df.select(*cols).withColumn(
+            "shard", shard_of(F.col(self.id_col), self.n_shards, self.seed)
+        )
+        out = out.persist()
+        try:
+            out.repartition("shard").write.mode("overwrite").partitionBy(
+                "shard"
+            ).parquet(f"{self.out_path}/epoch={int(epoch_id)}")
+            stats = {
+                int(r["shard"]): (int(r["n_rows"]), int(r["checksum"]))
+                for r in _shard_stats(out, cols).collect()
+            }
+        finally:
+            out.unpersist()
+        for entry in man["shards"]:
+            n, ck = stats.get(entry["shard"], (0, 0))
+            entry["n_rows"] += n
+            entry["checksum"] ^= ck
+            man["total_rows"] += n
+        man["epochs"].append(int(epoch_id))
+        fs.write_text(self._manifest_path(), json.dumps(man, sort_keys=True))
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str, **opts):
+        """``writeStream.foreachBatch`` wiring; returns the query."""
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start(**opts)
+        )

@@ -94,3 +94,55 @@ def test_tampered_manifest_detected(spark, tmp_path):
     assert {b["shard"] for b in res["bad_shards"]} == {
         nonempty[0]["shard"], nonempty[1]["shard"]
     }
+
+
+# --- streaming shard export (foreachBatch incremental manifest) --------
+
+
+def test_streaming_export_matches_batch_manifest(spark, tmp_path):
+    """Two file-source waves stream into the shard store; the
+    incrementally XOR-merged manifest equals a batch recompute over
+    the union (the commutative-fold invariant), verify passes, and a
+    replayed epoch is a no-op."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _docs(spark).select("doc_id", "text", "lang").persist()
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    exp = export.StreamingShardExporter(out, "doc_id", n_shards=4)
+
+    a.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    exp.attach(stream, ckpt).awaitTermination()
+    b.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    exp.attach(stream2, ckpt).awaitTermination()
+
+    man = _json.loads(open(out + "/" + export.MANIFEST_NAME).read())
+    assert man["total_rows"] == docs.count()
+    assert len(man["epochs"]) >= 2
+
+    # the full-store verify validates the incrementally merged manifest
+    res = export.verify_training_shards(spark, out)
+    assert res["ok"] and res["total_rows"] == docs.count()
+
+    # and it equals a one-shot batch manifest over the same rows
+    batch_out = str(tmp_path / "batch")
+    batch_man = export.write_training_shards(
+        docs, batch_out, "doc_id", n_shards=4
+    )
+    stream_stats = {e["shard"]: (e["n_rows"], e["checksum"]) for e in man["shards"]}
+    batch_stats = {
+        e["shard"]: (e["n_rows"], e["checksum"]) for e in batch_man["shards"]
+    }
+    assert stream_stats == batch_stats
+
+    # replaying a committed epoch changes nothing (exactly-once)
+    before = open(out + "/" + export.MANIFEST_NAME).read()
+    exp.process_batch(a, epoch_id=man["epochs"][0])
+    assert open(out + "/" + export.MANIFEST_NAME).read() == before

@@ -109,3 +109,54 @@ def test_unmatchable_must_token_empties(eng):
 def test_filter_only_query_string_refuses(eng):
     with pytest.raises(Exception, match="scoring term"):
         eng.query_string_hits("cat:x")
+
+
+# --- property: the parser is total and classification-faithful --------
+
+from hypothesis import given, settings, strategies as st
+
+_WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+)
+_CLAUSE = st.one_of(
+    _WORD,
+    _WORD.map(lambda w: "+" + w),
+    _WORD.map(lambda w: "-" + w),
+    _WORD.map(lambda w: f'"{w} {w}"'),
+    _WORD.map(lambda w: f'-"{w}"'),
+    st.tuples(st.sampled_from(["lang", "source"]), _WORD).map(
+        lambda t: f"{t[0]}:{t[1]}"
+    ),
+    st.tuples(st.sampled_from(["lang", "source"]), _WORD).map(
+        lambda t: f"-{t[0]}:{t[1]}"
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_CLAUSE, max_size=8))
+def test_parser_total_and_faithful(clauses):
+    q = " ".join(clauses)
+    spec = parse_query_string(q, facet_fields=["lang", "source"])
+    # every clause lands in exactly one bucket; nothing is invented
+    n_parsed = (
+        len([u for u in spec.units if u[1] != "phrase-extra"])
+        + len(spec.not_words)
+        + len(spec.not_phrases)
+        + sum(len(v) for v in spec.filters.values())
+        + sum(len(v) for v in spec.not_filters.values())
+    )
+    # phrase words inflate units (2 words per must phrase) but each
+    # phrase itself adds exactly one constraint entry
+    n_phrase_words = sum(len(p.split()) for p in spec.must_phrases)
+    assert n_parsed - n_phrase_words + len(spec.must_phrases) == len(
+        [c for c in clauses if c.strip('+-"')]
+    )
+    # classes are only m/s; phrase words are must
+    assert all(kl in ("m", "s") for _, kl in spec.units)
+    # reparse is idempotent on the same input
+    spec2 = parse_query_string(q, facet_fields=["lang", "source"])
+    assert spec.units == spec2.units
+    assert spec.not_words == spec2.not_words
+    assert spec.filters == spec2.filters
+    assert spec.not_filters == spec2.not_filters
