@@ -3476,6 +3476,35 @@ def _q_recency_boost(spark, sf_dir):
     )
 
 
+_FVF_Q, _FVF_FIELD, _FVF_FACTOR, _FVF_K = "spark", "n_chars", 0.5, 25
+
+
+def _q_field_value_boost(spark, sf_dir):
+    """Function-score field_value_factor
+    (`query.py::field_value_boosted_topk`, the other standard ES score
+    function next to the recency decay): lunr relevance ×
+    sqrt(factor · n_chars) re-ranks the FULL scored set — sqrt is
+    IEEE-correctly-rounded, so the boosted grid is bit-identical
+    across engines by construction."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.field_value_boosted_topk(
+        _FVF_Q, _FVF_FIELD, factor=_FVF_FACTOR, modifier="sqrt", k=_FVF_K
+    )
+
+
+_SPANFIRST_MAX = 6
+
+
+def _q_span_first(spark, sf_dir):
+    """Lucene span_first (`query.py::span_first_hits`): phrase matches
+    that START within the first N analyzed token positions — one filter
+    over phrase_hits(with_positions=True), no new scan."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.span_first_hits(_PHRASE, _SPANFIRST_MAX).select(
+        F.col(DOCID).alias("_id"), "first_pos"
+    )
+
+
 def _q_readability(spark, sf_dir):
     """Flesch reading ease with vowel-group syllable heuristic — one
     map-only projection of three JVM regexes (no shuffle, no Python);
@@ -4693,6 +4722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # percolate_queries; the fulltext family keeps five in-window
         # rows and trending_terms keeps the recency weighting reported)
         "recency_boosted_topk": _q_recency_boost,
+        # function_score field_value_factor (family reported in-window
+        # via recency_boosted_topk — the decay variant)
+        "field_value_boosted_topk": _q_field_value_boost,
         # PMI co-occurrence analytics (displaced by
         # fulltext_min_should_match; trending_terms + top_terms_per_group
         # keep the term-analytics family in-window)
@@ -4889,6 +4921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_positional": _q_phrase_positional,
         "search_quoted_phrase": _q_search_quoted,
         "phrase_match_positions": _q_phrase_positions,
+        # Lucene span_first: phrase start within the first N positions
+        # (phrase family reported in-window via phrase_search)
+        "span_first_search": _q_span_first,
         "langid_multilang": _q_langid_multilang,
         "fulltext_conjunctive": _ft_query("spark join", 50),
         "fulltext_wand_filtered": _q_wand_filtered,
@@ -4974,6 +5009,19 @@ ORDER BY doc_count DESC, key ASC LIMIT 8
     # same contract as phrase_search through the positional plan
     sqls["phrase_search_positional"] = _phrase_sql(_PHRASE)
     sqls["phrase_match_positions"] = _phrase_sql(_PHRASE, with_positions=True)
+    sqls["span_first_search"] = f"""
+SELECT _id, match_positions[1] AS first_pos
+FROM ({_phrase_sql(_PHRASE, with_positions=True)}) p
+WHERE match_positions[1] < {_SPANFIRST_MAX}
+"""
+    sqls["field_value_boosted_topk"] = f"""
+WITH f AS (SELECT _id, score FROM ({_ft_sql(_FVF_Q, 10**9)}) q)
+SELECT f._id, f.score,
+       round(f.score * sqrt({_FVF_FACTOR!r} * d.n_chars), 6) AS boosted
+FROM f JOIN documents d ON d.doc_id = f._id
+ORDER BY boosted DESC, CAST(f._id AS VARCHAR) ASC
+LIMIT {_FVF_K}
+"""
     # quoted-phrase search: lunr bag scoring over the quote-stripped
     # text, restricted to the phrase matchers, paged like the endpoint
     sqls["search_quoted_phrase"] = (

@@ -3898,6 +3898,82 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def field_value_boosted_topk(
+        self,
+        query: str,
+        field: str,
+        factor: float = 1.0,
+        modifier: str = "sqrt",
+        k: int = 10,
+    ) -> DataFrame:
+        """Function-score ``field_value_factor`` (extension; the other
+        standard ES score function next to the decay in
+        ``recency_boosted_topk``): lunr relevance multiplied by
+        ``modifier(factor * doc[field])`` — ``sqrt`` (default; IEEE
+        sqrt is correctly rounded, so the boosted grid is bit-identical
+        across engines), ``log1p`` or ``none``. Returns the top-k
+        ``(_id, score, boosted)`` ordered by the boosted score,
+        ``boosted = round(round(score, 6) * mod(factor * v), 6)``.
+
+        Same shape and scale argument as the decay boost: the full
+        scored set (|matching docs|, never the corpus) joins one slim
+        (docid, field) projection, TakeOrdered top-k; WAND declines
+        (block score bounds don't carry per-doc factors)."""
+        if field not in self.index.docs.columns:
+            raise EngineError(f"unknown boost field {field!r}")
+        mods = {
+            "sqrt": F.sqrt,
+            "log1p": F.log1p,
+            "none": lambda c: c,
+        }
+        if modifier not in mods:
+            raise EngineError(f"unknown field_value_factor modifier {modifier!r}")
+        hits = self.fulltext_hits(query)
+        slim = self.index.docs.select(
+            DOCID, F.col(field).cast("double").alias("__fv")
+        )
+        base = F.round(F.col(SCORE), 6)
+        boosted = F.round(
+            base * mods[modifier](F.lit(float(factor)) * F.col("__fv")), 6
+        )
+        return (
+            hits.join(slim, DOCID)
+            .select(
+                F.col(DOCID).alias("_id"),
+                base.alias("score"),
+                boosted.alias("boosted"),
+            )
+            .orderBy(
+                F.col("boosted").desc(), F.col("_id").cast("string").asc()
+            )
+            .limit(int(k))
+        )
+
+    def span_first_hits(
+        self,
+        phrase: str,
+        max_start: int,
+        field: Optional[str] = None,
+        slop: int = 0,
+    ) -> DataFrame:
+        """Lucene/ES ``span_first`` (extension): docs whose phrase match
+        STARTS within the first ``max_start`` analyzed token positions —
+        "error in the opening line", "title mentions X". Returns
+        ``(_docid, first_pos)`` where ``first_pos`` is the earliest
+        matching start (0-based, analyzed-token space).
+
+        Pure composition: ``phrase_hits(with_positions=True)`` already
+        returns every ascending start position (either physical route),
+        so span_first is one filter on its output — same index-pruned
+        cost, no new scan."""
+        ph = self.phrase_hits(
+            phrase, field=field, slop=slop, with_positions=True
+        )
+        first = F.element_at("match_positions", 1)
+        return ph.filter(first < int(max_start)).select(
+            DOCID, first.alias("first_pos")
+        )
+
     def doc_vectors(self) -> DataFrame:
         """Sparse tf-idf feature export from the inverted index:
         (<custom_id_field>, term, weight) with weight = round(tf·idf, 6)
