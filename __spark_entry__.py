@@ -3476,6 +3476,48 @@ def _q_recency_boost(spark, sf_dir):
     )
 
 
+_DISMAX_QS = ["merge sort", "hash join", "spark table"]
+_DISMAX_TB, _DISMAX_K = 0.3, 30
+
+
+def _q_dis_max(spark, sf_dir):
+    """Lucene dis_max (`query.py::dis_max_hits`): three alternative
+    phrasings scored in ONE batch job, combined per doc as
+    best + 0.3 * sum(others) over rounded per-query scores — the
+    conditional-sum fold runs in query-index order so the float
+    arithmetic is engine-deterministic."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.dis_max_hits(_DISMAX_QS, tie_breaker=_DISMAX_TB, k=_DISMAX_K)
+
+
+def _dismax_sql(qs: List[str], tb: float, k: int) -> str:
+    fs = ", ".join(
+        f"f{i} AS (SELECT _id, score AS s FROM ({_ft_sql(q, 10**9)}) a{i})"
+        for i, q in enumerate(qs)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT _id, {i} AS qid, s FROM f{i}" for i in range(len(qs))
+    )
+    cells = ", ".join(
+        f"coalesce(sum(CASE WHEN qid = {i} THEN s END), 0.0) AS q{i}"
+        for i in range(len(qs))
+    )
+    best = "q0"
+    for i in range(1, len(qs)):
+        best = f"greatest({best}, q{i})"
+    total = " + ".join(f"q{i}" for i in range(len(qs)))
+    return f"""
+WITH {fs},
+u AS ({unions}),
+g AS (SELECT _id, {cells} FROM u GROUP BY _id)
+SELECT _id,
+       round({best} + {tb!r} * (({total}) - {best}), 6) AS score
+FROM g
+ORDER BY score DESC, CAST(_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 _FVF_Q, _FVF_FIELD, _FVF_FACTOR, _FVF_K = "spark", "n_chars", 0.5, 25
 
 
@@ -4725,6 +4767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # function_score field_value_factor (family reported in-window
         # via recency_boosted_topk — the decay variant)
         "field_value_boosted_topk": _q_field_value_boost,
+        # Lucene dis_max: best-of alternative phrasings + tie_breaker
+        # (scoring-combinator family reported via hybrid_rrf_topk /
+        # boosting_search)
+        "dis_max_topk": _q_dis_max,
         # PMI co-occurrence analytics (displaced by
         # fulltext_min_should_match; trending_terms + top_terms_per_group
         # keep the term-analytics family in-window)
@@ -6623,6 +6669,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["spellcheck_didyoumean"] = _DYM_SQL
     sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
     sqls["query_string_search"] = _qs_sql(_QS_QUERY, _QS_K)
+    sqls["dis_max_topk"] = _dismax_sql(_DISMAX_QS, _DISMAX_TB, _DISMAX_K)
     # OR-mode admission: identical lunr scoring SQL, the conjunctive
     # HAVING = n relaxed to HAVING >= m
     sqls["fulltext_min_should_match"] = _ft_sql(

@@ -3898,6 +3898,55 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def dis_max_hits(
+        self,
+        queries: Sequence[str],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene/ES ``dis_max`` (extension): a doc matching ANY of the
+        sub-queries scores ``best + tie_breaker * (sum_others)`` over
+        the per-query rounded scores — the standard way to search
+        alternative phrasings without letting coordinate matches
+        dominate (``tie_breaker=0``: pure max; ``=1``: plain sum).
+        Returns the top-k ``(_id, score)``.
+
+        ONE Spark job regardless of sub-query count: the batch scorer
+        (``fulltext_hits_batch``) scores all sub-queries in a single
+        broadcast join + aggregate; the combine folds per-query
+        conditional sums IN QUERY-INDEX ORDER (each (qid, doc) cell is
+        a singleton), so float addition order is engine-deterministic
+        and the oracle matches bit-for-bit."""
+        qs = list(queries)
+        empty = self.spark.createDataFrame([], "_id long, score double")
+        if not qs:
+            return empty
+        b = self.fulltext_hits_batch(qs)
+        s6 = F.round(F.col(SCORE), 6)
+        per = b.groupBy(DOCID).agg(
+            *[
+                F.sum(F.when(F.col("qid") == i, s6)).alias(f"_q{i}")
+                for i in range(len(qs))
+            ]
+        )
+        cols = [F.coalesce(F.col(f"_q{i}"), F.lit(0.0)) for i in range(len(qs))]
+        best = cols[0]
+        for c in cols[1:]:
+            best = F.greatest(best, c)
+        total = cols[0]
+        for c in cols[1:]:
+            total = total + c
+        combined = F.round(
+            best + F.lit(float(tie_breaker)) * (total - best), 6
+        )
+        return (
+            per.select(F.col(DOCID).alias("_id"), combined.alias("score"))
+            .orderBy(
+                F.col("score").desc(), F.col("_id").cast("string").asc()
+            )
+            .limit(int(k))
+        )
+
     def field_value_boosted_topk(
         self,
         query: str,

@@ -351,3 +351,25 @@ def test_span_first_filters_by_start_position(eng):
         for r in e2.span_first_hits("zebra yak", max_start=99).collect()
     }
     assert all4 == {1: 0, 2: 2, 3: 1}
+
+
+def test_dis_max_combines_best_plus_tiebreak(eng):
+    """dis_max: per-doc best sub-query score + tb * sum(others) over
+    rounded scores; tb=0 is pure max, tb=1 is plain sum."""
+    qs = ["zebra", "yak", "walrus"]
+    per = {}
+    for i, q in enumerate(qs):
+        for r in eng.fulltext_hits(q).collect():
+            per.setdefault(r["_docid"], {})[i] = round(r["__score"], 6)
+    got = {r["_id"]: r["score"] for r in eng.dis_max_hits(qs, 0.3, k=100).collect()}
+    want = {}
+    for d, m in per.items():
+        vals = [m.get(i, 0.0) for i in range(3)]
+        best = max(vals[0], max(vals[1], vals[2]))
+        want[d] = round(best + 0.3 * ((vals[0] + vals[1] + vals[2]) - best), 6)
+    assert got == want
+    mx = {r["_id"]: r["score"] for r in eng.dis_max_hits(qs, 0.0, k=100).collect()}
+    for d in mx:
+        vals = [per[d].get(i, 0.0) for i in range(3)]
+        assert mx[d] == round(max(vals), 6)
+    assert eng.dis_max_hits([], k=5).count() == 0
