@@ -3518,6 +3518,44 @@ LIMIT {k}
 """
 
 
+_PINNED_IDS = [7, 3, 99999999, 11]
+_PINNED_Q, _PINNED_K = "spark table", 12
+
+
+def _q_pinned(spark, sf_dir):
+    """ES pinned query (`query.py::pinned_hits`): three existing ids
+    promoted in list order (one listed id doesn't exist and is
+    skipped), organic relevance hits filling the remaining positions
+    with pinned docs excluded — promotion cost is list-sized, never
+    corpus-sized."""
+    eng = _doc_engine(spark, sf_dir)
+    return eng.pinned_hits(_PINNED_IDS, _PINNED_Q, k=_PINNED_K)
+
+
+def _pinned_sql(ids: List[int], q: str, k: int) -> str:
+    vals = ", ".join(f"({v}, {i})" for i, v in enumerate(ids))
+    return f"""
+WITH f AS (SELECT _id, score FROM ({_ft_sql(q, 10**9)}) x),
+want(wid, r) AS (VALUES {vals}),
+pin AS (SELECT d.doc_id AS _id, want.r FROM want
+        JOIN documents d ON d.doc_id = want.wid),
+org AS (SELECT _id, score FROM f
+        WHERE _id NOT IN (SELECT _id FROM pin)
+        ORDER BY score DESC, CAST(_id AS VARCHAR) ASC LIMIT {k}),
+u AS (
+  SELECT _id, TRUE AS pinned, r, NULL::DOUBLE AS score FROM pin
+  UNION ALL
+  SELECT _id, FALSE, NULL, score FROM org
+)
+SELECT pos, _id, pinned, score FROM (
+  SELECT u.*, row_number() OVER (
+    ORDER BY pinned DESC, r ASC NULLS LAST,
+             score DESC NULLS LAST, CAST(_id AS VARCHAR) ASC) AS pos
+  FROM u
+) WHERE pos <= {k}
+"""
+
+
 _FVF_Q, _FVF_FIELD, _FVF_FACTOR, _FVF_K = "spark", "n_chars", 0.5, 25
 
 
@@ -4771,6 +4809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (scoring-combinator family reported via hybrid_rrf_topk /
         # boosting_search)
         "dis_max_topk": _q_dis_max,
+        # ES pinned query: curated ids first, organic fill (result
+        # curation family; paging/search families in-window)
+        "pinned_search": _q_pinned,
         # PMI co-occurrence analytics (displaced by
         # fulltext_min_should_match; trending_terms + top_terms_per_group
         # keep the term-analytics family in-window)
@@ -6670,6 +6711,7 @@ FROM x GROUP BY user_id, x.session_idx
     sqls["fulltext_fuzzy"] = _ft_sql(_FUZZY_Q, _FUZZY_K, fuzzy=True)
     sqls["query_string_search"] = _qs_sql(_QS_QUERY, _QS_K)
     sqls["dis_max_topk"] = _dismax_sql(_DISMAX_QS, _DISMAX_TB, _DISMAX_K)
+    sqls["pinned_search"] = _pinned_sql(_PINNED_IDS, _PINNED_Q, _PINNED_K)
     # OR-mode admission: identical lunr scoring SQL, the conjunctive
     # HAVING = n relaxed to HAVING >= m
     sqls["fulltext_min_should_match"] = _ft_sql(

@@ -3898,6 +3898,64 @@ class SearchEngine:
             .limit(int(k))
         )
 
+    def pinned_hits(
+        self,
+        ids: Sequence[Any],
+        query: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``pinned`` query (extension): the listed EXTERNAL ids come
+        first — in list order, skipping ids that don't exist (or are
+        tombstoned) — then organic relevance hits for ``query`` fill
+        the remaining positions, pinned docs excluded from the organic
+        tail. Returns ``(pos, _id, pinned, score)`` with NULL score on
+        pinned rows (ES pins by an artificial sort value, not a
+        relevance score).
+
+        The pinned set resolves through the same loose-equality ids
+        path every endpoint uses (``_candidates``); the union the final
+        window orders is ≤ ``len(ids) + k`` rows — promotion cost is
+        list-sized, never corpus-sized."""
+        pinned_df, _ = self._candidates({"ids": list(ids)})
+        pin = (
+            pinned_df.select(
+                F.col(DOCID), F.col(QRANK).cast("long").alias("__r")
+            )
+            .withColumn("pinned", F.lit(True))
+            .withColumn("__s", F.lit(None).cast("double"))
+        )
+        org = self.fulltext_hits(query).join(
+            pinned_df.select(DOCID), DOCID, "left_anti"
+        )
+        s6 = F.round(F.col(SCORE), 6)
+        orgk = (
+            org.orderBy(s6.desc(), F.col(DOCID).cast("string").asc())
+            .limit(int(k))
+            .select(
+                F.col(DOCID),
+                F.lit(None).cast("long").alias("__r"),
+                F.lit(False).alias("pinned"),
+                s6.alias("__s"),
+            )
+        )
+        u = pin.unionByName(orgk)
+        w = Window.orderBy(
+            F.col("pinned").desc(),
+            F.col("__r").asc_nulls_last(),
+            F.col("__s").desc_nulls_last(),
+            F.col(DOCID).cast("string").asc(),
+        )
+        return (
+            u.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= int(k))
+            .select(
+                "pos",
+                F.col(DOCID).alias("_id"),
+                "pinned",
+                F.col("__s").alias("score"),
+            )
+        )
+
     def dis_max_hits(
         self,
         queries: Sequence[str],

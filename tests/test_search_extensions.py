@@ -373,3 +373,23 @@ def test_dis_max_combines_best_plus_tiebreak(eng):
         vals = [per[d].get(i, 0.0) for i in range(3)]
         assert mx[d] == round(max(vals), 6)
     assert eng.dis_max_hits([], k=5).count() == 0
+
+
+def test_pinned_promotes_in_list_order_and_fills_organically(eng):
+    """pinned: listed ids first (list order, missing skipped, NULL
+    scores), organic hits fill the tail excluding pinned docs."""
+    out = eng.pinned_hits([5, 999, 3], "zebra", k=5).collect()
+    rows = [(r["pos"], r["_id"], r["pinned"], r["score"]) for r in out]
+    # doc 5 then doc 3 pinned (999 missing), NULL scores
+    assert rows[0][:3] == (1, 5, True) and rows[0][3] is None
+    assert rows[1][:3] == (2, 3, True) and rows[1][3] is None
+    organic = {r["_docid"] for r in eng.fulltext_hits("zebra").collect()}
+    tail = rows[2:]
+    assert all(not p for _, _, p, _ in tail)
+    assert all(i in organic and i not in (5, 3) for _, i, _, _ in tail)
+    # organic tail ordered by rounded score desc, id-string asc
+    scores = [s for _, _, _, s in tail]
+    assert scores == sorted(scores, reverse=True)
+    # k caps the union: pinned-only when k <= pinned count
+    top1 = eng.pinned_hits([5, 3], "zebra", k=1).collect()
+    assert [(r["pos"], r["_id"]) for r in top1] == [(1, 5)]
