@@ -4560,6 +4560,44 @@ ORDER BY best_score DESC, conv_id ASC LIMIT {n_groups}
 """
 
 
+def _q_chunk_sliding(spark, sf_dir):
+    """RAG sliding-window chunking (`text.chunk_text`): overlapping
+    token windows (chunk=8, stride=5) as one map-only JVM plan
+    (split → sequence → posexplode → slice) — no shuffle, no Python."""
+    return text_ops.chunk_text(
+        _documents(spark, sf_dir), chunk_tokens=8, stride=5
+    ).select("doc_id", "chunk_idx", "n_chunk_toks", "chunk_text")
+
+
+def _q_context_truncate(spark, sf_dir):
+    """SFT context-budget truncation (`conversations.truncate_to_context`):
+    longest suffix of turns per conversation fitting a 200-token budget —
+    one per-conversation window cumsum (DESC order) + predicate."""
+    return conv_ops.truncate_to_context(
+        _tx_df(spark, sf_dir), budget=200
+    ).select("conv_id", "turn_idx", "n_toks", "suffix_toks")
+
+
+def _q_sft_mask_stats(spark, sf_dir):
+    """SFT loss-mask accounting (`conversations.sft_mask_stats`):
+    per-conversation trainable-token ratio (assistant turns only) —
+    one map-side-combined groupBy of conditional sums."""
+    return conv_ops.sft_mask_stats(_tx_df(spark, sf_dir)).select(
+        "conv_id", "n_turns", "total_toks", "trainable_toks",
+        "trainable_ratio",
+    )
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-fit diagnostic (`text.vocab_coverage`): per-doc
+    coverage by the corpus top-16 word types (count DESC, token ASC) —
+    token-count aggregate + tiny top-V cut + broadcast membership join
+    + one per-doc aggregate."""
+    return text_ops.vocab_coverage(
+        _documents(spark, sf_dir), vocab_size=16
+    ).select("doc_id", "n_toks", "oov_toks", "coverage")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5024,6 +5062,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_facet_stats": _q_lineitem_stats,
         "lineitem_facet_percentiles": _q_lineitem_percentiles,
         "lineitem_crossed_counts": _q_lineitem_crossed_counts,
+        # tenth-session additions (below the window; their nearest
+        # families — pack_sequences / chunk_dedup / token_count — stay
+        # reported in-window)
+        "chunk_sliding_window": _q_chunk_sliding,
+        "context_truncate": _q_context_truncate,
+        "sft_mask_stats": _q_sft_mask_stats,
+        "vocab_oov_rate": _q_vocab_coverage,
     }
 
 
@@ -7270,5 +7315,60 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
                      - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
          AS flesch
 FROM comp
+"""
+
+    # RAG sliding-window chunking: same chunk-count rule, slices
+    # restated via unnest(range()) + 1-based inclusive list slicing
+    sqls["chunk_sliding_window"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n,
+      CASE WHEN len(toks) <= 8 THEN 1
+           ELSE CAST(ceil((len(toks) - 8) / 5.0) AS INT) + 1 END AS nc
+      FROM t),
+g AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM n)
+SELECT doc_id, i::INT AS chunk_idx,
+       least(8, n - i * 5)::BIGINT AS n_chunk_toks,
+       array_to_string(toks[i * 5 + 1 : i * 5 + 8], ' ') AS chunk_text
+FROM g
+"""
+
+    sqls["context_truncate"] = f"""
+WITH c AS ({_TX_CORPUS_SQL}),
+t AS (SELECT conv_id, turn_idx,
+             len(string_split(text, ' '))::BIGINT AS n_toks FROM c),
+s AS (SELECT conv_id, turn_idx, n_toks,
+      sum(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS suffix_toks FROM t)
+SELECT * FROM s WHERE suffix_toks <= 200
+"""
+
+    sqls["sft_mask_stats"] = f"""
+WITH c AS ({_TX_CORPUS_SQL})
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_toks,
+       sum(CASE WHEN role = 'assistant'
+                THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT
+         AS trainable_toks,
+       CASE WHEN sum(len(string_split(text, ' '))) > 0 THEN
+         round(sum(CASE WHEN role = 'assistant'
+                        THEN len(string_split(text, ' ')) ELSE 0 END) * 1.0
+               / sum(len(string_split(text, ' '))), 6) END
+         AS trainable_ratio
+FROM c GROUP BY conv_id
+"""
+
+    sqls["vocab_oov_rate"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+v AS (SELECT tok FROM tok GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC LIMIT 16)
+SELECT doc_id, count(*)::BIGINT AS n_toks,
+       sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)::BIGINT
+         AS oov_toks,
+       round(1.0 - sum(CASE WHEN tok IN (SELECT tok FROM v)
+                            THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+         AS coverage
+FROM tok GROUP BY doc_id
 """
     return sqls

@@ -533,3 +533,77 @@ def funnel(
     return spark.createDataFrame(
         rows, "step_idx int, step string, n_users long"
     )
+
+
+def truncate_to_context(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT context-budget truncation: for every conversation keep the
+    longest SUFFIX of turns (the most recent context) whose total
+    whitespace-token count fits ``budget`` — the standard prep step
+    before packing multi-turn transcripts into a fixed training context
+    window (drop the oldest turns first, never the newest).
+
+    Plan shape: one window partitioned by conversation ordered by
+    ``order_col`` DESC accumulating a running suffix token sum, then a
+    predicate. State is bounded by conversation length (the inherent
+    unit), so hot conversations cost their OWN length only. A turn that
+    alone exceeds the remaining budget is dropped along with everything
+    older (pure suffix rule — no partial-turn splitting).
+
+    Returns the kept rows: (conv, order, n_toks, suffix_toks).
+    """
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        conv_col, order_col, n_toks.alias("n_toks")
+    ).withColumn("suffix_toks", F.sum("n_toks").over(w))
+    return out.filter(F.col("suffix_toks") <= budget)
+
+
+def sft_mask_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    trainable_roles: tuple = ("assistant",),
+) -> DataFrame:
+    """Loss-mask accounting for SFT: per conversation, how many tokens
+    the training loss would actually see. Standard practice masks
+    everything except the model's own turns (``trainable_roles``), so
+    the trainable-token ratio is the honest 'how much signal per
+    sequence' number a data pipeline reports before packing.
+
+    One map-side-combined groupBy — conditional sums, no window.
+    Returns (conv, n_turns, total_toks, trainable_toks,
+    trainable_ratio) with the ratio rounded to the 6-decimal grid
+    (NULL-safe: 0-token conversations report NULL ratio).
+    """
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    trainable = F.when(
+        F.col(role_col).isin(*trainable_roles), n_toks
+    ).otherwise(F.lit(0).cast("long"))
+    out = df.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(n_toks).alias("total_toks"),
+        F.sum(trainable).alias("trainable_toks"),
+    )
+    return out.withColumn(
+        "trainable_ratio",
+        F.when(
+            F.col("total_toks") > 0,
+            F.round(
+                F.col("trainable_toks").cast("double")
+                / F.col("total_toks").cast("double"),
+                6,
+            ),
+        ),
+    )

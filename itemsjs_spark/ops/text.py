@@ -919,3 +919,114 @@ def term_drift(
     return scored.orderBy(
         F.col("kl_term").desc(), F.col("term").asc()
     ).limit(int(top_n))
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    overlapping token windows of ``chunk_tokens`` whitespace tokens,
+    window i starting at token ``i * stride`` (stride < chunk_tokens
+    gives the usual overlap so no retrieval-relevant span straddles a
+    boundary without appearing whole in some chunk).
+
+    Chunk-count rule (deterministic): 1 chunk if the doc fits, else
+    ``ceil((n - chunk) / stride) + 1`` — the last chunk is the first
+    one whose window reaches the end of the document; no degenerate
+    tail chunks that only repeat the previous window's suffix.
+
+    Map-only plan: split → sequence → posexplode → slice/array_join,
+    all JVM expressions inside one whole-stage codegen span (no
+    shuffle, no Python) — the shape that survives a 100 TB corpus
+    untouched. Returns (id, chunk_idx, n_chunk_toks, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil(
+            (n - F.lit(chunk_tokens)).cast("double") / F.lit(float(stride))
+        ).cast("int")
+        + 1
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__t"), n_chunks.alias("__nc")
+    )
+    out = base.select(
+        id_col,
+        F.posexplode(F.expr("sequence(0, __nc - 1)")).alias(
+            "chunk_idx", "__s"
+        ),
+        F.col("__t"),
+    ).select(
+        id_col,
+        F.col("chunk_idx"),
+        F.least(
+            F.lit(chunk_tokens),
+            F.size("__t") - F.col("__s") * stride,
+        ).cast("long").alias("n_chunk_toks"),
+        F.array_join(
+            F.slice(
+                F.col("__t"),
+                F.col("__s") * stride + 1,
+                F.lit(chunk_tokens),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return out
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Tokenizer-fit diagnostic: coverage of each document by the
+    corpus's top-``vocab_size`` word types (count DESC, token ASC —
+    deterministic tie-break). The corpus-level OOV rate this induces is
+    the first number checked when sizing a tokenizer vocabulary against
+    a new data source.
+
+    Plan shape: one token-count aggregate, top-V cut (V is tiny —
+    a driver-bounded TakeOrdered), broadcast membership join back to
+    the exploded tokens, one per-doc conditional-sum aggregate. The
+    corpus-sized paths are two map-side-combined groupBys keyed on
+    token / id — no window over the corpus, no Python.
+
+    Returns (id, n_toks, oov_toks, coverage) with coverage on the
+    6-decimal grid.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("__tok")
+    )
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__tok").asc())
+        .limit(int(vocab_size))
+        .select("__tok", F.lit(1).alias("__in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "__tok", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.sum(
+            F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("oov_toks"),
+    )
+    return out.withColumn(
+        "coverage",
+        F.round(
+            F.lit(1.0)
+            - F.col("oov_toks").cast("double") / F.col("n_toks").cast("double"),
+            6,
+        ),
+    )

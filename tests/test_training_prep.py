@@ -1,0 +1,200 @@
+"""Training-prep operators: RAG sliding-window chunking, SFT
+context-budget truncation, loss-mask accounting, vocab coverage.
+
+The driver rows (chunk_sliding_window / context_truncate /
+sft_mask_stats / vocab_oov_rate) pin each against a DuckDB oracle at
+sf0.01; these tests pin the edge semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from itemsjs_spark.ops import conversations as conv_ops
+from itemsjs_spark.ops import text as text_ops
+
+
+# ---------------------------------------------------------------------------
+# chunk_text
+# ---------------------------------------------------------------------------
+
+
+def _chunks(spark, text, chunk, stride):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        text_ops.chunk_text(df, chunk_tokens=chunk, stride=stride)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    return [(r.chunk_idx, r.n_chunk_toks, r.chunk_text) for r in rows]
+
+
+def test_chunk_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    got = _chunks(spark, text, chunk=4, stride=3)
+    # starts 0,3,6: ceil((10-4)/3)+1 = 3 chunks; last covers t6..t9
+    assert got == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunk_exact_fit_single_chunk(spark):
+    text = "a b c d"
+    assert _chunks(spark, text, chunk=4, stride=3) == [(0, 4, "a b c d")]
+    # shorter than the window: one chunk, actual length reported
+    assert _chunks(spark, "a b", chunk=4, stride=3) == [(0, 2, "a b")]
+    assert _chunks(spark, "a", chunk=4, stride=3) == [(0, 1, "a")]
+
+
+def test_chunk_boundary_divisible(spark):
+    # n=7, chunk=4, stride=3: (7-4)/3 = 1 exactly -> 2 chunks, the
+    # second ends exactly at the last token (no empty third chunk)
+    got = _chunks(spark, "a b c d e f g", chunk=4, stride=3)
+    assert got == [(0, 4, "a b c d"), (1, 4, "d e f g")]
+
+
+def test_chunk_short_tail_kept_once(spark):
+    # n=6, chunk=4, stride=3: starts 0,3 -> tail chunk has 3 tokens
+    got = _chunks(spark, "a b c d e f", chunk=4, stride=3)
+    assert got == [(0, 4, "a b c d"), (1, 3, "d e f")]
+
+
+def test_chunk_every_token_covered(spark):
+    text = " ".join(f"w{i}" for i in range(57))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = text_ops.chunk_text(df, chunk_tokens=8, stride=5).collect()
+    seen = set()
+    for r in rows:
+        seen.update(r.chunk_text.split(" "))
+    assert seen == {f"w{i}" for i in range(57)}
+
+
+def test_chunk_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text_ops.chunk_text(df, chunk_tokens=0, stride=1)
+    with pytest.raises(ValueError):
+        text_ops.chunk_text(df, chunk_tokens=4, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# truncate_to_context
+# ---------------------------------------------------------------------------
+
+
+def _tx(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_truncate_keeps_longest_suffix(spark):
+    df = _tx(
+        spark,
+        [
+            ("c", 0, "user", "a b c d"),        # 4 toks
+            ("c", 1, "assistant", "a b c"),     # 3 toks
+            ("c", 2, "user", "a b"),            # 2 toks
+            ("c", 3, "assistant", "a"),         # 1 tok
+        ],
+    )
+    kept = {
+        r.turn_idx: r.suffix_toks
+        for r in conv_ops.truncate_to_context(df, budget=6).collect()
+    }
+    # suffix sums from the end: 1, 3, 6, 10 -> turns 1..3 fit
+    assert kept == {3: 1, 2: 3, 1: 6}
+
+
+def test_truncate_oversize_turn_blocks_older(spark):
+    # a mid-conversation giant turn exceeds the budget on its own:
+    # it and everything older are dropped (pure suffix rule)
+    df = _tx(
+        spark,
+        [
+            ("c", 0, "user", "a"),
+            ("c", 1, "user", " ".join(["x"] * 50)),
+            ("c", 2, "assistant", "a b"),
+        ],
+    )
+    kept = [r.turn_idx for r in conv_ops.truncate_to_context(df, budget=10).collect()]
+    assert kept == [2]
+
+
+def test_truncate_per_conversation_isolation(spark):
+    df = _tx(
+        spark,
+        [
+            ("a", 0, "user", "x y z"),
+            ("b", 0, "user", "x"),
+            ("b", 1, "user", "y"),
+        ],
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in conv_ops.truncate_to_context(df, budget=3).collect()
+    )
+    assert got == [("a", 0), ("b", 0), ("b", 1)]
+
+
+# ---------------------------------------------------------------------------
+# sft_mask_stats
+# ---------------------------------------------------------------------------
+
+
+def test_sft_mask_ratio(spark):
+    df = _tx(
+        spark,
+        [
+            ("c", 0, "user", "a b c"),
+            ("c", 1, "assistant", "d e"),
+            ("c", 2, "tool", "f"),
+            ("c", 3, "assistant", "g h i j"),
+        ],
+    )
+    (r,) = conv_ops.sft_mask_stats(df).collect()
+    assert (r.n_turns, r.total_toks, r.trainable_toks) == (4, 10, 6)
+    assert r.trainable_ratio == 0.6
+
+
+def test_sft_mask_custom_roles(spark):
+    df = _tx(spark, [("c", 0, "user", "a b"), ("c", 1, "tool", "c d e f")])
+    (r,) = conv_ops.sft_mask_stats(
+        df, trainable_roles=("user", "tool")
+    ).collect()
+    assert (r.total_toks, r.trainable_toks, r.trainable_ratio) == (6, 6, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_top_v_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),
+            (2, "bb cc dd"),
+            (3, "aa zz"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: aa=4 bb=3 cc=2 dd=1 zz=1 -> V=3 vocab {aa,bb,cc}
+    got = {
+        r.doc_id: (r.n_toks, r.oov_toks, r.coverage)
+        for r in text_ops.vocab_coverage(df, vocab_size=3).collect()
+    }
+    assert got == {
+        1: (6, 0, 1.0),
+        2: (3, 1, round(2 / 3, 6)),
+        3: (2, 1, 0.5),
+    }
+    # tie at the boundary (dd vs zz, both 1) resolves token-ASC:
+    # with V=4, dd is in-vocab and zz is not
+    got4 = {
+        r.doc_id: r.oov_toks
+        for r in text_ops.vocab_coverage(df, vocab_size=4).collect()
+    }
+    assert got4 == {1: 0, 2: 0, 3: 1}
