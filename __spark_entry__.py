@@ -4598,6 +4598,64 @@ def _q_vocab_coverage(spark, sf_dir):
     ).select("doc_id", "n_toks", "oov_toks", "coverage")
 
 
+def _q_sharded_terms(spark, sf_dir):
+    """ES terms aggregation with doc_count_error_upper_bound
+    (`stats.sharded_terms`): deterministic doc_id%4 shards each report
+    their top-6 terms; the merge carries the worst-case undercount per
+    term — the honest distributed-top-k contract."""
+    d = _documents(spark, sf_dir)
+    tok = d.select(
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    return stats_ops.sharded_terms(tok, shard_size=6, k=8)
+
+
+_BLOOM_PROBES = [
+    "spark", "query", "join", "merge", "vector",
+    "zzznope", "qqq17", "absentterm",
+]
+
+
+def _q_bloom_membership(spark, sf_dir):
+    """Bloom-filter term membership (`sketches.bloom_build` /
+    `bloom_maybe_contains`): a 1024-bit filter over the corpus's
+    distinct tokens answers definitely-absent/maybe-present for a fixed
+    probe list with zero false negatives — alongside the exact answer
+    so the row exhibits the guarantee live."""
+    from itemsjs_spark.ops import sketches
+
+    d = _documents(spark, sf_dir)
+    terms = d.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    words = sketches.bloom_build(terms)
+    probes = spark.createDataFrame(
+        [(t,) for t in _BLOOM_PROBES], "term string"
+    )
+    maybe = sketches.bloom_maybe_contains(probes, words)
+    actual = probes.join(
+        terms.withColumn("__present", F.lit(True)), "term", "left"
+    ).select(
+        "term", F.coalesce("__present", F.lit(False)).alias("actually_present")
+    )
+    return maybe.join(actual, "term").select(
+        "term", "maybe_present", "actually_present"
+    )
+
+
+def _q_auto_histogram(spark, sf_dir):
+    """ES auto_date_histogram analog (`timeseries.auto_histogram`):
+    the finest rung of a fixed-width ladder whose span fits 40 buckets,
+    chosen IN-PLAN from a broadcast 1-row bounds aggregate."""
+    from itemsjs_spark.ops import timeseries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return timeseries.auto_histogram(ev, "ts", target_buckets=40).select(
+        "interval_s", "bucket_start", "n_events"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5069,6 +5127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_truncate": _q_context_truncate,
         "sft_mask_stats": _q_sft_mask_stats,
         "vocab_oov_rate": _q_vocab_coverage,
+        "terms_shard_error_bounds": _q_sharded_terms,
+        "bloom_term_membership": _q_bloom_membership,
+        "auto_date_histogram": _q_auto_histogram,
     }
 
 
@@ -7370,5 +7431,72 @@ SELECT doc_id, count(*)::BIGINT AS n_toks,
                             THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
          AS coverage
 FROM tok GROUP BY doc_id
+"""
+
+    # sharded terms agg: identical shard windows + the ES error-bound
+    # identity err(t) = total_contrib - contrib(shards reporting t)
+    sqls["terms_shard_error_bounds"] = """
+WITH tok AS (SELECT (doc_id % 4)::INT AS shard,
+                    unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT shard, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY c DESC, term ASC) AS rn FROM c),
+rep AS (SELECT * FROM r WHERE rn <= 6),
+con AS (SELECT shard, CASE WHEN max(rn) >= 6 THEN min(c) ELSE 0 END::BIGINT
+               AS contrib FROM rep GROUP BY shard),
+tot AS (SELECT sum(contrib)::BIGINT AS tot FROM con),
+m AS (SELECT term, sum(c)::BIGINT AS doc_count,
+             sum(contrib)::BIGINT AS covered
+      FROM rep JOIN con USING (shard) GROUP BY term)
+SELECT term, doc_count, (tot - covered)::BIGINT
+         AS doc_count_error_upper_bound
+FROM m, tot ORDER BY doc_count DESC, term ASC LIMIT 8
+"""
+
+    # Bloom filter rebuilt in SQL: identical md5-prefix position hash,
+    # identical 32-bit word packing, bit_or fold, all-bits-set check
+    _bloom_p = lambda j, t: (
+        "(" + _hex8_int(f"md5('bloom{j}:' || {t})") + ") % 1024"
+    )
+    _bloom_probe_vals = ", ".join(f"('{t}')" for t in _BLOOM_PROBES)
+    _bloom_build_union = " UNION ALL ".join(
+        f"SELECT term, {_bloom_p(j, 'term')} AS p FROM terms"
+        for j in range(3)
+    )
+    _bloom_probe_union = " UNION ALL ".join(
+        f"SELECT term, {_bloom_p(j, 'term')} AS p FROM pr" for j in range(3)
+    )
+    sqls["bloom_term_membership"] = f"""
+WITH terms AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+               FROM documents),
+p AS ({_bloom_build_union}),
+w AS (SELECT p // 32 AS word_idx,
+             bit_or(1::BIGINT << (p % 32)::INT) AS word FROM p GROUP BY 1),
+pr AS (SELECT * FROM (VALUES {_bloom_probe_vals}) v(term)),
+pp AS ({_bloom_probe_union}),
+chk AS (SELECT pp.term,
+               CASE WHEN (coalesce(w.word, 0)
+                          & (1::BIGINT << (pp.p % 32)::INT)) <> 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM pp LEFT JOIN w ON w.word_idx = pp.p // 32)
+SELECT chk.term, min(hit) = 1 AS maybe_present,
+       max(CASE WHEN t.term IS NULL THEN 0 ELSE 1 END) = 1
+         AS actually_present
+FROM chk LEFT JOIN terms t ON t.term = chk.term
+GROUP BY chk.term
+"""
+
+    # auto_date_histogram: same fixed-width ladder, same integer
+    # floor-division span rule, interval resolved from the same bounds
+    sqls["auto_date_histogram"] = """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+b AS (SELECT min(e) AS lo, max(e) AS hi FROM e),
+iv AS (SELECT CASE WHEN (hi // 60) - (lo // 60) + 1 <= 40 THEN 60
+                   WHEN (hi // 3600) - (lo // 3600) + 1 <= 40 THEN 3600
+                   WHEN (hi // 86400) - (lo // 86400) + 1 <= 40 THEN 86400
+                   ELSE 604800 END::BIGINT AS i FROM b)
+SELECT i AS interval_s, ((e // i) * i)::BIGINT AS bucket_start,
+       count(*)::BIGINT AS n_events
+FROM e, iv GROUP BY 1, 2
 """
     return sqls

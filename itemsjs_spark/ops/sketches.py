@@ -167,3 +167,85 @@ def hll_cardinality(
             F.lit(hll_alpha_num()) / s_total.cast("double"), 6
         ).alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter term membership (Bloom 1970)
+# ---------------------------------------------------------------------------
+#
+# The pruning counterpart of the counting sketches above: a fixed
+# n_bits-wide bit set answers "definitely absent / maybe present" for any
+# term with ZERO false negatives — the structure a 1000-executor query
+# router broadcasts to skip shards that cannot contain a term. Words are
+# 32-bit (stored in BIGINT) so every shift/OR stays far from the sign
+# bit and any SQL engine reproduces the words exactly; the position hash
+# is the repo's portable md5-prefix idiom.
+
+BLOOM_BITS = 1024
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(term: Column, j: int, n_bits: int) -> Column:
+    hx = F.md5(F.concat(F.lit(f"bloom{j}:"), term))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % n_bits
+
+
+def bloom_build(
+    terms: DataFrame,
+    term_col: str = "term",
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build the filter from a term set: returns the (word_idx, word)
+    table — at most ``n_bits / 32`` rows regardless of input size.
+
+    Plan: each term projects its ``n_hashes`` bit positions (literal
+    array exploded in the same codegen stage), one bit_or groupBy —
+    map-side combine caps every task's state at the word count, so the
+    shuffle carries words, not terms."""
+    t = F.col(term_col)
+    pos = F.array(*[_bloom_pos(t, j, n_bits) for j in range(n_hashes)])
+    return (
+        terms.select(F.explode(pos).alias("p"))
+        .select(
+            F.expr("p DIV 32").cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "__bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_maybe_contains(
+    probes: DataFrame,
+    words: DataFrame,
+    term_col: str = "term",
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Membership check: (term, maybe_present) per probe term —
+    ``maybe_present`` is true iff ALL ``n_hashes`` bits are set. The
+    words table is word-count-sized, so the join broadcasts and the
+    check is map-side however large the probe set is. False negatives
+    are impossible by construction; false positives happen at the
+    classic (1 - e^{-kn/m})^k rate."""
+    t = F.col(term_col)
+    pos = F.array(*[_bloom_pos(t, j, n_bits) for j in range(n_hashes)])
+    p = probes.select(t, F.explode(pos).alias("p")).select(
+        term_col,
+        F.expr("p DIV 32").cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "__bit"
+        ),
+    )
+    j = p.join(F.broadcast(words), "word_idx", "left")
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__bit")) != 0
+    ).cast("int")
+    return (
+        j.groupBy(term_col)
+        .agg(F.min(hit).alias("__all_set"))
+        .select(term_col, (F.col("__all_set") == 1).alias("maybe_present"))
+    )

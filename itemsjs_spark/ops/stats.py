@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -276,3 +276,65 @@ def adjacency_matrix(
         F.col("kv.key").alias("key"), F.col("kv.doc_count").alias("doc_count")
     )
     return out.filter(F.col("doc_count") > 0)
+
+
+def sharded_terms(
+    df: DataFrame,
+    term_col: str = "term",
+    shard_col: str = "shard",
+    shard_size: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """Elasticsearch-style sharded terms aggregation with
+    ``doc_count_error_upper_bound``: each shard reports only its top
+    ``shard_size`` terms (count DESC, term ASC), the coordinator sums
+    the reported counts, and every merged term carries the worst-case
+    undercount — the sum, over shards that did NOT report it, of that
+    shard's last-reported count (a term the shard omitted can hide at
+    most just below its reporting floor). A shard with fewer than
+    ``shard_size`` distinct terms reported everything, so it
+    contributes 0 to any bound.
+
+    This is the honest distributed-top-k contract: at corpus scale the
+    coordinator never sees full per-shard term tables, and the bound is
+    what makes the truncated merge trustworthy. Exact integers end to
+    end — the oracle restates the same windows.
+
+    Plan shape: ONE corpus-sized groupBy((shard, term)); everything
+    after operates on per-shard count tables (vocabulary x shards at
+    most): two windows partitioned by shard, dimension-sized joins, a
+    1-row total broadcast. Returns the final top-``k`` (term,
+    doc_count, doc_count_error_upper_bound).
+    """
+    counts = df.groupBy(shard_col, term_col).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__c").desc(), F.col(term_col).asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    reported = ranked.filter(F.col("__rn") <= int(shard_size))
+    contrib = reported.groupBy(shard_col).agg(
+        F.when(F.max("__rn") >= int(shard_size), F.min("__c"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__contrib")
+    )
+    total = contrib.agg(F.sum("__contrib").alias("__tot"))
+    merged = (
+        reported.join(contrib, shard_col)
+        .groupBy(term_col)
+        .agg(
+            F.sum("__c").cast("long").alias("doc_count"),
+            F.sum("__contrib").cast("long").alias("__covered"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            term_col,
+            "doc_count",
+            (F.col("__tot") - F.col("__covered"))
+            .cast("long")
+            .alias("doc_count_error_upper_bound"),
+        )
+    )
+    return merged.orderBy(
+        F.col("doc_count").desc(), F.col(term_col).asc()
+    ).limit(int(k))

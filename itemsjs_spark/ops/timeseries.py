@@ -125,3 +125,61 @@ def pipeline_aggs(
     if having is not None:
         out = out.filter(having)
     return out
+
+
+def auto_histogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    target_buckets: int = 40,
+    ladder: Sequence[int] = (60, 3600, 86400, 604800),
+) -> DataFrame:
+    """ES ``auto_date_histogram`` analog: pick the FINEST fixed-width
+    interval from ``ladder`` (seconds, ascending) whose bucket span for
+    the observed [min, max] time range stays within ``target_buckets``
+    — the coarsest rung wins if none fits. Bucket span counts
+    calendar-aligned slots ``floor(max/i) - floor(min/i) + 1``; the
+    ladder is fixed-width only (no months), keeping the whole selection
+    exact integer arithmetic that any engine reproduces.
+
+    The interval choice stays IN-PLAN: a 1-row min/max aggregate is
+    broadcast under every row and a CASE ladder picks the rung — no
+    driver decision, so the operator composes inside larger plans and
+    re-resolves per micro-batch under streaming. Two corpus passes
+    (bounds + the histogram groupBy), both map-side combined.
+
+    Returns non-empty buckets only (documented deviation from ES's
+    zero-filled response; `densify_histogram` composes on top):
+    (interval_s, bucket_start, n_events).
+    """
+    steps = sorted(int(s) for s in ladder)
+    # wall-clock epoch seconds, NTZ-safe (the repo's timezone-proof
+    # idiom — see conversations.sliding_window_stats)
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({ts_col} AS TIMESTAMP_NTZ))"
+    ).cast("long")
+    bounds = df.agg(
+        F.min(ep).alias("__lo"), F.max(ep).alias("__hi")
+    )
+    span = lambda s: F.expr(  # noqa: E731 — slots the range covers at rung s
+        f"(__hi DIV {s}) - (__lo DIV {s}) + 1"
+    )
+    interval = F.lit(steps[-1])
+    for s in reversed(steps[:-1]):
+        interval = F.when(span(s) <= target_buckets, F.lit(s)).otherwise(
+            interval
+        )
+    return (
+        df.select(ep.alias("__e"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            interval.cast("long").alias("interval_s"), F.col("__e")
+        )
+        .groupBy(
+            "interval_s",
+            F.expr("(__e DIV interval_s) * interval_s")
+            .cast("long")
+            .alias("bucket_start"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )

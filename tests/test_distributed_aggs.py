@@ -1,0 +1,144 @@
+"""Distributed-aggregation contracts: sharded terms with ES-style
+doc_count_error_upper_bound, auto-interval histograms, Bloom membership.
+
+Driver rows (terms_shard_error_bounds / auto_date_histogram /
+bloom_term_membership) pin the DuckDB-oracle equality; these tests pin
+the guarantees themselves: the error bound really bounds, the ladder
+rung really is the finest fit, false negatives really are impossible."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from itemsjs_spark.ops import sketches
+from itemsjs_spark.ops import timeseries
+from itemsjs_spark.ops.stats import sharded_terms
+
+
+# ---------------------------------------------------------------------------
+# sharded_terms
+# ---------------------------------------------------------------------------
+
+
+def _tokens(spark, rows):
+    return spark.createDataFrame(rows, "shard int, term string")
+
+
+def test_sharded_terms_bound_holds_when_term_hides(spark):
+    # shard 0 reports top-2 of {a:5, b:4, c:3}: c is cut with floor 4;
+    # shard 1 reports {c:6, d:5}: full table (2 terms) -> contrib 5
+    rows = (
+        [(0, "a")] * 5 + [(0, "b")] * 4 + [(0, "c")] * 3
+        + [(1, "c")] * 6 + [(1, "d")] * 5
+    )
+    got = {
+        r.term: (r.doc_count, r.doc_count_error_upper_bound)
+        for r in sharded_terms(
+            _tokens(spark, rows), shard_size=2, k=10
+        ).collect()
+    }
+    true = {"a": 5, "b": 4, "c": 9, "d": 5}
+    # c's merged count misses shard 0's hidden 3, but the bound (shard
+    # 0's floor = 4) covers it; terms reported everywhere bound at 0
+    assert got["c"] == (6, 4)
+    for t, (dc, err) in got.items():
+        assert dc <= true[t] <= dc + err, (t, dc, err, true[t])
+
+
+def test_sharded_terms_small_shard_contributes_zero(spark):
+    # a shard with fewer distinct terms than shard_size reported
+    # everything -> it can hide nothing, so it adds 0 to every bound
+    rows = [(0, "a")] * 3 + [(0, "b")] * 2 + [(1, "a")] * 1
+    got = {
+        r.term: (r.doc_count, r.doc_count_error_upper_bound)
+        for r in sharded_terms(
+            _tokens(spark, rows), shard_size=5, k=10
+        ).collect()
+    }
+    assert got == {"a": (4, 0), "b": (2, 0)}
+
+
+def test_sharded_terms_topk_order(spark):
+    rows = [(0, "x")] * 3 + [(0, "y")] * 3 + [(0, "z")] * 1
+    got = [
+        r.term
+        for r in sharded_terms(
+            _tokens(spark, rows), shard_size=3, k=2
+        ).collect()
+    ]
+    assert got == ["x", "y"]  # tie on count -> term ASC
+
+
+# ---------------------------------------------------------------------------
+# auto_histogram
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, epochs):
+    base = datetime.datetime(1970, 1, 1)
+    rows = [(base + datetime.timedelta(seconds=e),) for e in epochs]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    return df.select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+
+def test_auto_histogram_picks_finest_fitting_rung(spark):
+    # 30 minutes of data, target 40 buckets -> minute rung fits (31)
+    df = _events(spark, [1_000_000 + i * 60 for i in range(31)])
+    rows = timeseries.auto_histogram(df, "ts", target_buckets=40).collect()
+    assert {r.interval_s for r in rows} == {60}
+    assert sum(r.n_events for r in rows) == 31
+    # same data, target 10 -> minute doesn't fit, hour collapses to 1
+    rows = timeseries.auto_histogram(df, "ts", target_buckets=10).collect()
+    assert {r.interval_s for r in rows} == {3600}
+
+
+def test_auto_histogram_falls_back_to_coarsest(spark):
+    # ten years of daily points: even the weekly rung exceeds 40
+    df = _events(spark, [i * 86_400 for i in range(0, 3650, 50)])
+    rows = timeseries.auto_histogram(df, "ts", target_buckets=40).collect()
+    assert {r.interval_s for r in rows} == {604_800}
+    assert sum(r.n_events for r in rows) == 73
+
+
+def test_auto_histogram_buckets_align(spark):
+    df = _events(spark, [100, 110, 190])
+    rows = sorted(
+        timeseries.auto_histogram(df, "ts", target_buckets=40).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    assert [(r.bucket_start, r.n_events) for r in rows] == [(60, 2), (180, 1)]
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_some_power(spark):
+    terms = spark.createDataFrame(
+        [(f"term{i}",) for i in range(120)], "term string"
+    )
+    words = sketches.bloom_build(terms)
+    assert words.count() <= 1024 // 32
+    present = terms
+    absent = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(200)], "term string"
+    )
+    got_p = sketches.bloom_maybe_contains(present, words).collect()
+    assert all(r.maybe_present for r in got_p)  # the Bloom guarantee
+    got_a = sketches.bloom_maybe_contains(absent, words).collect()
+    fp = sum(r.maybe_present for r in got_a)
+    # 120 terms * 3 hashes in 1024 bits -> expected fp ~ (1-e^-0.35)^3
+    # ~ 2.6%; 200 probes should stay far under 15%
+    assert fp <= 30, fp
+
+
+def test_bloom_words_deterministic(spark):
+    terms = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    w1 = sorted(map(tuple, sketches.bloom_build(terms).collect()))
+    w2 = sorted(map(tuple, sketches.bloom_build(terms).collect()))
+    assert w1 == w2
+    # 32-bit packing: every word fits in an unsigned 32-bit value
+    assert all(0 <= w < (1 << 32) for _, w in w1)
