@@ -4656,6 +4656,16 @@ def _q_auto_histogram(spark, sf_dir):
     )
 
 
+def _q_kneser_ney(spark, sf_dir):
+    """Kneser-Ney bigram perplexity proxy (`text.kneser_ney_logprob`):
+    the real KenLM-style smoothing (absolute discount + continuation
+    counts) — five exact integer model statistics, one float expression
+    per scored bigram, mirrored parse shape in the oracle."""
+    return text_ops.kneser_ney_logprob(
+        _documents(spark, sf_dir), "doc_id"
+    ).select("doc_id", "n_bigrams", "kn_neg_logprob")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5130,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_shard_error_bounds": _q_sharded_terms,
         "bloom_term_membership": _q_bloom_membership,
         "auto_date_histogram": _q_auto_histogram,
+        "kneser_ney_logprob": _q_kneser_ney,
     }
 
 
@@ -7498,5 +7509,32 @@ iv AS (SELECT CASE WHEN (hi // 60) - (lo // 60) + 1 <= 40 THEN 60
 SELECT i AS interval_s, ((e // i) * i)::BIGINT AS bucket_start,
        count(*)::BIGINT AS n_events
 FROM e, iv GROUP BY 1, 2
+"""
+
+    # interpolated Kneser-Ney: identical integer model statistics,
+    # identical float parse shape per scored bigram
+    sqls["kneser_ney_logprob"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM t, LATERAL unnest(range(1, len(toks))) u(i)
+       WHERE len(toks) >= 2),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2)::BIGINT AS cv, count(*)::BIGINT AS n1p_v
+        FROM c2 GROUP BY w1),
+cont AS (SELECT w2, count(*)::BIGINT AS n1p_w FROM c2 GROUP BY w2),
+tp AS (SELECT count(*)::DOUBLE AS b FROM c2),
+s AS (SELECT bg.doc_id,
+             -ln((greatest(c2.c2::DOUBLE - 0.75, 0.0)
+                  + (0.75 * ctx.n1p_v::DOUBLE)
+                    * (cont.n1p_w::DOUBLE / tp.b))
+                 / ctx.cv::DOUBLE) AS nll
+      FROM bg JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+              JOIN cont USING (w2), tp),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+              round(avg(nll), 6) AS kn_neg_logprob
+       FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       pd.kn_neg_logprob
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
     return sqls

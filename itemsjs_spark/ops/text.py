@@ -1030,3 +1030,74 @@ def vocab_coverage(
             6,
         ),
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame, id_col: str, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity proxy — the smoothing
+    the KenLM-style quality filters actually use (Kneser & Ney 1995;
+    Chen & Goodman 1998), upgrading `bigram_logprob`'s add-k:
+    ``p(w|v) = (max(c(vw) - D, 0) + (D * N1+(v·)) * (N1+(·w) / B)) / c(v)``
+    with D the absolute discount, N1+(v·) the distinct continuations of
+    v, N1+(·w) the distinct contexts preceding w (the continuation
+    count that makes "francisco" cheap after anything but "san"), and B
+    the total distinct bigram types.
+
+    All five model statistics are exact integer aggregates over the
+    bigram table; each scored bigram evaluates ONE float expression
+    (identical parse shape in the DuckDB oracle). Per-doc score is the
+    mean negative log probability over the doc's bigrams.
+
+    Plan shape: one bigram explode, three dimension-sized aggregates
+    (bigram counts / per-context stats / per-word continuation counts),
+    a 1-row type-count broadcast, two joins back keyed on (w1, w2) / w1
+    / w2 — hot contexts stay pre-aggregated counts. Docs with < 2
+    tokens report n_bigrams = 0, score NULL."""
+    dd = float(discount)
+    toks = ws_tokens(F.col(text_col))
+    big = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").alias("cv"), F.count("*").alias("n1p_v")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n1p_w"))
+    types = c2.agg(F.count("*").cast("double").alias("__b"))
+    prob = (
+        F.greatest(F.col("c2").cast("double") - F.lit(dd), F.lit(0.0))
+        + (F.lit(dd) * F.col("n1p_v").cast("double"))
+        * (F.col("n1p_w").cast("double") / F.col("__b"))
+    ) / F.col("cv").cast("double")
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(id_col, (-F.log(prob)).alias("nll"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("kn_neg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("kn_neg_logprob"),
+        )
+    )

@@ -198,3 +198,53 @@ def test_vocab_coverage_top_v_and_ties(spark):
         for r in text_ops.vocab_coverage(df, vocab_size=4).collect()
     }
     assert got4 == {1: 0, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# kneser_ney_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_hand_computed(spark):
+    import math
+
+    # corpus bigrams: (a b) x2 from docs 1,2; (b a) x1; (b c) x1
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_bigrams, r.kn_neg_logprob)
+        for r in text_ops.kneser_ney_logprob(df, "doc_id").collect()
+    }
+    D, B = 0.75, 3.0  # types: (a,b), (b,a), (b,c)
+    # stats: c(a,b)=2, c(b,a)=1, c(b,c)=1; cv(a)=2, cv(b)=2;
+    # n1p_v(a)=1, n1p_v(b)=2; n1p_w(b)=1, n1p_w(a)=1, n1p_w(c)=1
+    def p(c2, cv, n1pv, n1pw):
+        return (max(c2 - D, 0.0) + (D * n1pv) * (n1pw / B)) / cv
+
+    nll_ab = -math.log(p(2, 2, 1, 1))
+    nll_ba = -math.log(p(1, 2, 2, 1))
+    nll_bc = -math.log(p(1, 2, 2, 1))
+    assert rows[1] == (2, round((nll_ab + nll_ba) / 2, 6))
+    assert rows[2] == (2, round((nll_ab + nll_bc) / 2, 6))
+    assert rows[3] == (0, None)  # single-token doc: no bigrams
+
+
+def test_kneser_ney_continuation_effect(spark):
+    # "francisco" only ever follows "san": its continuation count is 1
+    # however frequent it is, so after an unseen-ish context it must be
+    # dearer than an equally frequent word with many contexts.
+    # "q common" and "q unique" are symmetric in every raw count
+    # (c=1, cv(q)=2, n1p_v(q)=2); they differ ONLY in the continuation
+    # count n1p_w — "common" follows five distinct contexts, "unique"
+    # one — so interpolated KN must price "q common" strictly cheaper.
+    texts = ["q common", "q unique", "a common", "b common", "c common",
+             "d common"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = text_ops.kneser_ney_logprob(df, "doc_id").collect()
+    com = next(r.kn_neg_logprob for r in out if r.doc_id == 0)
+    uni = next(r.kn_neg_logprob for r in out if r.doc_id == 1)
+    assert com < uni
