@@ -4666,6 +4666,24 @@ def _q_kneser_ney(spark, sf_dir):
     ).select("doc_id", "n_bigrams", "kn_neg_logprob")
 
 
+def _q_preference_pairs(spark, sf_dir):
+    """RLHF preference-pair mining (`conversations.preference_pairs`):
+    prompts normalized to a 2-token prefix, response = first assistant
+    turn within the next 2 turns (tool calls interleave), chosen /
+    rejected ranked by token count with deterministic tie-breaks."""
+    tdf = _tx_df(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("role") == "user",
+            F.array_join(F.slice(F.split("text", " "), 1, 2), " "),
+        ).otherwise(F.col("text")),
+    )
+    return conv_ops.preference_pairs(tdf, max_gap=2).select(
+        "prompt", "chosen", "rejected",
+        "chosen_toks", "rejected_toks", "n_responses",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5141,6 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_term_membership": _q_bloom_membership,
         "auto_date_histogram": _q_auto_histogram,
         "kneser_ney_logprob": _q_kneser_ney,
+        "preference_pairs": _q_preference_pairs,
     }
 
 
@@ -7536,5 +7555,43 @@ pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
        pd.kn_neg_logprob
 FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+    # preference pairs: same lead-window response extraction (first
+    # assistant within 2 turns), same dual ranking + tie-breaks
+    sqls["preference_pairs"] = f"""
+WITH c0 AS ({_TX_CORPUS_SQL}),
+c AS (SELECT conv_id, turn_idx, role,
+             CASE WHEN role = 'user'
+                  THEN array_to_string((string_split(text, ' '))[1:2], ' ')
+                  ELSE text END AS text
+      FROM c0),
+pr AS (SELECT text AS prompt, role, conv_id::VARCHAR AS conv,
+              CASE WHEN lead(role, 1) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) = 'assistant'
+                     THEN lead(text, 1) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx)
+                   WHEN lead(role, 2) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) = 'assistant'
+                     THEN lead(text, 2) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx)
+              END AS response
+       FROM c),
+resp AS (SELECT prompt, response,
+                len(string_split(response, ' '))::BIGINT AS resp_toks, conv
+         FROM pr WHERE role = 'user' AND response IS NOT NULL),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY prompt
+                ORDER BY resp_toks DESC, response ASC, conv ASC) AS rt,
+              row_number() OVER (PARTITION BY prompt
+                ORDER BY resp_toks ASC, response DESC, conv DESC) AS rb,
+              count(*) OVER (PARTITION BY prompt) AS n_responses
+       FROM resp)
+SELECT ch.prompt, ch.response AS chosen, rj.response AS rejected,
+       ch.resp_toks AS chosen_toks, rj.resp_toks AS rejected_toks,
+       ch.n_responses::BIGINT AS n_responses
+FROM (SELECT * FROM rk WHERE rt = 1) ch
+JOIN (SELECT * FROM rk WHERE rb = 1) rj USING (prompt)
+WHERE ch.response <> rj.response
 """
     return sqls

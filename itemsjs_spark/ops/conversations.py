@@ -607,3 +607,82 @@ def sft_mask_stats(
             ),
         ),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    max_gap: int = 1,
+) -> DataFrame:
+    """RLHF preference-pair mining: wherever the SAME prompt text was
+    answered differently across the corpus, emit (prompt, chosen,
+    rejected) — the standard reward-model data-prep step. A response is
+    the FIRST ``response_role`` turn within the ``max_gap`` turns after
+    a ``prompt_role`` turn (agent transcripts interleave tool calls
+    between the user and the assistant, so gap 2+ is the realistic
+    shape); within a prompt group the deterministic
+    preference proxy ranks responses by token count DESC (then text
+    ASC, then conversation ASC) — chosen is rank 1 from the top,
+    rejected rank 1 from the bottom, and pairs where both ends carry
+    the same text are dropped (no signal).
+
+    Plan shape: one per-conversation lead() window (state bounded by
+    conversation length) extracts prompt→response rows; two windows
+    partitioned by prompt text rank inside prompt groups — a hot prompt
+    (the power-law worry) costs its own response count only. Returns
+    (prompt, chosen, rejected, chosen_toks, rejected_toks, n_responses).
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    resp = None
+    for g in range(1, int(max_gap) + 1):
+        cond = F.lead(role_col, g).over(w) == response_role
+        val = F.lead(text_col, g).over(w)
+        resp = F.when(cond, val) if resp is None else resp.when(cond, val)
+    pr = (
+        df.withColumn("__ntext", resp)
+        .filter(
+            (F.col(role_col) == prompt_role) & F.col("__ntext").isNotNull()
+        )
+        .select(
+            F.col(text_col).alias("prompt"),
+            F.col("__ntext").alias("response"),
+            F.size(F.split("__ntext", " ")).cast("long").alias("resp_toks"),
+            F.col(conv_col).cast("string").alias("__conv"),
+        )
+    )
+    top = Window.partitionBy("prompt").orderBy(
+        F.col("resp_toks").desc(), F.col("response").asc(), F.col("__conv").asc()
+    )
+    bot = Window.partitionBy("prompt").orderBy(
+        F.col("resp_toks").asc(), F.col("response").desc(), F.col("__conv").desc()
+    )
+    ranked = pr.select(
+        "prompt", "response", "resp_toks",
+        F.row_number().over(top).alias("__rt"),
+        F.row_number().over(bot).alias("__rb"),
+        F.count("*").over(Window.partitionBy("prompt")).alias("n_responses"),
+    )
+    chosen = ranked.filter(F.col("__rt") == 1).select(
+        "prompt",
+        F.col("response").alias("chosen"),
+        F.col("resp_toks").alias("chosen_toks"),
+        "n_responses",
+    )
+    rejected = ranked.filter(F.col("__rb") == 1).select(
+        "prompt",
+        F.col("response").alias("rejected"),
+        F.col("resp_toks").alias("rejected_toks"),
+    )
+    return (
+        chosen.join(rejected, "prompt")
+        .filter(F.col("chosen") != F.col("rejected"))
+        .select(
+            "prompt", "chosen", "rejected",
+            "chosen_toks", "rejected_toks", "n_responses",
+        )
+    )

@@ -248,3 +248,60 @@ def test_kneser_ney_continuation_effect(spark):
     com = next(r.kn_neg_logprob for r in out if r.doc_id == 0)
     uni = next(r.kn_neg_logprob for r in out if r.doc_id == 1)
     assert com < uni
+
+
+# ---------------------------------------------------------------------------
+# preference_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_basic(spark):
+    df = _tx(
+        spark,
+        [
+            # prompt "help me" answered in two conversations
+            ("c1", 0, "user", "help me"),
+            ("c1", 1, "assistant", "long detailed answer here"),
+            ("c2", 0, "user", "help me"),
+            ("c2", 1, "assistant", "short"),
+            # a prompt answered only once: no pair
+            ("c3", 0, "user", "other thing"),
+            ("c3", 1, "assistant", "whatever"),
+        ],
+    )
+    (r,) = conv_ops.preference_pairs(df).collect()
+    assert r.prompt == "help me"
+    assert r.chosen == "long detailed answer here"
+    assert r.rejected == "short"
+    assert (r.chosen_toks, r.rejected_toks, r.n_responses) == (4, 1, 2)
+
+
+def test_preference_pairs_gap_skips_tool_turn(spark):
+    df = _tx(
+        spark,
+        [
+            ("c1", 0, "user", "q"),
+            ("c1", 1, "tool", "tool output"),
+            ("c1", 2, "assistant", "answer one two"),
+            ("c2", 0, "user", "q"),
+            ("c2", 1, "assistant", "a"),
+        ],
+    )
+    # gap 1: c1's user turn has no adjacent assistant -> only c2's
+    # response, so no pair; gap 2 finds c1's too
+    assert conv_ops.preference_pairs(df, max_gap=1).count() == 0
+    (r,) = conv_ops.preference_pairs(df, max_gap=2).collect()
+    assert r.chosen == "answer one two" and r.rejected == "a"
+
+
+def test_preference_pairs_identical_responses_dropped(spark):
+    df = _tx(
+        spark,
+        [
+            ("c1", 0, "user", "p"),
+            ("c1", 1, "assistant", "same answer"),
+            ("c2", 0, "user", "p"),
+            ("c2", 1, "assistant", "same answer"),
+        ],
+    )
+    assert conv_ops.preference_pairs(df).count() == 0
