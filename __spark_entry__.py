@@ -4684,6 +4684,41 @@ def _q_preference_pairs(spark, sf_dir):
     )
 
 
+def _q_holt_forecast(spark, sf_dir):
+    """Holt linear smoothing + forecast (`timeseries.holt_forecast`)
+    over daily event-count buckets: the sequential fold runs as a JVM
+    higher-order aggregate over the calendar-bounded series; the oracle
+    replays the identical fixed-order arithmetic via list_reduce."""
+    from itemsjs_spark.ops import timeseries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    ).cast("long")
+    hist = (
+        ev.select(ep.alias("e"))
+        .select(F.expr("(e DIV 86400) * 86400").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("value"))
+    )
+    return timeseries.holt_forecast(
+        hist, "bucket", "value", alpha=0.5, beta=0.3, horizon=3
+    ).select("n_buckets", "level", "trend", "forecast")
+
+
+def _q_datacard(spark, sf_dir):
+    """Corpus data card (`pipeline.datacard`): the one-row release
+    summary (docs/tokens/chars/dup-rate/dimension cardinalities) in a
+    single multi-distinct aggregate pass."""
+    from itemsjs_spark.ops import pipeline as pipeline_ops
+
+    return pipeline_ops.datacard(_documents(spark, sf_dir)).select(
+        "n_docs", "total_toks", "total_chars", "distinct_texts",
+        "n_lang", "n_source", "dup_docs", "dup_ratio", "avg_toks",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5160,6 +5195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram": _q_auto_histogram,
         "kneser_ney_logprob": _q_kneser_ney,
         "preference_pairs": _q_preference_pairs,
+        "holt_forecast": _q_holt_forecast,
+        "corpus_datacard": _q_datacard,
     }
 
 
@@ -7593,5 +7630,42 @@ SELECT ch.prompt, ch.response AS chosen, rj.response AS rejected,
 FROM (SELECT * FROM rk WHERE rt = 1) ch
 JOIN (SELECT * FROM rk WHERE rb = 1) rj USING (prompt)
 WHERE ch.response <> rj.response
+"""
+
+    # Holt linear smoothing: identical fixed-order fold arithmetic; the
+    # accumulator is a LIST (not a struct) because DuckDB's struct
+    # lambda overwrites accumulator fields in place, letting later
+    # fields read already-updated values — the list form doesn't
+    _holt_lnew = "(0.5 * x[1] + 0.5 * (acc[1] + acc[2]))"
+    sqls["holt_forecast"] = f"""
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+h AS (SELECT (e // 86400) * 86400 AS bucket, count(*)::DOUBLE AS v
+      FROM e GROUP BY 1),
+s AS (SELECT list(v ORDER BY bucket) AS vals,
+             count(*)::BIGINT AS n_buckets FROM h),
+f AS (SELECT n_buckets,
+             list_reduce(
+               list_transform(vals, x -> [x::DOUBLE, 0.0::DOUBLE]),
+               (acc, x) -> [{_holt_lnew},
+                            0.3 * ({_holt_lnew} - acc[1]) + 0.7 * acc[2]]
+             ) AS st
+      FROM s)
+SELECT n_buckets, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+       round(st[1] + 3 * st[2], 6) AS forecast
+FROM f
+"""
+
+    sqls["corpus_datacard"] = """
+WITH a AS (SELECT count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_toks,
+       sum(length(text))::BIGINT AS total_chars,
+       count(DISTINCT md5(text))::BIGINT AS distinct_texts,
+       count(DISTINCT lang)::BIGINT AS n_lang,
+       count(DISTINCT source)::BIGINT AS n_source
+FROM documents)
+SELECT *, (n_docs - distinct_texts)::BIGINT AS dup_docs,
+       round((n_docs - distinct_texts) * 1.0 / n_docs, 6) AS dup_ratio,
+       round(total_toks * 1.0 / n_docs, 6) AS avg_toks
+FROM a
 """
     return sqls

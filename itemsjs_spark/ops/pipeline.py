@@ -64,3 +64,47 @@ def curate(
             "scrubbed_text"
         ),
     )
+
+
+def datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim_cols: tuple = ("lang", "source"),
+) -> DataFrame:
+    """One-row corpus data card: the summary block a dataset release
+    ships with (docs, tokens, chars, exact-dup rate, dimension
+    cardinalities, average length). Everything is exact integer
+    aggregation except two final divisions on the 6-decimal grid.
+
+    Plan shape: ONE aggregate over the corpus; the distinct counts ride
+    Spark's expand-based multi-distinct in the same pass — no second
+    scan, no window, no Python. The output is a single row however
+    large the corpus."""
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_toks).alias("total_toks"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.countDistinct(F.md5(F.col(text_col))).cast("long").alias(
+            "distinct_texts"
+        ),
+    ]
+    for c in dim_cols:
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"n_{c}"))
+    out = df.agg(*aggs)
+    return out.select(
+        "*",
+        (F.col("n_docs") - F.col("distinct_texts"))
+        .cast("long")
+        .alias("dup_docs"),
+        F.round(
+            (F.col("n_docs") - F.col("distinct_texts")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_ratio"),
+        F.round(
+            F.col("total_toks").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("avg_toks"),
+    )

@@ -183,3 +183,62 @@ def auto_histogram(
         )
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 1,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Holt linear (double-exponential) smoothing over a bucket series —
+    the ES ``moving_fn holt`` / forecast analog. Recurrence (documented
+    convention: l0 = x0, b0 = 0):
+    ``l_t = α·x_t + (1-α)·(l + b);  b_t = β·(l_t - l) + (1-β)·b``,
+    forecast = l + horizon·b after the last bucket.
+
+    The fold is inherently sequential, but the SERIES is histogram
+    output — bounded by the calendar, never by the corpus (see module
+    docstring) — so collecting it per group into an array and folding
+    with a JVM higher-order `aggregate` is safe at any corpus size; the
+    corpus-proportional work already happened in the groupBy that built
+    the buckets. Every fold step is fixed-order float arithmetic with
+    one parse shape, so an independent engine (DuckDB `list_reduce`)
+    reproduces level/trend/forecast bit-for-bit.
+
+    Returns (*group_cols, n_buckets, level, trend, forecast) on the
+    6-decimal grid.
+    """
+    g = list(group_cols)
+    a, b = float(alpha), float(beta)
+    ser = df.groupBy(*g).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(bucket_col).alias("k"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("__s"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    lnew = f"({a!r} * x.v + {1 - a!r} * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate(slice(__s, 2, size(__s) - 1), "
+        "struct(CAST(__s[0].v AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b), "
+        f"(acc, x) -> struct({lnew} AS l, "
+        f"({b!r} * ({lnew} - acc.l) + {1 - b!r} * acc.b) AS b))"
+    )
+    out = ser.withColumn("__st", fold)
+    return out.select(
+        *g,
+        "n_buckets",
+        F.round(F.col("__st.l"), 6).alias("level"),
+        F.round(F.col("__st.b"), 6).alias("trend"),
+        F.round(
+            F.col("__st.l") + F.lit(int(horizon)) * F.col("__st.b"), 6
+        ).alias("forecast"),
+    )

@@ -142,3 +142,56 @@ def test_bloom_words_deterministic(spark):
     assert w1 == w2
     # 32-bit packing: every word fits in an unsigned 32-bit value
     assert all(0 <= w < (1 << 32) for _, w in w1)
+
+
+# ---------------------------------------------------------------------------
+# holt_forecast
+# ---------------------------------------------------------------------------
+
+
+def test_holt_matches_reference_fold(spark):
+    df = spark.createDataFrame(
+        [(10, 5), (20, 7), (30, 6), (40, 9)], "bucket long, value long"
+    )
+    (r,) = timeseries.holt_forecast(
+        df, alpha=0.5, beta=0.3, horizon=2
+    ).collect()
+    l, b = 5.0, 0.0
+    for x in [7.0, 6.0, 9.0]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (ln - l) + 0.7 * b
+        l = ln
+    assert (r.n_buckets, r.level, r.trend) == (4, round(l, 6), round(b, 6))
+    assert r.forecast == round(l + 2 * b, 6)
+
+
+def test_holt_single_bucket_flat(spark):
+    df = spark.createDataFrame([(10, 3)], "bucket long, value long")
+    (r,) = timeseries.holt_forecast(df, horizon=5).collect()
+    assert (r.level, r.trend, r.forecast) == (3.0, 0.0, 3.0)
+
+
+def test_holt_linear_series_forecasts_linearly(spark):
+    # a perfectly linear series: trend converges toward the slope and
+    # the forecast continues the line (inequality, not exact: Holt
+    # needs warm-up from b0 = 0)
+    df = spark.createDataFrame(
+        [(i, 10 + 5 * i) for i in range(40)], "bucket long, value long"
+    )
+    (r,) = timeseries.holt_forecast(
+        df, alpha=0.5, beta=0.3, horizon=1
+    ).collect()
+    assert abs(r.trend - 5.0) < 0.05
+    assert abs(r.forecast - (10 + 5 * 40)) < 0.5
+
+
+def test_holt_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("b", 1, 10), ("b", 2, 10)],
+        "g string, bucket long, value long",
+    )
+    got = {
+        r.g: r.trend
+        for r in timeseries.holt_forecast(df, group_cols=("g",)).collect()
+    }
+    assert got["a"] > 0 and got["b"] == 0.0

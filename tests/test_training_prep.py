@@ -305,3 +305,27 @@ def test_preference_pairs_identical_responses_dropped(spark):
         ],
     )
     assert conv_ops.preference_pairs(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# datacard
+# ---------------------------------------------------------------------------
+
+
+def test_datacard_summary(spark):
+    from itemsjs_spark.ops import pipeline as P
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s2"),
+            (3, "x y", "de", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    (r,) = P.datacard(df).collect()
+    assert (r.n_docs, r.total_toks, r.total_chars) == (3, 8, 13)
+    assert (r.distinct_texts, r.dup_docs) == (2, 1)
+    assert (r.n_lang, r.n_source) == (2, 2)
+    assert r.dup_ratio == round(1 / 3, 6)
+    assert r.avg_toks == round(8 / 3, 6)
