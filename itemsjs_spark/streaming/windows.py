@@ -129,3 +129,61 @@ def dedup_turn_stream(
     return stream.withWatermark(
         time_col, watermark
     ).dropDuplicatesWithinWatermark(list(keys))
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "conv_id",
+    time_col: str = "ts",
+    within: str = "5 minutes",
+    watermark: str = "5 minutes",
+    left_prefix: str = "req",
+    right_prefix: str = "resp",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the remaining Structured
+    Streaming primitive (windows/sessions/state/dedup live above):
+    correlate two live feeds (e.g. request turns with the tool results
+    that answer them) on a shared key with a bounded time range —
+    ``right.ts in [left.ts, left.ts + within]``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, which is exactly what lets Spark evict
+    state: a buffered left row can be dropped once the right watermark
+    passes ``left.ts + within``, so state is the in-flight correlation
+    window, never the streams. At 10^12 turns the state is
+    (keys active within the horizon) — the same bound a hand-built
+    correlator would need.
+
+    Returns one row per correlated pair: (key, <lp>_ts, <rp>_ts,
+    <lp>_text, <rp>_text, lag_seconds).
+    """
+    lp, rp = left_prefix, right_prefix
+    lw = (
+        left.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(time_col).alias(f"{lp}_ts"),
+            F.col("text").alias(f"{lp}_text"),
+        )
+    )
+    rw = (
+        right.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("__rk"),
+            F.col(time_col).alias(f"{rp}_ts"),
+            F.col("text").alias(f"{rp}_text"),
+        )
+    )
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col(f"{rp}_ts") >= F.col(f"{lp}_ts"))
+        & (F.col(f"{rp}_ts") <= F.col(f"{lp}_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col("__k").alias(key_col),
+        f"{lp}_ts", f"{rp}_ts", f"{lp}_text", f"{rp}_text",
+        (
+            F.unix_timestamp(f"{rp}_ts") - F.unix_timestamp(f"{lp}_ts")
+        ).cast("long").alias("lag_seconds"),
+    )

@@ -212,3 +212,50 @@ def test_dedup_stream_drops_replayed_deliveries(spark, stream_dir, tmp_path):
         assert n_c10 == 2  # first sighting + post-eviction readmission
     finally:
         q.stop()
+
+
+def test_stream_stream_correlation_join(spark, stream_dir, tmp_path):
+    """Watermarked stream-stream join: user turns correlate with tool
+    turns of the same conversation within 5 minutes; a response outside
+    the horizon never matches, and state-evicted lefts stay silent."""
+    d2 = str(tmp_path / "in2")
+    os.makedirs(d2)
+    left = spark.readStream.schema(SCHEMA).json(stream_dir)
+    right = spark.readStream.schema(SCHEMA).json(d2)
+    out = sw.correlate_streams(
+        left, right, within="5 minutes", watermark="5 minutes"
+    )
+    qname = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        _write_wave(stream_dir, "l1.json", [
+            _row("c1", 0, "user", "2024-01-01 00:00:00"),
+            _row("c2", 0, "user", "2024-01-01 00:01:00"),
+        ])
+        _write_wave(d2, "r1.json", [
+            # in-horizon response for c1 (+3 min)
+            _row("c1", 1, "tool", "2024-01-01 00:03:00"),
+            # c2's response arrives 20 min later: outside the range
+            _row("c2", 1, "tool", "2024-01-01 00:21:00"),
+        ])
+        q.processAllAvailable()
+        # future ticks on both sides advance watermarks and flush
+        _write_wave(stream_dir, "l2.json", [
+            _row("c9", 0, "user", "2024-01-01 02:00:00"),
+        ])
+        _write_wave(d2, "r2.json", [
+            _row("c9", 1, "tool", "2024-01-01 02:00:30"),
+        ])
+        q.processAllAvailable()
+        rows = sorted(
+            (r["conv_id"], r["lag_seconds"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        )
+        assert rows == [("c1", 180), ("c9", 30)]
+    finally:
+        q.stop()
