@@ -4719,6 +4719,23 @@ def _q_datacard(spark, sf_dir):
     )
 
 
+def _q_extended_stats(spark, sf_dir):
+    """ES extended_stats aggregation (`stats.extended_stats`): exact
+    decimal sums + sums of squares per group, variance/std as one final
+    double expression — no float accumulation anywhere."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return stats_ops.extended_stats(li, "l_quantity", ("l_returnflag",))
+
+
+def _q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg aggregation (`stats.weighted_avg`): exact
+    decimal product sums, one final IEEE division per group."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return stats_ops.weighted_avg(
+        li, "l_extendedprice", "l_quantity", ("l_returnflag",)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5197,6 +5214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": _q_preference_pairs,
         "holt_forecast": _q_holt_forecast,
         "corpus_datacard": _q_datacard,
+        "lineitem_extended_stats": _q_extended_stats,
+        "lineitem_weighted_avg": _q_weighted_avg,
     }
 
 
@@ -7667,5 +7686,30 @@ SELECT *, (n_docs - distinct_texts)::BIGINT AS dup_docs,
        round((n_docs - distinct_texts) * 1.0 / n_docs, 6) AS dup_ratio,
        round(total_toks * 1.0 / n_docs, 6) AS avg_toks
 FROM a
+"""
+
+    # extended_stats / weighted_avg: exact decimal accumulation, one
+    # final double expression (and one correctly-rounded IEEE sqrt)
+    sqls["lineitem_extended_stats"] = """
+WITH a AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+                  min(l_quantity) AS mn, max(l_quantity) AS mx,
+                  sum(l_quantity) AS s,
+                  sum(l_quantity * l_quantity) AS sq
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n, mn::DOUBLE AS vmin, mx::DOUBLE AS vmax,
+       round(s::DOUBLE, 6) AS vsum,
+       round(s::DOUBLE / n::DOUBLE, 6) AS vavg,
+       round((n::DOUBLE * sq::DOUBLE - s::DOUBLE * s::DOUBLE)
+             / (n::DOUBLE * n::DOUBLE), 6) AS variance,
+       round(sqrt((n::DOUBLE * sq::DOUBLE - s::DOUBLE * s::DOUBLE)
+                  / (n::DOUBLE * n::DOUBLE)), 6) AS std_dev
+FROM a
+"""
+
+    sqls["lineitem_weighted_avg"] = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(sum(l_extendedprice * l_quantity)::DOUBLE
+             / sum(l_quantity)::DOUBLE, 6) AS wavg
+FROM lineitem GROUP BY l_returnflag
 """
     return sqls

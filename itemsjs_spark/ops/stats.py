@@ -338,3 +338,64 @@ def sharded_terms(
     return merged.orderBy(
         F.col("doc_count").desc(), F.col(term_col).asc()
     ).limit(int(k))
+
+
+def extended_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation: count/min/max/sum/avg plus
+    population variance and standard deviation per group. All
+    accumulation is EXACT (decimal/integer sums and sums of squares —
+    no float partial sums, so no aggregation-order drift); variance is
+    one final double expression ``(n·Σx² - (Σx)²) / n²`` and std_dev
+    one correctly-rounded IEEE sqrt on top, both restatable verbatim
+    in any engine. One map-side-combined groupBy."""
+    g = list(group_cols)
+    v = F.col(value_col)
+    agg = df.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(v).alias("__min"),
+        F.max(v).alias("__max"),
+        F.sum(v).alias("__sum"),
+        F.sum(v * v).alias("__sumsq"),
+    )
+    nn = F.col("n").cast("double")
+    s = F.col("__sum").cast("double")
+    sq = F.col("__sumsq").cast("double")
+    var = (nn * sq - s * s) / (nn * nn)
+    return agg.select(
+        *g,
+        "n",
+        F.col("__min").cast("double").alias("vmin"),
+        F.col("__max").cast("double").alias("vmax"),
+        F.round(s, 6).alias("vsum"),
+        F.round(s / nn, 6).alias("vavg"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("std_dev"),
+    )
+
+
+def weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: Σ(value·weight) / Σ(weight) per
+    group — exact decimal/integer product sums, ONE final IEEE
+    division on the 6-decimal grid. One map-side-combined groupBy."""
+    g = list(group_cols)
+    agg = df.groupBy(*g).agg(
+        F.sum(F.col(value_col) * F.col(weight_col)).alias("__vw"),
+        F.sum(F.col(weight_col)).alias("__w"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return agg.select(
+        *g,
+        "n",
+        F.round(
+            F.col("__vw").cast("double") / F.col("__w").cast("double"), 6
+        ).alias("wavg"),
+    )

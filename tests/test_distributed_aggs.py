@@ -195,3 +195,36 @@ def test_holt_grouped(spark):
         for r in timeseries.holt_forecast(df, group_cols=("g",)).collect()
     }
     assert got["a"] > 0 and got["b"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# extended_stats / weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def test_extended_stats_hand_computed(spark):
+    from itemsjs_spark.ops.stats import extended_stats
+
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 4), ("a", 6), ("b", 5)], "g string, v long"
+    )
+    got = {
+        r.g: r for r in extended_stats(df, "v", ("g",)).collect()
+    }
+    a = got["a"]
+    assert (a.n, a.vmin, a.vmax, a.vsum, a.vavg) == (3, 2.0, 6.0, 12.0, 4.0)
+    # population variance of {2,4,6} = 8/3
+    assert a.variance == round(8 / 3, 6)
+    assert a.std_dev == round((8 / 3) ** 0.5, 6)
+    b = got["b"]
+    assert (b.variance, b.std_dev) == (0.0, 0.0)
+
+
+def test_weighted_avg_hand_computed(spark):
+    from itemsjs_spark.ops.stats import weighted_avg
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0)], "g string, v double, w double"
+    )
+    (r,) = weighted_avg(df, "v", "w", ("g",)).collect()
+    assert (r.n, r.wavg) == (2, round(70 / 4, 6))
