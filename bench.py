@@ -342,6 +342,11 @@ def headline_queries(spark, eng):
         # round-4 ninth session: 1-bit binary quantization + Hamming
         # shortlist + exact rerank — the 32x-compression serving plan
         "binary_hamming_topk",
+        # round-4 tenth session: zero-exchange RAG chunking (pure
+        # map-only corpus pass) and Kneser-Ney scoring (bigram model
+        # aggregates + join-back) — the training-prep throughput pair
+        "chunk_sliding_window",
+        "kneser_ney_logprob",
     ):
         qs[name] = lambda name=name: Q[name](spark, SF_DIR).count()
     return qs
