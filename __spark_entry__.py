@@ -4736,6 +4736,36 @@ def _q_weighted_avg(spark, sf_dir):
     )
 
 
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve (`text.vocab_growth`):
+    cumulative distinct-term count over 10 equal docid-order prefixes —
+    one ranking window + one term min-bucket aggregate + a 10-row
+    cumsum."""
+    return text_ops.vocab_growth(
+        _documents(spark, sf_dir), n_buckets=10
+    ).select("bucket", "n_docs", "new_terms", "vocab_size")
+
+
+def _q_memorization_risk(spark, sf_dir):
+    """Cross-document repeated-5-gram exposure
+    (`text.memorization_risk`): per-doc fraction of token 5-grams that
+    occur in at least one other document — the Lee et al. 2022
+    memorization-risk signal; one gram df aggregate + join back."""
+    return text_ops.memorization_risk(
+        _documents(spark, sf_dir), n=5
+    ).select("doc_id", "n_grams", "dup_grams", "risk")
+
+
+def _q_top_metrics(spark, sf_dir):
+    """ES top_metrics aggregation (`stats.top_metrics`): per event
+    type, the value on the latest-ts row (event_id tie-break) — one
+    algebraic max(struct), no corpus window."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return stats_ops.top_metrics(
+        ev, "ts", ["value"], ("event_type",), tie_cols=("event_id",)
+    ).select("event_type", "top_ts", "top_value")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5216,6 +5246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": _q_datacard,
         "lineitem_extended_stats": _q_extended_stats,
         "lineitem_weighted_avg": _q_weighted_avg,
+        "vocab_growth_curve": _q_vocab_growth,
+        "memorization_risk": _q_memorization_risk,
+        "events_top_metrics": _q_top_metrics,
     }
 
 
@@ -7711,5 +7744,49 @@ SELECT l_returnflag, count(*)::BIGINT AS n,
        round(sum(l_extendedprice * l_quantity)::DOUBLE
              / sum(l_quantity)::DOUBLE, 6) AS wavg
 FROM lineitem GROUP BY l_returnflag
+"""
+
+    # Heaps-law growth: identical integer-division bucket rule
+    sqls["vocab_growth_curve"] = """
+WITH r AS (SELECT doc_id, string_split(text, ' ') AS t,
+                  (row_number() OVER (ORDER BY doc_id) - 1) AS rk,
+                  count(*) OVER () AS n
+           FROM documents),
+wb AS (SELECT CAST((rk * 10) // n AS INT) AS bucket, t FROM r),
+fst AS (SELECT tok, min(bucket) AS fb
+        FROM (SELECT bucket, unnest(t) AS tok FROM wb) GROUP BY tok),
+nt AS (SELECT fb AS bucket, count(*)::BIGINT AS new_terms
+       FROM fst GROUP BY fb),
+dp AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM wb GROUP BY bucket)
+SELECT dp.bucket, dp.n_docs,
+       coalesce(nt.new_terms, 0)::BIGINT AS new_terms,
+       sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY dp.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS vocab_size
+FROM dp LEFT JOIN nt USING (bucket)
+"""
+
+    sqls["memorization_risk"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS g
+      FROM t, LATERAL unnest(range(0, len(toks) - 4)) u(i)
+      WHERE len(toks) >= 5),
+gdf AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS df FROM g GROUP BY g),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+              sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams
+       FROM g JOIN gdf USING (g) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(pd.dup_grams, 0)::BIGINT AS dup_grams,
+       CASE WHEN pd.n_grams > 0
+            THEN round(pd.dup_grams * 1.0 / pd.n_grams, 6) END AS risk
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+    sqls["events_top_metrics"] = """
+WITH r AS (SELECT event_type, ts, value,
+                  row_number() OVER (PARTITION BY event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT event_type, ts AS top_ts, value AS top_value FROM r WHERE rn = 1
 """
     return sqls

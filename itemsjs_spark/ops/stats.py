@@ -399,3 +399,27 @@ def weighted_avg(
             F.col("__vw").cast("double") / F.col("__w").cast("double"), 6
         ).alias("wavg"),
     )
+
+
+def top_metrics(
+    df: DataFrame,
+    sort_col: str,
+    metric_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per group, the metric values on
+    the row with the LARGEST ``sort_col`` (``tie_cols`` break exact
+    sort-value ties deterministically). One algebraic ``max(struct)``
+    aggregate — map-side partials, no window over the corpus, the same
+    skew-safe shape as grouped_topk."""
+    g = list(group_cols)
+    parts = [F.col(sort_col)] + [F.col(t) for t in tie_cols] + [
+        F.col(m) for m in metric_cols
+    ]
+    agg = df.groupBy(*g).agg(F.max(F.struct(*parts)).alias("__top"))
+    return agg.select(
+        *g,
+        F.col(f"__top.{sort_col}").alias(f"top_{sort_col}"),
+        *[F.col(f"__top.{m}").alias(f"top_{m}") for m in metric_cols],
+    )

@@ -1101,3 +1101,140 @@ def kneser_ney_logprob(
             F.col("kn_neg_logprob"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+    rank_col: Optional[str] = None,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: documents are split into
+    ``n_buckets`` equal prefixes in ``id_col`` order and each bucket
+    reports the cumulative distinct-term count after ingesting it — the
+    curve a tokenizer team reads to decide whether vocabulary has
+    saturated for a source.
+
+    Plan shape: one explode + min-bucket groupBy per term, then an
+    ``n_buckets``-row cumsum — the single term aggregate is the only
+    corpus-proportional work. Pass ``rank_col`` (a dense 0-based
+    position, e.g. the engine's distributed `assign_docids` output)
+    to skip the fallback global ranking window, which is a
+    single-partition sort acceptable only at test scale.
+
+    Returns (bucket, n_docs, new_terms, vocab_size), bucket 0-based.
+    """
+    b = int(n_buckets)
+    if rank_col is not None:
+        ranked = df.select(
+            F.col(id_col),
+            ws_tokens(F.col(text_col)).alias("__t"),
+            F.col(rank_col).cast("long").alias("__rk"),
+        )
+    else:
+        w = Window.orderBy(F.col(id_col).asc())
+        ranked = df.select(
+            F.col(id_col),
+            ws_tokens(F.col(text_col)).alias("__t"),
+            (F.row_number().over(w) - 1).alias("__rk"),
+        )
+    total = ranked.agg(F.count("*").alias("__n"))
+    with_bucket = ranked.crossJoin(F.broadcast(total)).select(
+        F.expr(f"CAST((__rk * {b}) DIV __n AS INT)").alias("__bucket"),
+        "__t",
+    )
+    first = (
+        with_bucket.select(
+            "__bucket", F.explode("__t").alias("__tok")
+        )
+        .groupBy("__tok")
+        .agg(F.min("__bucket").alias("__fb"))
+    )
+    new_terms = first.groupBy("__fb").agg(
+        F.count("*").cast("long").alias("new_terms")
+    )
+    docs_per = with_bucket.groupBy("__bucket").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    cum = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs_per.join(
+            new_terms.withColumnRenamed("__fb", "__bucket"),
+            "__bucket",
+            "left",
+        )
+        .select(
+            F.col("__bucket").alias("bucket"),
+            "n_docs",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .withColumn("vocab_size", F.sum("new_terms").over(cum))
+    )
+
+
+def memorization_risk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document repeated-n-gram exposure (the Lee et al. 2022
+    memorization-risk signal): per document, the fraction of its token
+    ``n``-grams that also occur in at least one OTHER document. High
+    values flag boilerplate/templated text a model would memorize.
+
+    Plan shape: one n-gram explode (JVM transform/sequence), one
+    distinct-doc-count aggregate per gram (map-side combined — hot
+    grams stay counts), one join back keyed on the gram, one per-doc
+    aggregate. Docs with fewer than ``n`` tokens report n_grams = 0,
+    NULL risk.
+
+    Returns (id, n_grams, dup_grams, risk) on the 6-decimal grid.
+    """
+    toks = ws_tokens(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__t) - {n}), "
+                    f"i -> array_join(slice(__t, i + 1, {n}), ' '))"
+                )
+            ).alias("__g"),
+        )
+    )
+    gdf = grams.groupBy("__g").agg(
+        F.countDistinct(id_col).cast("long").alias("__df")
+    )
+    per_doc = (
+        grams.join(gdf, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("dup_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).alias("risk"),
+        )
+    )

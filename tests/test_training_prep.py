@@ -329,3 +329,68 @@ def test_datacard_summary(spark):
     assert (r.n_lang, r.n_source) == (2, 2)
     assert r.dup_ratio == round(1 / 3, 6)
     assert r.avg_toks == round(8 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth / memorization_risk
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_curve(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "d d"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        text_ops.vocab_growth(df, n_buckets=2).collect(),
+        key=lambda r: r.bucket,
+    )
+    # bucket 0 = docs 1,2 (terms a,b,c); bucket 1 = docs 3,4 (new: d)
+    assert [(r.bucket, r.n_docs, r.new_terms, r.vocab_size) for r in rows] \
+        == [(0, 2, 3, 3), (1, 2, 1, 4)]
+
+
+def test_vocab_growth_monotone_and_total(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 11}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        text_ops.vocab_growth(df, n_buckets=5).collect(),
+        key=lambda r: r.bucket,
+    )
+    sizes = [r.vocab_size for r in rows]
+    assert sizes == sorted(sizes)
+    assert sizes[-1] == 11  # w0..w10 all appear
+    assert sum(r.n_docs for r in rows) == 50
+
+
+def test_memorization_risk_flags_shared_grams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1 tail one"),
+            (2, "a b c d e unique2 tail two"),
+            (3, "completely different text here now"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text_ops.memorization_risk(df, n=5).collect()}
+    # docs 1,2 share exactly the gram "a b c d e" (their other grams
+    # diverge at unique1/unique2)
+    assert got[1].n_grams == 4 and got[1].dup_grams == 1
+    assert got[1].risk == 0.25
+    assert got[3].dup_grams == 0 and got[3].risk == 0.0
+    assert got[4].n_grams == 0 and got[4].risk is None
+
+
+def test_vocab_growth_rank_col_matches_fallback(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 11}", i) for i in range(50)],
+        "doc_id long, text string, rk long",
+    )
+    a = sorted(map(tuple, text_ops.vocab_growth(
+        df.select("doc_id", "text"), n_buckets=5).collect()))
+    b = sorted(map(tuple, text_ops.vocab_growth(
+        df, n_buckets=5, rank_col="rk").collect()))
+    assert a == b
