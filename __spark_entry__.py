@@ -4766,6 +4766,30 @@ def _q_top_metrics(spark, sf_dir):
     ).select("event_type", "top_ts", "top_value")
 
 
+def _q_string_stats(spark, sf_dir):
+    """ES string_stats aggregation (`stats.string_stats`): length
+    stats + Shannon character entropy per lang; the entropy sum folds
+    the alphabet-bounded histogram in character order so float
+    addition order is engine-fixed."""
+    return stats_ops.string_stats(
+        _documents(spark, sf_dir), "text", ("lang",)
+    ).select("lang", "n_docs", "min_len", "max_len", "avg_len", "entropy")
+
+
+def _q_named_filters(spark, sf_dir):
+    """ES filters aggregation (`stats.named_filter_counts`): named
+    arbitrary predicates as buckets, one pass of conditional sums
+    (zero-kept buckets included)."""
+    return stats_ops.named_filter_counts(
+        _documents(spark, sf_dir),
+        {
+            "long_en": (F.col("lang") == "en") & (F.col("n_chars") > 120),
+            "src0": F.col("source") == "src0",
+            "none_matches": F.col("lang") == "zz",
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5249,6 +5273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_curve": _q_vocab_growth,
         "memorization_risk": _q_memorization_risk,
         "events_top_metrics": _q_top_metrics,
+        "string_stats_by_lang": _q_string_stats,
+        "named_filters_agg": _q_named_filters,
     }
 
 
@@ -7788,5 +7814,45 @@ WITH r AS (SELECT event_type, ts, value,
                       ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
 SELECT event_type, ts AS top_ts, value AS top_value FROM r WHERE rn = 1
+"""
+
+    # string_stats: entropy folds the char histogram in char order on
+    # both engines (fixed float addition order; scalar list_reduce —
+    # no struct accumulator, see holt_forecast's DuckDB note)
+    sqls["string_stats_by_lang"] = """
+WITH l AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                  min(length(text))::BIGINT AS min_len,
+                  max(length(text))::BIGINT AS max_len,
+                  sum(length(text)) AS tot
+           FROM documents GROUP BY lang),
+ch AS (SELECT lang, unnest(string_split(text, '')) AS ch FROM documents),
+hist AS (SELECT lang, ch, count(*)::BIGINT AS c
+         FROM ch WHERE ch <> '' GROUP BY 1, 2),
+fold AS (SELECT lang, list(c ORDER BY ch) AS cs, sum(c) AS nch
+         FROM hist GROUP BY lang),
+ent AS (SELECT lang,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(cs,
+                 x -> -(x::DOUBLE / nch::DOUBLE)
+                      * log2(x::DOUBLE / nch::DOUBLE))),
+                 (acc, x) -> acc + x) AS e
+        FROM fold)
+SELECT l.lang, l.n_docs, l.min_len, l.max_len,
+       round(l.tot::DOUBLE / l.n_docs::DOUBLE, 6) AS avg_len,
+       round(ent.e, 6) AS entropy
+FROM l JOIN ent USING (lang)
+"""
+
+    sqls["named_filters_agg"] = """
+SELECT 'long_en' AS key,
+       sum(CASE WHEN lang = 'en' AND n_chars > 120
+                THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM documents
+UNION ALL
+SELECT 'src0',
+       sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'none_matches',
+       sum(CASE WHEN lang = 'zz' THEN 1 ELSE 0 END)::BIGINT
+FROM documents
 """
     return sqls

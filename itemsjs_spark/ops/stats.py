@@ -423,3 +423,80 @@ def top_metrics(
         F.col(f"__top.{sort_col}").alias(f"top_{sort_col}"),
         *[F.col(f"__top.{m}").alias(f"top_{m}") for m in metric_cols],
     )
+
+
+def string_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ES ``string_stats`` aggregation: count, min/max/avg length and
+    Shannon CHARACTER entropy per group. Length stats are exact integer
+    aggregation + one division; the entropy sum runs over the per-group
+    character histogram folded IN CHARACTER ORDER (sort_array + one JVM
+    higher-order aggregate), so float addition order is fixed and any
+    engine reproduces the value — a plain SUM over the histogram would
+    be aggregation-order-dependent. The histogram is alphabet-bounded
+    (≤ distinct characters), never corpus-sized.
+
+    Plan shape: one char explode + (group, char) groupBy, one
+    dimension-sized collect_list fold, one length aggregate joined
+    back. Returns (*group_cols, n_docs, min_len, max_len, avg_len,
+    entropy) on the 6-decimal grid."""
+    g = list(group_cols)
+    lens = df.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(F.length(text_col)).cast("long").alias("min_len"),
+        F.max(F.length(text_col)).cast("long").alias("max_len"),
+        F.sum(F.length(text_col)).alias("__tot"),
+    )
+    chars = df.select(
+        *g, F.explode(F.split(F.col(text_col), "")).alias("__ch")
+    ).filter(F.col("__ch") != "")
+    hist = chars.groupBy(*g, "__ch").agg(F.count("*").alias("__c"))
+    folded = hist.groupBy(*g).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__ch"), F.col("__c")))
+        ).alias("__h"),
+        F.sum("__c").alias("__nch"),
+    )
+    ent = folded.select(
+        *g,
+        F.expr(
+            "aggregate(__h, CAST(0.0 AS DOUBLE), (acc, x) -> "
+            "acc - (CAST(x.__c AS DOUBLE) / CAST(__nch AS DOUBLE)) "
+            "* log2(CAST(x.__c AS DOUBLE) / CAST(__nch AS DOUBLE)))"
+        ).alias("__ent"),
+    )
+    out = lens.join(ent, g) if g else lens.crossJoin(ent)
+    return out.select(
+        *g,
+        "n_docs",
+        "min_len",
+        "max_len",
+        F.round(
+            F.col("__tot").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_len"),
+        F.round(F.col("__ent"), 6).alias("entropy"),
+    )
+
+
+def named_filter_counts(
+    df: DataFrame,
+    filters: Dict[str, Column],
+) -> DataFrame:
+    """ES ``filters`` aggregation: arbitrary named predicates become
+    buckets, counted in ONE corpus pass of conditional sums (no
+    per-filter scan, no union). Returns (key, doc_count) with one row
+    per named filter, zero-kept."""
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in filters.items()
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', {n}" for n in filters)
+    return wide.select(
+        F.expr(
+            f"stack({len(filters)}, {stack}) AS (key, doc_count)"
+        )
+    )

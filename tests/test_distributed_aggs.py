@@ -228,3 +228,50 @@ def test_weighted_avg_hand_computed(spark):
     )
     (r,) = weighted_avg(df, "v", "w", ("g",)).collect()
     assert (r.n, r.wavg) == (2, round(70 / 4, 6))
+
+
+# ---------------------------------------------------------------------------
+# string_stats / named_filter_counts
+# ---------------------------------------------------------------------------
+
+
+def test_string_stats_hand_computed(spark):
+    import math
+
+    from itemsjs_spark.ops.stats import string_stats
+
+    df = spark.createDataFrame(
+        [("en", "aab"), ("en", "b")], "lang string, text string"
+    )
+    (r,) = string_stats(df, "text", ("lang",)).collect()
+    assert (r.n_docs, r.min_len, r.max_len, r.avg_len) == (2, 1, 3, 2.0)
+    # chars: a=2, b=2 of 4 -> entropy = 1 bit
+    assert r.entropy == 1.0
+    # uniform over 4 distinct chars -> 2 bits
+    df2 = spark.createDataFrame([("x", "abcd")], "lang string, text string")
+    (r2,) = string_stats(df2, "text", ("lang",)).collect()
+    assert r2.entropy == 2.0
+    # skewed: {a:3, b:1}
+    df3 = spark.createDataFrame([("x", "aaab")], "lang string, text string")
+    (r3,) = string_stats(df3, "text", ("lang",)).collect()
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert r3.entropy == round(want, 6)
+
+
+def test_named_filter_counts_zero_kept(spark):
+    from itemsjs_spark.ops.stats import named_filter_counts
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en")], "id long, lang string"
+    )
+    got = {
+        r.key: r.doc_count
+        for r in named_filter_counts(
+            df,
+            {
+                "en": F.col("lang") == "en",
+                "zz": F.col("lang") == "zz",
+            },
+        ).collect()
+    }
+    assert got == {"en": 2, "zz": 0}
