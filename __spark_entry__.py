@@ -4790,6 +4790,16 @@ def _q_named_filters(spark, sf_dir):
     )
 
 
+def _q_mad(spark, sf_dir):
+    """ES median_absolute_deviation (`stats.median_absolute_deviation`)
+    — EXACT where ES approximates with TDigest: two exact percentile
+    aggregates with the per-group median broadcast between."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return stats_ops.median_absolute_deviation(
+        li, "l_extendedprice", ("l_returnflag",)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5275,6 +5285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_metrics": _q_top_metrics,
         "string_stats_by_lang": _q_string_stats,
         "named_filters_agg": _q_named_filters,
+        "lineitem_mad": _q_mad,
     }
 
 
@@ -7854,5 +7865,19 @@ UNION ALL
 SELECT 'none_matches',
        sum(CASE WHEN lang = 'zz' THEN 1 ELSE 0 END)::BIGINT
 FROM documents
+"""
+
+    # exact MAD: Catalyst percentile == quantile_cont (repo precedent)
+    sqls["lineitem_mad"] = """
+WITH m AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+                  quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem GROUP BY l_returnflag),
+d AS (SELECT l.l_returnflag, m.n, m.med,
+             abs(l.l_extendedprice::DOUBLE - m.med::DOUBLE) AS dev
+      FROM lineitem l JOIN m USING (l_returnflag))
+SELECT l_returnflag, any_value(n) AS n,
+       round(any_value(med)::DOUBLE, 6) AS median,
+       round(quantile_cont(dev, 0.5), 6) AS mad
+FROM d GROUP BY l_returnflag
 """
     return sqls

@@ -500,3 +500,44 @@ def named_filter_counts(
             f"stack({len(filters)}, {stack}) AS (key, doc_count)"
         )
     )
+
+
+def median_absolute_deviation(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation, EXACT where ES
+    ships a TDigest approximation: median of |x - median(x)| per
+    group. Two exact Catalyst percentile aggregates (the repo's
+    bucket_percentiles precedent: exact `percentile` == DuckDB
+    `quantile_cont` on the 6-decimal grid) with the per-group median
+    broadcast back between them. Group-dimension state only; two
+    corpus passes.
+
+    Returns (*group_cols, n, median, mad) on the 6-decimal grid."""
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+    )
+    joined = (
+        df.join(F.broadcast(med), g)
+        if g
+        else df.crossJoin(F.broadcast(med))
+    )
+    dev = joined.select(
+        *g, "n", "__med", F.abs(v - F.col("__med")).alias("__dev")
+    )
+    out = dev.groupBy(*g).agg(
+        F.first("n").alias("n"),
+        F.first("__med").alias("__med"),
+        F.expr("percentile(__dev, 0.5)").alias("__mad"),
+    )
+    return out.select(
+        *g,
+        "n",
+        F.round(F.col("__med"), 6).alias("median"),
+        F.round(F.col("__mad"), 6).alias("mad"),
+    )

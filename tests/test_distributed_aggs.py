@@ -275,3 +275,19 @@ def test_named_filter_counts_zero_kept(spark):
         ).collect()
     }
     assert got == {"en": 2, "zz": 0}
+
+
+def test_mad_hand_computed(spark):
+    from itemsjs_spark.ops.stats import median_absolute_deviation
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 100.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    got = {
+        r.g: r for r in median_absolute_deviation(df, "v", ("g",)).collect()
+    }
+    # median of {1,2,4,100} = 3 (interpolated); |x-3| = {2,1,1,97} ->
+    # median = 1.5 — the outlier barely moves it (the point of MAD)
+    assert (got["a"].n, got["a"].median, got["a"].mad) == (4, 3.0, 1.5)
+    assert (got["b"].median, got["b"].mad) == (7.0, 0.0)
