@@ -4800,6 +4800,28 @@ def _q_mad(spark, sf_dir):
     )
 
 
+def _q_series_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series
+    (`timeseries.series_autocorr`): exact BIGINT sums over the
+    calendar-bounded series, one final double expression."""
+    from itemsjs_spark.ops import timeseries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    ).cast("long")
+    hist = (
+        ev.select(ep.alias("e"))
+        .select(F.expr("(e DIV 86400) * 86400").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("value"))
+    )
+    return timeseries.series_autocorr(hist, lag=1).select(
+        "n_pairs", "autocorr"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5286,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats_by_lang": _q_string_stats,
         "named_filters_agg": _q_named_filters,
         "lineitem_mad": _q_mad,
+        "events_series_autocorr": _q_series_autocorr,
     }
 
 
@@ -7879,5 +7902,30 @@ SELECT l_returnflag, any_value(n) AS n,
        round(any_value(med)::DOUBLE, 6) AS median,
        round(quantile_cont(dev, 0.5), 6) AS mad
 FROM d GROUP BY l_returnflag
+"""
+
+    sqls["events_series_autocorr"] = """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+h AS (SELECT (e // 86400) * 86400 AS bucket, count(*)::BIGINT AS v
+      FROM e GROUP BY 1),
+p AS (SELECT v AS y, lag(v, 1) OVER (ORDER BY bucket) AS x FROM h),
+q AS (SELECT * FROM p WHERE x IS NOT NULL),
+a AS (SELECT count(*)::BIGINT AS n_pairs, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM q)
+SELECT n_pairs,
+       CASE WHEN n_pairs >= 2
+                 AND (n_pairs::DOUBLE * sxx::DOUBLE
+                      - sx::DOUBLE * sx::DOUBLE) > 0
+                 AND (n_pairs::DOUBLE * syy::DOUBLE
+                      - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN round((n_pairs::DOUBLE * sxy::DOUBLE
+                        - sx::DOUBLE * sy::DOUBLE)
+                       / sqrt((n_pairs::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                              * (n_pairs::DOUBLE * syy::DOUBLE
+                                 - sy::DOUBLE * sy::DOUBLE)), 6)
+       END AS autocorr
+FROM a
 """
     return sqls

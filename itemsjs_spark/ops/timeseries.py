@@ -242,3 +242,52 @@ def holt_forecast(
             F.col("__st.l") + F.lit(int(horizon)) * F.col("__st.b"), 6
         ).alias("forecast"),
     )
+
+
+def series_autocorr(
+    hist: DataFrame,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    lag: int = 1,
+) -> DataFrame:
+    """Lag-``lag`` Pearson autocorrelation of a bucket series — the
+    seasonality/trend diagnostic next to ``serial_diff``. The series is
+    histogram output (calendar-bounded; see module docstring), so one
+    ordered window builds the lag pairs and every accumulation is an
+    exact BIGINT sum; the correlation is ONE final double expression
+    both engines evaluate identically.
+
+    Returns one row: (n_pairs, autocorr) on the 6-decimal grid —
+    autocorr NULL when fewer than 2 pairs or zero variance.
+    """
+    w = Window.orderBy(F.col(bucket_col).asc())
+    v = F.col(value_col).cast("long")
+    pairs = (
+        hist.select(v.alias("__y"), F.lag(v, int(lag)).over(w).alias("__x"))
+        .filter(F.col("__x").isNotNull())
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    varx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vary = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return agg.select(
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") >= 2) & (varx > 0) & (vary > 0),
+            F.round(num / F.sqrt(varx * vary), 6),
+        ).alias("autocorr"),
+    )

@@ -291,3 +291,24 @@ def test_mad_hand_computed(spark):
     # median = 1.5 — the outlier barely moves it (the point of MAD)
     assert (got["a"].n, got["a"].median, got["a"].mad) == (4, 3.0, 1.5)
     assert (got["b"].median, got["b"].mad) == (7.0, 0.0)
+
+
+def test_series_autocorr_signs_and_edges(spark):
+    from itemsjs_spark.ops.timeseries import series_autocorr
+
+    def acf(vals, lag=1):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "bucket long, value long"
+        )
+        (r,) = series_autocorr(df, lag=lag).collect()
+        return r
+
+    up = acf([1, 2, 3, 4, 5, 6])          # trending -> strong positive
+    assert up.autocorr == 1.0
+    alt = acf([1, 9, 1, 9, 1, 9])          # alternating -> -1 at lag 1
+    assert alt.autocorr == -1.0
+    assert acf([1, 9, 1, 9, 1, 9], lag=2).autocorr == 1.0
+    flat = acf([5, 5, 5, 5])               # zero variance -> NULL
+    assert flat.autocorr is None
+    single = acf([3, 4], lag=2)            # no pairs at this lag
+    assert single.n_pairs == 0 and single.autocorr is None
