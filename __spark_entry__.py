@@ -4822,6 +4822,27 @@ def _q_series_autocorr(spark, sf_dir):
     )
 
 
+_TTEST_A, _TTEST_B = "click", "error"
+
+
+def _q_welch_ttest(spark, sf_dir):
+    """ES t_test aggregation (`stats.welch_t_test`): Welch t + df
+    between two event types' values — tie-free floor quantization to
+    integer micro-units, BIGINT/DECIMAL exact accumulation, t and df
+    as single final double expressions."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return stats_ops.welch_t_test(
+        ev, "value", "event_type", _TTEST_A, _TTEST_B
+    )
+
+
+def _q_boxplot(spark, sf_dir):
+    """ES boxplot aggregation (`stats.boxplot`), exact quartiles where
+    ES ships TDigest: one multi-percentile aggregate + Tukey fences."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return stats_ops.boxplot(li, "l_quantity", ("l_returnflag",))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5309,6 +5330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "named_filters_agg": _q_named_filters,
         "lineitem_mad": _q_mad,
         "events_series_autocorr": _q_series_autocorr,
+        "events_welch_ttest": _q_welch_ttest,
+        "lineitem_boxplot": _q_boxplot,
     }
 
 
@@ -7926,6 +7949,75 @@ SELECT n_pairs,
                               * (n_pairs::DOUBLE * syy::DOUBLE
                                  - sy::DOUBLE * sy::DOUBLE)), 6)
        END AS autocorr
+FROM a
+"""
+
+    # Welch t-test: floor micro-unit quantization (tie-free), HUGEINT
+    # square sums, final expressions generated with the engine's exact
+    # parse shapes (va/na association preserved)
+    _w_va = (
+        "((n_a::DOUBLE * ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE)"
+        " / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)))"
+    )
+    _w_vb = (
+        "((n_b::DOUBLE * ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE)"
+        " / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)))"
+    )
+    _w_se2 = f"({_w_va} / n_a::DOUBLE + {_w_vb} / n_b::DOUBLE)"
+    _w_t = (
+        f"((sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)"
+        f" / sqrt({_w_se2}))"
+    )
+    _w_df = (
+        f"(({_w_se2} * {_w_se2})"
+        f" / (({_w_va} / n_a::DOUBLE) * ({_w_va} / n_a::DOUBLE)"
+        f" / (n_a::DOUBLE - 1.0)"
+        f" + ({_w_vb} / n_b::DOUBLE) * ({_w_vb} / n_b::DOUBLE)"
+        f" / (n_b::DOUBLE - 1.0)))"
+    )
+    _w_ok = f"n_a >= 2 AND n_b >= 2 AND {_w_se2} > 0"
+    sqls["events_welch_ttest"] = f"""
+WITH q AS (SELECT event_type,
+                  CAST(floor(value::DOUBLE * 1e6) AS BIGINT) AS v
+           FROM events
+           WHERE event_type IN ('{_TTEST_A}', '{_TTEST_B}')),
+a AS (SELECT
+        sum(CASE WHEN event_type = '{_TTEST_A}' THEN 1 ELSE 0 END)::BIGINT
+          AS n_a,
+        sum(CASE WHEN event_type = '{_TTEST_B}' THEN 1 ELSE 0 END)::BIGINT
+          AS n_b,
+        sum(CASE WHEN event_type = '{_TTEST_A}' THEN v ELSE 0 END)::BIGINT
+          AS sa,
+        sum(CASE WHEN event_type = '{_TTEST_B}' THEN v ELSE 0 END)::BIGINT
+          AS sb,
+        sum(CASE WHEN event_type = '{_TTEST_A}'
+                 THEN v::HUGEINT * v::HUGEINT ELSE 0 END)::HUGEINT AS ssa,
+        sum(CASE WHEN event_type = '{_TTEST_B}'
+                 THEN v::HUGEINT * v::HUGEINT ELSE 0 END)::HUGEINT AS ssb
+      FROM q)
+SELECT n_a, n_b,
+       round(sa::DOUBLE / n_a::DOUBLE / 1e6, 6) AS mean_a,
+       round(sb::DOUBLE / n_b::DOUBLE / 1e6, 6) AS mean_b,
+       CASE WHEN {_w_ok} THEN round({_w_t}, 6) END AS t_stat,
+       CASE WHEN {_w_ok} THEN round({_w_df}, 6) END AS welch_df
+FROM a
+"""
+
+    sqls["lineitem_boxplot"] = """
+WITH a AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+                  min(l_quantity::DOUBLE) AS mn,
+                  max(l_quantity::DOUBLE) AS mx,
+                  quantile_cont(l_quantity, 0.25) AS q1,
+                  quantile_cont(l_quantity, 0.5) AS q2,
+                  quantile_cont(l_quantity, 0.75) AS q3
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n, round(mn, 6) AS vmin,
+       round(q1::DOUBLE, 6) AS q1, round(q2::DOUBLE, 6) AS q2,
+       round(q3::DOUBLE, 6) AS q3, round(mx, 6) AS vmax,
+       round(q1::DOUBLE - 1.5 * (q3::DOUBLE - q1::DOUBLE), 6)
+         AS lower_fence,
+       round(q3::DOUBLE + 1.5 * (q3::DOUBLE - q1::DOUBLE), 6)
+         AS upper_fence
 FROM a
 """
     return sqls

@@ -541,3 +541,95 @@ def median_absolute_deviation(
         F.round(F.col("__med"), 6).alias("median"),
         F.round(F.col("__mad"), 6).alias("mad"),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch): t statistic
+    and Welch-Satterthwaite degrees of freedom between two named
+    groups. Values quantize ONCE to integer micro-units via floor
+    (floor has no rounding ties — the repo's JL lesson is that
+    round-half ties are never engine-safe; floor(v·1e6) is identical
+    IEEE arithmetic in any engine), all accumulation is exact BIGINT,
+    and t/df are single final double expressions over six integers.
+
+    One map-side-combined conditional-sum aggregate; one output row:
+    (n_a, n_b, mean_a, mean_b, t_stat, welch_df) on the 6-decimal
+    grid (NULL t when either group has < 2 rows or zero variance
+    denominators)."""
+    q = F.floor(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    # squares of micro-units overflow BIGINT (1e6-unit values square to
+    # ~1e18 per row) — accumulate them in exact DECIMAL (HUGEINT on the
+    # DuckDB side); the plain sums stay BIGINT
+    qd = q.cast("decimal(19,0)")
+    zero = F.lit(0).cast("decimal(19,0)")
+    is_a = F.col(group_col) == group_a
+    is_b = F.col(group_col) == group_b
+    agg = df.filter(is_a | is_b).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, q).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(is_b, q).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(is_a, qd * qd).otherwise(zero)).alias("ssa"),
+        F.sum(F.when(is_b, qd * qd).otherwise(zero)).alias("ssb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ssa, ssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+    # sample variance over micro-units: (n·Σx² - (Σx)²) / (n·(n-1))
+    va = (na * ssa - sa * sa) / (na * (na - 1.0))
+    vb = (nb * ssb - sb * sb) / (nb * (nb - 1.0))
+    se2 = va / na + vb / nb
+    t = ((sa / na) - (sb / nb)) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1.0)
+        + (vb / nb) * (vb / nb) / (nb - 1.0)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(sa / na / F.lit(1e6), 6).alias("mean_a"),
+        F.round(sb / nb / F.lit(1e6), 6).alias("mean_b"),
+        F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
+        F.when(ok & (se2 > 0), F.round(wdf, 6)).alias("welch_df"),
+    )
+
+
+def boxplot(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ES ``boxplot`` aggregation, exact quartiles (ES ships TDigest):
+    min/q1/q2/q3/max plus the 1.5-IQR Tukey fences per group. One
+    exact multi-percentile aggregate (Catalyst `percentile` with a
+    probability array == DuckDB `quantile_cont` list) — group-sized
+    state only."""
+    g = list(group_cols)
+    agg = df.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(F.col(value_col).cast("double")).alias("__min"),
+        F.max(F.col(value_col).cast("double")).alias("__max"),
+        F.expr(
+            f"percentile({value_col}, array(0.25, 0.5, 0.75))"
+        ).alias("__q"),
+    )
+    q1, q2, q3 = (F.col("__q")[i] for i in range(3))
+    iqr = q3 - q1
+    return agg.select(
+        *g,
+        "n",
+        F.round(F.col("__min"), 6).alias("vmin"),
+        F.round(q1, 6).alias("q1"),
+        F.round(q2, 6).alias("q2"),
+        F.round(q3, 6).alias("q3"),
+        F.round(F.col("__max"), 6).alias("vmax"),
+        F.round(q1 - F.lit(1.5) * iqr, 6).alias("lower_fence"),
+        F.round(q3 + F.lit(1.5) * iqr, 6).alias("upper_fence"),
+    )

@@ -312,3 +312,44 @@ def test_series_autocorr_signs_and_edges(spark):
     assert flat.autocorr is None
     single = acf([3, 4], lag=2)            # no pairs at this lag
     assert single.n_pairs == 0 and single.autocorr is None
+
+
+def test_welch_t_hand_computed(spark):
+    from itemsjs_spark.ops.stats import welch_t_test
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("b", v) for v in [10.0, 12.0, 14.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = welch_t_test(df, "v", "g", "a", "b").collect()
+    import math
+
+    va = 5 / 3 / 4            # var({1..4})/n = (5/3)/4
+    vb = 4.0 / 3              # var({10,12,14})/n = 4/3
+    t = (2.5 - 12.0) / math.sqrt(va + vb)
+    wdf = (va + vb) ** 2 / (va * va / 3 + vb * vb / 2)
+    assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (4, 3, 2.5, 12.0)
+    assert r.t_stat == round(t, 6)
+    assert r.welch_df == round(wdf, 6)
+
+
+def test_welch_t_degenerate_groups(spark):
+    from itemsjs_spark.ops.stats import welch_t_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    (r,) = welch_t_test(df, "v", "g", "a", "b").collect()
+    assert r.n_a == 1 and r.t_stat is None and r.welch_df is None
+
+
+def test_boxplot_hand_computed(spark):
+    from itemsjs_spark.ops.stats import boxplot
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 100]], "g string, v double"
+    )
+    (r,) = boxplot(df, "v", ("g",)).collect()
+    assert (r.n, r.vmin, r.q2, r.vmax) == (5, 1.0, 3.0, 100.0)
+    assert (r.q1, r.q3) == (2.0, 4.0)
+    assert (r.lower_fence, r.upper_fence) == (-1.0, 7.0)
