@@ -4843,6 +4843,41 @@ def _q_boxplot(spark, sf_dir):
     return stats_ops.boxplot(li, "l_quantity", ("l_returnflag",))
 
 
+def _q_cumulative_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality, EXACT (`timeseries.
+    cumulative_cardinality`): distinct users seen up to each daily
+    bucket via the first-seen-bucket trick — one corpus pass where ES
+    needs per-bucket HLL sketches."""
+    from itemsjs_spark.ops import timeseries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return timeseries.cumulative_cardinality(
+        ev, "ts", "user_id", 86400
+    ).select("bucket_start", "new_keys", "cumulative_keys")
+
+
+def _q_normalize_series(spark, sf_dir):
+    """ES normalize pipeline agg (`timeseries.normalize_series`,
+    percent_of_sum): exact BIGINT aggregates, one IEEE division per
+    bucket of the calendar-bounded series."""
+    from itemsjs_spark.ops import timeseries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    ).cast("long")
+    hist = (
+        ev.select(ep.alias("e"))
+        .select(F.expr("(e DIV 86400) * 86400").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("value"))
+    )
+    return timeseries.normalize_series(
+        hist, method="percent_of_sum"
+    ).select("bucket", "value", "normalized")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5332,6 +5367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_series_autocorr": _q_series_autocorr,
         "events_welch_ttest": _q_welch_ttest,
         "lineitem_boxplot": _q_boxplot,
+        "events_cumulative_cardinality": _q_cumulative_cardinality,
+        "events_normalize_series": _q_normalize_series,
     }
 
 
@@ -8019,5 +8056,27 @@ SELECT l_returnflag, n, round(mn, 6) AS vmin,
        round(q3::DOUBLE + 1.5 * (q3::DOUBLE - q1::DOUBLE), 6)
          AS upper_fence
 FROM a
+"""
+
+    sqls["events_cumulative_cardinality"] = """
+WITH e AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b
+           FROM events),
+f AS (SELECT user_id, min(b) AS fb FROM e GROUP BY user_id),
+pb AS (SELECT fb, count(*)::BIGINT AS new_keys FROM f GROUP BY fb)
+SELECT (fb * 86400)::BIGINT AS bucket_start, new_keys,
+       sum(new_keys) OVER (ORDER BY fb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cumulative_keys
+FROM pb
+"""
+
+    sqls["events_normalize_series"] = """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+h AS (SELECT (e // 86400) * 86400 AS bucket, count(*)::BIGINT AS v
+      FROM e GROUP BY 1)
+SELECT bucket, v AS value,
+       round(v::DOUBLE / (sum(v) OVER ())::DOUBLE, 6) AS normalized
+FROM h
 """
     return sqls

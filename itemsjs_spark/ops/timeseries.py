@@ -291,3 +291,86 @@ def series_autocorr(
             F.round(num / F.sqrt(varx * vary), 6),
         ).alias("autocorr"),
     )
+
+
+def cumulative_cardinality(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    interval: int = 86400,
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation, exact: per
+    time bucket, how many DISTINCT keys have been seen up to and
+    including it (the "total unique users over time" curve). Exact via
+    first-seen-bucket — each key aggregates to its min bucket (one
+    map-side-combined groupBy; key-dimension state), then a
+    series-sized cumsum window. ES needs a HLL sketch per bucket; the
+    first-seen trick gives the exact answer with ONE corpus pass.
+
+    Returns (bucket_start, new_keys, cumulative_keys) for buckets
+    where at least one key first appeared (zero-new buckets between
+    them would carry the same cumulative value; compose
+    `densify_histogram` + a forward fill if the dense series is
+    needed)."""
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({ts_col} AS TIMESTAMP_NTZ))"
+    ).cast("long")
+    first = (
+        df.select(F.col(key_col).alias("__k"), ep.alias("__e"))
+        .select("__k", F.expr(f"__e DIV {int(interval)}").alias("__b"))
+        .groupBy("__k")
+        .agg(F.min("__b").alias("__fb"))
+    )
+    per_bucket = first.groupBy("__fb").agg(
+        F.count("*").cast("long").alias("new_keys")
+    )
+    cum = Window.orderBy(F.col("__fb").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        (F.col("__fb") * int(interval)).cast("long").alias("bucket_start"),
+        "new_keys",
+        F.sum("new_keys").over(cum).cast("long").alias("cumulative_keys"),
+    )
+
+
+def normalize_series(
+    hist: DataFrame,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    method: str = "percent_of_sum",
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation over one bucket series:
+    ``percent_of_sum`` (v / Σv), ``range`` ((v - min) / (max - min),
+    NULL on zero range), or ``mean`` (v / mean). Exact BIGINT
+    aggregates + one IEEE division per bucket on the 6-decimal grid;
+    series-sized window state only."""
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v = F.col(value_col).cast("long")
+    if method == "percent_of_sum":
+        norm = F.round(
+            v.cast("double") / F.sum(v).over(w).cast("double"), 6
+        )
+    elif method == "range":
+        rng = (F.max(v).over(w) - F.min(v).over(w)).cast("double")
+        norm = F.when(
+            rng > 0,
+            F.round((v - F.min(v).over(w)).cast("double") / rng, 6),
+        )
+    elif method == "mean":
+        norm = F.round(
+            v.cast("double")
+            / (
+                F.sum(v).over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+            ),
+            6,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return hist.select(
+        F.col(bucket_col), v.alias(value_col), norm.alias("normalized")
+    )

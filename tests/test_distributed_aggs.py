@@ -353,3 +353,57 @@ def test_boxplot_hand_computed(spark):
     assert (r.n, r.vmin, r.q2, r.vmax) == (5, 1.0, 3.0, 100.0)
     assert (r.q1, r.q3) == (2.0, 4.0)
     assert (r.lower_fence, r.upper_fence) == (-1.0, 7.0)
+
+
+def test_cumulative_cardinality_first_seen(spark):
+    import datetime
+
+    from itemsjs_spark.ops.timeseries import cumulative_cardinality
+
+    base = datetime.datetime(1970, 1, 1)
+    rows = [
+        # day 0: users 1, 2 (user 1 twice)
+        (1, base + datetime.timedelta(seconds=100)),
+        (1, base + datetime.timedelta(seconds=200)),
+        (2, base + datetime.timedelta(seconds=300)),
+        # day 1: user 1 again (NOT new) + user 3 (new)
+        (1, base + datetime.timedelta(days=1, seconds=10)),
+        (3, base + datetime.timedelta(days=1, seconds=20)),
+        # day 3: nobody new
+        (2, base + datetime.timedelta(days=3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    got = sorted(
+        map(tuple, cumulative_cardinality(df, "ts", "user_id").collect())
+    )
+    # day 3 emits nothing (no first-seen user there)
+    assert got == [(0, 2, 2), (86400, 1, 3)]
+
+
+def test_normalize_series_methods(spark):
+    from itemsjs_spark.ops.timeseries import normalize_series
+
+    df = spark.createDataFrame(
+        [(0, 2), (1, 6), (2, 12)], "bucket long, value long"
+    )
+    ps = {r.bucket: r.normalized
+          for r in normalize_series(df, method="percent_of_sum").collect()}
+    assert ps == {0: 0.1, 1: 0.3, 2: 0.6}
+    rg = {r.bucket: r.normalized
+          for r in normalize_series(df, method="range").collect()}
+    assert rg == {0: 0.0, 1: 0.4, 2: 1.0}
+    mn = {r.bucket: r.normalized
+          for r in normalize_series(df, method="mean").collect()}
+    assert mn[1] == round(6 / (20 / 3), 6)
+    # zero-range series -> NULL under "range"
+    flat = spark.createDataFrame([(0, 5), (1, 5)], "bucket long, value long")
+    assert all(
+        r.normalized is None
+        for r in normalize_series(flat, method="range").collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_series(df, method="nope")
