@@ -7767,7 +7767,8 @@ FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
 
     # preference pairs: same lead-window response extraction (first
-    # assistant within 2 turns), same dual ranking + tie-breaks
+    # assistant within 2 turns, search stopped by an intervening user
+    # turn), same dual ranking + tie-breaks
     sqls["preference_pairs"] = f"""
 WITH c0 AS ({_TX_CORPUS_SQL}),
 c AS (SELECT conv_id, turn_idx, role,
@@ -7782,6 +7783,8 @@ pr AS (SELECT text AS prompt, role, conv_id::VARCHAR AS conv,
                                               ORDER BY turn_idx)
                    WHEN lead(role, 2) OVER (PARTITION BY conv_id
                                             ORDER BY turn_idx) = 'assistant'
+                        AND NOT (lead(role, 1) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) = 'user')
                      THEN lead(text, 2) OVER (PARTITION BY conv_id
                                               ORDER BY turn_idx)
               END AS response
@@ -7932,8 +7935,8 @@ ent AS (SELECT lang,
         FROM fold)
 SELECT l.lang, l.n_docs, l.min_len, l.max_len,
        round(l.tot::DOUBLE / l.n_docs::DOUBLE, 6) AS avg_len,
-       round(ent.e, 6) AS entropy
-FROM l JOIN ent USING (lang)
+       round(coalesce(ent.e, 0.0), 6) AS entropy
+FROM l LEFT JOIN ent USING (lang)
 """
 
     sqls["named_filters_agg"] = """
@@ -8033,8 +8036,10 @@ a AS (SELECT
                  THEN v::HUGEINT * v::HUGEINT ELSE 0 END)::HUGEINT AS ssb
       FROM q)
 SELECT n_a, n_b,
-       round(sa::DOUBLE / n_a::DOUBLE / 1e6, 6) AS mean_a,
-       round(sb::DOUBLE / n_b::DOUBLE / 1e6, 6) AS mean_b,
+       CASE WHEN n_a > 0
+            THEN round(sa::DOUBLE / n_a::DOUBLE / 1e6, 6) END AS mean_a,
+       CASE WHEN n_b > 0
+            THEN round(sb::DOUBLE / n_b::DOUBLE / 1e6, 6) END AS mean_b,
        CASE WHEN {_w_ok} THEN round({_w_t}, 6) END AS t_stat,
        CASE WHEN {_w_ok} THEN round({_w_df}, 6) END AS welch_df
 FROM a

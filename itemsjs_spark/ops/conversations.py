@@ -625,7 +625,11 @@ def preference_pairs(
     the FIRST ``response_role`` turn within the ``max_gap`` turns after
     a ``prompt_role`` turn (agent transcripts interleave tool calls
     between the user and the assistant, so gap 2+ is the realistic
-    shape); within a prompt group the deterministic
+    shape). The gap search stops at the next ``prompt_role`` turn: in
+    ``user1, user2, assistant`` the assistant answers user2 only, so
+    user1 mines NO pair even with gap 2 — intervening tool/system
+    turns are skipped, intervening prompts are not. Within a prompt
+    group the deterministic
     preference proxy ranks responses by token count DESC (then text
     ASC, then conversation ASC) — chosen is rank 1 from the top,
     rejected rank 1 from the bottom, and pairs where both ends carry
@@ -639,10 +643,15 @@ def preference_pairs(
     """
     w = Window.partitionBy(conv_col).orderBy(order_col)
     resp = None
+    blocked = None  # an earlier lead inside the gap is another prompt
     for g in range(1, int(max_gap) + 1):
         cond = F.lead(role_col, g).over(w) == response_role
+        if blocked is not None:
+            cond = cond & ~blocked
         val = F.lead(text_col, g).over(w)
         resp = F.when(cond, val) if resp is None else resp.when(cond, val)
+        nxt = F.lead(role_col, g).over(w) == prompt_role
+        blocked = nxt if blocked is None else (blocked | nxt)
     pr = (
         df.withColumn("__ntext", resp)
         .filter(

@@ -468,7 +468,10 @@ def string_stats(
             "* log2(CAST(x.__c AS DOUBLE) / CAST(__nch AS DOUBLE)))"
         ).alias("__ent"),
     )
-    out = lens.join(ent, g) if g else lens.crossJoin(ent)
+    # LEFT join: a group whose every text is '' has no character rows,
+    # so the entropy side is empty — ES still reports the bucket, so
+    # keep the length stats and coalesce entropy to 0.0
+    out = lens.join(ent, g, "left") if g else lens.crossJoin(ent)
     return out.select(
         *g,
         "n_docs",
@@ -477,7 +480,7 @@ def string_stats(
         F.round(
             F.col("__tot").cast("double") / F.col("n_docs").cast("double"), 6
         ).alias("avg_len"),
-        F.round(F.col("__ent"), 6).alias("entropy"),
+        F.round(F.coalesce(F.col("__ent"), F.lit(0.0)), 6).alias("entropy"),
     )
 
 
@@ -591,11 +594,18 @@ def welch_t_test(
         + (vb / nb) * (vb / nb) / (nb - 1.0)
     )
     ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    # means share the NULL discipline of t/df: an empty group must not
+    # leak 0/0 (NaN) or x/0 (Inf) doubles, whose rendering is
+    # engine-specific
     return agg.select(
         "n_a",
         "n_b",
-        F.round(sa / na / F.lit(1e6), 6).alias("mean_a"),
-        F.round(sb / nb / F.lit(1e6), 6).alias("mean_b"),
+        F.when(
+            F.col("n_a") > 0, F.round(sa / na / F.lit(1e6), 6)
+        ).alias("mean_a"),
+        F.when(
+            F.col("n_b") > 0, F.round(sb / nb / F.lit(1e6), 6)
+        ).alias("mean_b"),
         F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
         F.when(ok & (se2 > 0), F.round(wdf, 6)).alias("welch_df"),
     )

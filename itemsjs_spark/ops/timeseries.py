@@ -27,6 +27,7 @@ Determinism contract (what makes these oracle-checkable):
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -227,12 +228,19 @@ def holt_forecast(
     )
     lnew = f"({a!r} * x.v + {1 - a!r} * (acc.l + acc.b))"
     fold = F.expr(
-        "aggregate(slice(__s, 2, size(__s) - 1), "
+        # greatest(0, ·): an EMPTY ungrouped input still emits one row
+        # (global agg) whose __s is []; size-1 = -1 would make slice
+        # throw instead of folding nothing.
+        "aggregate(slice(__s, 2, greatest(0, size(__s) - 1)), "
         "struct(CAST(__s[0].v AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b), "
         f"(acc, x) -> struct({lnew} AS l, "
         f"({b!r} * ({lnew} - acc.l) + {1 - b!r} * acc.b) AS b))"
     )
-    out = ser.withColumn("__st", fold)
+    # n_buckets = 0 ⇒ no series: NULL level/trend/forecast, not a
+    # crash on __s[0] under ANSI.
+    out = ser.withColumn(
+        "__st", F.when(F.col("n_buckets") > 0, fold)
+    )
     return out.select(
         *g,
         "n_buckets",
@@ -345,7 +353,21 @@ def normalize_series(
     ``percent_of_sum`` (v / Σv), ``range`` ((v - min) / (max - min),
     NULL on zero range), or ``mean`` (v / mean). Exact BIGINT
     aggregates + one IEEE division per bucket on the 6-decimal grid;
-    series-sized window state only."""
+    series-sized window state only.
+
+    Integer-valued series only (count/cardinality histograms — the ES
+    use this emulates): a fractional value column is REJECTED rather
+    than silently truncated, because the exact-BIGINT accumulation
+    that makes the result engine-portable has no float counterpart
+    without a fixed-order fold."""
+    dt = dict(hist.dtypes).get(value_col, "")
+    _m = re.match(r"decimal\((\d+),(\d+)\)", dt)
+    if dt in ("double", "float") or (_m and int(_m.group(2)) > 0):
+        raise ValueError(
+            "normalize_series requires an integer-valued series "
+            f"(count histograms); got {value_col!r}: {dt}. Pre-round "
+            "or rescale to integers explicitly."
+        )
     w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

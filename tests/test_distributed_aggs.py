@@ -407,3 +407,56 @@ def test_normalize_series_methods(spark):
 
     with _pytest.raises(ValueError):
         normalize_series(df, method="nope")
+
+
+def test_holt_empty_input_yields_nulls(spark):
+    # a global agg on an empty frame still emits one row (empty series
+    # array); the fold must yield NULLs, not an ANSI slice/index error
+    df = spark.createDataFrame([], "bucket long, value long")
+    (r,) = timeseries.holt_forecast(df).collect()
+    assert r.n_buckets == 0
+    assert r.level is None and r.trend is None and r.forecast is None
+
+
+def test_welch_t_zero_row_group_null_means(spark):
+    # a named group with ZERO rows must report NULL mean, not the
+    # engine-specific rendering of 0/0 (NaN) or x/0 (Inf)
+    from itemsjs_spark.ops.stats import welch_t_test
+
+    df = spark.createDataFrame(
+        [("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    (r,) = welch_t_test(df, "v", "g", "a", "b").collect()
+    assert (r.n_a, r.n_b) == (0, 2)
+    assert r.mean_a is None and r.mean_b == 2.5
+    assert r.t_stat is None and r.welch_df is None
+
+
+def test_normalize_series_rejects_fractional_values(spark):
+    # ES normalize on doubles would need a fixed-order float fold;
+    # this implementation is exact-BIGINT and must refuse (not
+    # silently truncate) a fractional series
+    import pytest as _pytest
+
+    from itemsjs_spark.ops.timeseries import normalize_series
+
+    df = spark.createDataFrame(
+        [(0, 1.5), (1, 2.5)], "bucket long, value double"
+    )
+    with _pytest.raises(ValueError, match="integer-valued"):
+        normalize_series(df)
+
+
+def test_string_stats_all_empty_group_kept(spark):
+    # a group whose every text is '' has no character rows; ES still
+    # reports the bucket -> length stats kept, entropy coalesced to 0
+    from itemsjs_spark.ops.stats import string_stats
+
+    df = spark.createDataFrame(
+        [("en", "aab"), ("xx", ""), ("xx", "")], "lang string, text string"
+    )
+    got = {r.lang: r for r in string_stats(df, "text", ("lang",)).collect()}
+    assert set(got) == {"en", "xx"}
+    r = got["xx"]
+    assert (r.n_docs, r.min_len, r.max_len, r.avg_len) == (2, 0, 0, 0.0)
+    assert r.entropy == 0.0

@@ -394,3 +394,28 @@ def test_vocab_growth_rank_col_matches_fallback(spark):
     b = sorted(map(tuple, text_ops.vocab_growth(
         df, n_buckets=5, rank_col="rk").collect()))
     assert a == b
+
+
+def test_preference_pairs_gap_stops_at_intervening_prompt(spark):
+    # user1, user2, assistant: the assistant answers user2 ONLY — the
+    # gap-2 search from user1 is blocked by the intervening user turn,
+    # so "q1" mines no second response and produces no pair
+    df = _tx(
+        spark,
+        [
+            ("c1", 0, "user", "q1"),
+            ("c1", 1, "user", "q2"),
+            ("c1", 2, "assistant", "answer for q2 only"),
+            # q1 answered directly elsewhere (single response -> no pair)
+            ("c2", 0, "user", "q1"),
+            ("c2", 1, "assistant", "direct"),
+            # q2 answered differently elsewhere -> the only pair
+            ("c3", 0, "user", "q2"),
+            ("c3", 1, "assistant", "short"),
+        ],
+    )
+    rows = conv_ops.preference_pairs(df, max_gap=2).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.prompt == "q2"
+    assert r.chosen == "answer for q2 only" and r.rejected == "short"
