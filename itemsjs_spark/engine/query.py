@@ -233,8 +233,16 @@ class SearchEngine:
     # score aggregation pivots per-doc contributions onto sorted-term-rank
     # columns (one conditional sum each, folded in rank order — no struct
     # array, no term strings in the shuffle) up to this many ranks; wider
-    # expansions keep the sorted-struct-array fold (same reduction order)
-    WIDE_SUM_MAX_TERMS = 64
+    # expansions keep the sorted-struct-array fold (same reduction order,
+    # bit-identical scores either way).  Cap = 2, set by measurement: an
+    # interleaved A/B at 60k turns found the conditional-sum plan at
+    # parity with the fold for 1-2 term queries (the dominant case, and
+    # where dropping term strings from the shuffle matters) but 25-60%
+    # SLOWER from 3 terms up (n=3 0.257 vs 0.201 s, n=6 0.295 vs 0.200,
+    # n=12 0.349 vs 0.220 — the per-row WHEN-chain scales with rank
+    # count while the fold's per-row cost is flat), which was the
+    # round-4 ft_prefix regression.
+    WIDE_SUM_MAX_TERMS = 2
     # phrase candidates up to this count collect to the driver and push
     # into the corpus scan as an IN filter (point lookups with row-group
     # pruning on a disk-backed corpus); above it the verify stage joins
