@@ -243,6 +243,9 @@ class SearchEngine:
     # count while the fold's per-row cost is flat), which was the
     # round-4 ft_prefix regression.
     WIDE_SUM_MAX_TERMS = 2
+    # reference-mandated allFilteredItems collect refuses above this
+    # many rows (the driver is not a sink for a corpus-sized result)
+    ALL_FILTERED_MAX_ITEMS = 200_000
     # phrase candidates up to this count collect to the driver and push
     # into the corpus scan as an IN filter (point lookups with row-group
     # pruning on a disk-backed corpus); above it the verify stage joins
@@ -4816,6 +4819,17 @@ class SearchEngine:
         if input.get("is_all_filtered_items") and not (
             input.get("sort") is None and hits is not None
         ):
+            # reference-mandated full-result collect (opt-in) — guarded:
+            # at corpus scale this would ship the whole filtered set to
+            # the driver, so refuse clearly above the cap instead of
+            # OOMing; page through search/search_after instead
+            if total is not None and total > self.ALL_FILTERED_MAX_ITEMS:
+                raise EngineError(
+                    "is_all_filtered_items would collect "
+                    f"{total} rows to the driver (cap "
+                    f"{self.ALL_FILTERED_MAX_ITEMS}); page through "
+                    "search() / search_after instead"
+                )
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
         sorting_time = page_secs[0] + (time.time() - t_s)
@@ -5401,6 +5415,14 @@ class SearchEngine:
 
         all_filtered_items = None
         if input.get("is_all_filtered_items"):
+            # same driver-collect guard as the search() path
+            if total is not None and total > self.ALL_FILTERED_MAX_ITEMS:
+                raise EngineError(
+                    "is_all_filtered_items would collect "
+                    f"{total} rows to the driver (cap "
+                    f"{self.ALL_FILTERED_MAX_ITEMS}); page through "
+                    "search() / search_after instead"
+                )
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
 

@@ -34,6 +34,7 @@ def rrf_fuse(
     id_col: str = "_id",
     k: int = 10,
     c: int = 60,
+    max_list_size: int = 10_000,
 ) -> DataFrame:
     """Fuse ranked candidate lists into an RRF top-k.
 
@@ -43,16 +44,28 @@ def rrf_fuse(
     ``(_id, rrf_score, n_lists)`` ordered by fused score — ``n_lists``
     is how many input lists contained the doc (a useful
     agreement signal, and extra oracle surface).
+
+    Each list is truncated to its top ``max_list_size`` rows (same
+    ordering the rank uses) BEFORE the global rank window: RRF is
+    defined over top-N candidate lists, and the truncation — a
+    distributed TakeOrdered, not a sort — is what keeps the
+    single-partition rank window bounded even if a caller hands this a
+    full scoring DataFrame instead of a candidate list. Rows beyond
+    the cap would each contribute < 1/(c + max_list_size) ≈ 0, and
+    every intended caller (WAND top-k, ANN shortlists) is far below it.
     """
     if not ranked:
         raise ValueError("rrf_fuse: need at least one ranked list")
     parts = []
     for df, score_col in ranked:
-        w = Window.orderBy(
+        order = [
             F.col(score_col).desc(), F.col(id_col).cast("string").asc()
-        )
+        ]
+        w = Window.orderBy(*order)
         parts.append(
-            df.select(
+            df.orderBy(*order)
+            .limit(int(max_list_size))
+            .select(
                 F.col(id_col).alias("_id"),
                 (
                     F.lit(1.0)

@@ -472,3 +472,28 @@ def test_mixed_type_items_round_trip_exactly(spark):
     # the callback filter sees original values too
     seen = eng.search({"filter": lambda it: isinstance(it["price"], int)})
     assert [it["name"] for it in seen["data"]["items"]] == ["a"]
+
+
+def test_all_filtered_items_guard_refuses_corpus_collect(spark):
+    # the reference-mandated allFilteredItems collect is opt-in; above
+    # the cap it must refuse with a clear error, not ship the corpus to
+    # the driver
+    from itemsjs_spark.engine.query import EngineError
+
+    items = [{"id": i, "name": f"n{i}", "tags": ["a"]} for i in range(30)]
+    eng = get_engine(
+        spark, "guard30", items, {"aggregations": {"tags": {}}}
+    )
+    r = eng.search({"is_all_filtered_items": True, "sort": None,
+                    "per_page": 5, "filters": {"tags": ["a"]}})
+    assert r["data"]["allFilteredItems"] is None or len(
+        r["data"]["allFilteredItems"]) == 30
+    old = eng.ALL_FILTERED_MAX_ITEMS
+    try:
+        eng.ALL_FILTERED_MAX_ITEMS = 10
+        with pytest.raises(EngineError, match="collect"):
+            eng.search({"is_all_filtered_items": True,
+                        "sort": "name_asc", "per_page": 5,
+                        "filters": {"tags": ["a"]}})
+    finally:
+        eng.ALL_FILTERED_MAX_ITEMS = old

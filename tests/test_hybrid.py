@@ -43,3 +43,17 @@ def test_rrf_k_truncates_after_fusion(spark):
 def test_rrf_rejects_empty_input(spark):
     with pytest.raises(ValueError):
         rrf_fuse([], k=5)
+
+
+def test_rrf_list_cap_bounds_rank_window(spark):
+    # a caller handing a full scoring frame gets its list truncated to
+    # the top max_list_size rows by the SAME ordering the rank uses —
+    # ranks for surviving rows are unchanged, the window input is
+    # bounded, and the fused top-k over high ranks is identical
+    a = _df(spark, [(i, float(1000 - i)) for i in range(200)])
+    capped = rrf_fuse([(a, "score")], k=5, max_list_size=50).collect()
+    full = rrf_fuse([(a, "score")], k=5, max_list_size=10_000).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in full]
+    # rows cut by the cap cannot appear even for large k
+    got = rrf_fuse([(a, "score")], k=100, max_list_size=50).collect()
+    assert len(got) == 50 and max(r["_id"] for r in got) == 49
