@@ -11,9 +11,12 @@ actual pixels; ``decode_jpeg_features`` additionally decodes baseline
 JPEG through ``ops.jpeg`` (Huffman + dequantize + 8x8 IDCT). AUDIO is real too: ``decode_wav_features`` parses
 RIFF/WAVE PCM through ``ops.wav`` and pools actual samples. VIDEO frame
 sampling is real for the uncompressed YUV4MPEG2 interchange format
-(``sample_y4m_frames`` via ``ops.y4m``); compressed containers keep an
-honest stub (``sample_frames(fake=False)`` raises NotImplementedError at
-the exact line an ffmpeg call plugs in — no codec exists in this
+(``sample_y4m_frames`` via ``ops.y4m``) AND for the compressed
+AVI/MJPEG container (``sample_avi_mjpeg_frames``: RIFF walk via
+``ops.avi``, per-frame baseline-JPEG decode via ``ops.jpeg``);
+inter-frame codecs (H.264/VP9/AV1) keep an honest stub
+(``sample_frames(fake=False)`` raises NotImplementedError at the exact
+line an ffmpeg call plugs in — no such codec exists in this
 environment). ``fake=True`` kernels stay for format-agnostic plumbing
 tests.
 """
@@ -28,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import avi as avicodec
 from . import gif as gifcodec
 from . import jpeg as jpegcodec
 from . import png as pngcodec
@@ -405,6 +409,65 @@ def sample_y4m_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=Y4M_FRAME_SCHEMA
+    )
+
+
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma_mean", T.DoubleType()),
+    ]
+)
+
+
+def sample_avi_mjpeg_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL compressed-video frame sampling: AVI/MJPEG payload ->
+    every ``every_n``-th frame fully decoded (RIFF chunk walk via
+    ``ops.avi``, then baseline-JPEG Huffman + dequantize + IDCT via
+    ``ops.jpeg``), with the decoded-pixel mean as an oracle-checkable
+    per-frame feature (grayscale mean for 1-component frames, mean over
+    all interleaved samples otherwise). 1→N rows per input; the
+    sampling SKIPS the decode of dropped frames entirely — with MJPEG
+    every frame is an independent keyframe, so frame selection costs a
+    chunk-walk seek, not a decode (the property that makes MJPEG the
+    cheap-scrubbing format)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                cw, ch, frames = avicodec.parse_avi_mjpeg(bytes(payload))
+                for i in range(0, len(frames), every_n):
+                    fw, fh, _nc, pix = jpegcodec.decode_jpeg(frames[i])
+                    if (fw, fh) != (cw, ch):
+                        raise avicodec.BadAVI(
+                            "frame dims disagree with container header"
+                        )
+                    ids.append(int(did))
+                    idxs.append(i)
+                    ws.append(fw)
+                    hs.append(fh)
+                    means.append(round(sum(pix) / len(pix) / 255.0, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "luma_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AVI_FRAME_SCHEMA
     )
 
 
