@@ -4934,6 +4934,46 @@ def _q_normalize_series(spark, sf_dir):
     ).select("bucket", "value", "normalized")
 
 
+def _q_moving_percentiles(spark, sf_dir):
+    """ES moving_percentiles pipeline agg
+    (`timeseries.moving_percentiles`): exact trailing-window quantiles
+    over the daily event series (Catalyst `percentile` over a bounded
+    rows frame == DuckDB `quantile_cont` over the same frame — the
+    lineitem_mad equivalence, windowed)."""
+    from itemsjs_spark.ops import timeseries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    ).cast("long")
+    hist = (
+        ev.select(ep.alias("e"))
+        .select(F.expr("(e DIV 86400) * 86400").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("value"))
+    )
+    return timeseries.moving_percentiles(
+        hist, window=3, probs=(0.5, 0.9)
+    )
+
+
+def _q_diversified_sample(spark, sf_dir):
+    """ES diversified_sampler (`sampling.diversified_sample`): at most
+    3 documents per source, picked by the deterministic
+    (n_chars DESC, doc_id ASC) ranking — the anti-domination cap before
+    significant-terms / mixture work. One per-key row_number window."""
+    from itemsjs_spark.ops import sampling
+
+    d = _documents(spark, sf_dir)
+    return sampling.diversified_sample(
+        d.select("doc_id", "source", "n_chars"),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        max_per_key=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5508,6 +5548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_boxplot": _q_boxplot,
         "events_cumulative_cardinality": _q_cumulative_cardinality,
         "events_normalize_series": _q_normalize_series,
+        # round 5: ES moving_percentiles + diversified_sampler
+        "events_moving_percentiles": _q_moving_percentiles,
+        "diversified_sample_sources": _q_diversified_sample,
     })
 
 
@@ -8237,5 +8280,28 @@ h AS (SELECT (e // 86400) * 86400 AS bucket, count(*)::BIGINT AS v
 SELECT bucket, v AS value,
        round(v::DOUBLE / (sum(v) OVER ())::DOUBLE, 6) AS normalized
 FROM h
+"""
+
+    # moving percentiles: quantile_cont over the identical trailing
+    # rows frame (exact-quantile equivalence precedent: lineitem_mad)
+    sqls["events_moving_percentiles"] = """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+h AS (SELECT (e // 86400) * 86400 AS bucket, count(*)::BIGINT AS v
+      FROM e GROUP BY 1)
+SELECT bucket, v AS value,
+       round(quantile_cont(v, 0.5) OVER (ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p5,
+       round(quantile_cont(v, 0.9) OVER (ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p9
+FROM h
+"""
+
+    sqls["diversified_sample_sources"] = """
+WITH r AS (SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                      ORDER BY n_chars DESC, doc_id ASC)::BIGINT
+                    AS sample_rank
+           FROM documents)
+SELECT doc_id, source, n_chars, sample_rank FROM r WHERE sample_rank <= 3
 """
     return _window_order(sqls)

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -584,4 +584,31 @@ def fim_split(
         middle.alias("middle"),
         suffix.alias("suffix"),
         fim_text.alias("fim_text"),
+    )
+
+
+def diversified_sample(
+    df: DataFrame,
+    key_col: str,
+    order_by: Sequence[Column],
+    max_per_key: int,
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: keep at most
+    ``max_per_key`` rows per de-duplication key, choosing them by the
+    deterministic ``order_by`` ranking (ES picks by shard order /
+    score; a reproducible pipeline needs an explicit total order — pass
+    tie-breaking columns). The standard anti-domination step before
+    significant-terms / training-mix work: no source, author, or
+    conversation may contribute more than the cap.
+
+    One row_number window PARTITIONED BY the key — per-key state only,
+    a hot key costs its own row count (the same skew shape as every
+    grouped top-k here). Returns the input columns plus ``sample_rank``
+    (1-based rank within the key)."""
+    if max_per_key < 1:
+        raise ValueError("max_per_key must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= int(max_per_key))
     )

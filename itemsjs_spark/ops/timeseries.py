@@ -396,3 +396,35 @@ def normalize_series(
     return hist.select(
         F.col(bucket_col), v.alias(value_col), norm.alias("normalized")
     )
+
+
+def moving_percentiles(
+    hist: DataFrame,
+    window: int,
+    probs: Sequence[float] = (0.5,),
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: for each bucket,
+    exact linear-interpolation percentiles over the TRAILING ``window``
+    buckets of the series (ES runs TDigest over a shift window; exact
+    quantiles are this engine's standing upgrade, same as `boxplot` /
+    `lineitem_mad`). Catalyst ``percentile`` over a bounded rows frame
+    == DuckDB ``quantile_cont`` over the same frame (repo precedent).
+
+    The frame is series-sized (histogram buckets, calendar-bounded —
+    see module docstring), so the single-partition window is bounded
+    by the calendar, never the corpus. Returns
+    (bucket, value, p<prob> ...) on the 6-decimal grid."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.orderBy(bucket_col).rowsBetween(-(int(window) - 1), 0)
+    cols = [F.col(bucket_col), F.col(value_col).cast("long").alias(value_col)]
+    for p in probs:
+        name = f"p{str(p).replace('0.', '').rstrip('0') or '0'}"
+        cols.append(
+            F.round(
+                F.expr(f"percentile({value_col}, {float(p)!r})").over(w), 6
+            ).alias(name)
+        )
+    return hist.select(*cols)

@@ -460,3 +460,42 @@ def test_string_stats_all_empty_group_kept(spark):
     r = got["xx"]
     assert (r.n_docs, r.min_len, r.max_len, r.avg_len) == (2, 0, 0, 0.0)
     assert r.entropy == 0.0
+
+
+def test_moving_percentiles_trailing_window(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 3), (2, 5), (3, 7)], "bucket long, value long"
+    )
+    got = {
+        r.bucket: (r.p5, r.p9)
+        for r in timeseries.moving_percentiles(
+            df, window=3, probs=(0.5, 0.9)
+        ).collect()
+    }
+    # bucket 0: frame [1]; bucket 1: [1,3]; bucket 2: [1,3,5]; 3: [3,5,7]
+    assert got[0] == (1.0, 1.0)
+    assert got[1] == (2.0, round(1 + 0.9 * 2, 6))
+    assert got[2] == (3.0, round(3 + 0.8 * 2, 6))
+    assert got[3] == (5.0, round(5 + 0.8 * 2, 6))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        timeseries.moving_percentiles(df, window=0)
+
+
+def test_diversified_sample_caps_per_key(spark):
+    from pyspark.sql import functions as F
+
+    from itemsjs_spark.ops.sampling import diversified_sample
+
+    rows = [(i, "a" if i < 5 else "b", 100 - i) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    got = diversified_sample(
+        df, "src", [F.col("score").desc(), F.col("doc_id").asc()], 2
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.src, []).append((r.sample_rank, r.doc_id))
+    # top-2 by score desc: key a -> docs 0,1 (scores 100,99); b -> 5,6
+    assert sorted(by_key["a"]) == [(1, 0), (2, 1)]
+    assert sorted(by_key["b"]) == [(1, 5), (2, 6)]
