@@ -89,3 +89,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert "_id" in df.columns
+
+
+def test_r5_window_invariants():
+    # the report window is an explicit rotation list: exactly the first
+    # 50 queries() keys, no duplicates, every one oracle-backed
+    win = entrymod._R5_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    q = list(entrymod.queries())
+    assert q[:50] == win
+    o = entrymod.oracle_sql()
+    assert set(q) == set(o)          # 1:1 key parity
+    missing = [k for k in win if k not in o]
+    assert missing == []
