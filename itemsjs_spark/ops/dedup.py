@@ -243,16 +243,23 @@ def jaccard_pairs(
       per-shingle array (a ubiquitous shingle would otherwise put its
       whole posting list in one row)."""
     if max_shingle_df is not None:
+        # persisted: the capped posting table feeds BOTH the per-doc
+        # cardinalities and the pair combinations, and card feeds two
+        # joins (a-side, b-side) — without the caches the corpus
+        # shingle explode+groupBy lineage ran three times per action
+        # (measured: 3 FileScan + 6 Generate at sf0.1, zero reuse)
         post = (
             df.select(id_col, F.explode(shingles(text_col, n)).alias("g"))
             .groupBy("g")
             .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
             .filter(F.size("ids") <= max_shingle_df)
+            .persist()
         )
         card = (
             post.select(F.explode("ids").alias(id_col))
             .groupBy(id_col)
             .agg(F.count("*").alias("c"))
+            .persist()
         )
         combos = F.expr(
             "flatten(transform(ids, (x, i) -> "
@@ -265,10 +272,11 @@ def jaccard_pairs(
             .agg(F.count("*").alias("common"))
         )
     else:
+        # same sharing: e feeds card + both sides of the self-join
         e = df.select(
             id_col, F.explode(shingles(text_col, n)).alias("g")
-        ).distinct()
-        card = e.groupBy(id_col).agg(F.count("*").alias("c"))
+        ).distinct().persist()
+        card = e.groupBy(id_col).agg(F.count("*").alias("c")).persist()
         x, y = e.alias("x"), e.alias("y")
         pairs = (
             x.join(y, "g")

@@ -379,13 +379,15 @@ def dsir_weights(
     a document's weight is the exact integer dot product of its bucket
     counts with that 256-row broadcast table, divided once at the end.
 
-    Distributed shape: two map-side-combined gram-count aggregates
-    (bucket-keyed — hot grams collapse into hot buckets' counts, never
-    row explosions), one ``n_buckets``-row spine joined broadcast, one
-    per-(doc, bucket) count aggregate, one broadcast join + per-doc
-    integer sum. Nothing corpus-sized crosses the driver; the model is
-    n_buckets rows regardless of vocabulary — the bounded-memory
-    property that makes DSIR runnable at 10^12 turns."""
+    Distributed shape: ONE gram explode per corpus — the raw pool's
+    per-(doc, bucket) count table is persisted and its bucket
+    distribution derived from it by a second (tiny, bucket-keyed)
+    aggregate, the target corpus gets one map-side-combined bucket
+    count — plus one ``n_buckets``-row spine joined broadcast and one
+    broadcast join + per-doc integer sum. Nothing corpus-sized crosses
+    the driver; the model is n_buckets rows regardless of vocabulary —
+    the bounded-memory property that makes DSIR runnable at 10^12
+    turns."""
     from itemsjs_spark.ops.text import ws_tokens as ws_tokens_col
 
     spark = raw.sparkSession
@@ -425,12 +427,29 @@ def dsir_weights(
         )
 
     spine = spark.range(bcount).select(F.col("id").alias("b"))
+    # per-(doc, bucket) counts computed ONCE and persisted: the raw
+    # pool's bucket distribution is DERIVED from this table (Σ over
+    # docs — identical exact integers), so the raw corpus is exploded
+    # once, not once per consumer; tgt/rawc are n_buckets-row tables
+    # persisted because each feeds its total AND the ratio join
+    # (pre-change plan: 11 FileScan + 10 Generate in one action)
+    doc_b = (
+        gram_stream(raw, keep_id=True)
+        .select("__id", bucket(F.col("g")).alias("b"))
+        .groupBy("__id", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
     tgt = spine.join(bucket_counts(target), "b", "left").select(
         "b", F.coalesce("c", F.lit(0)).cast("long").alias("ct")
-    )
-    rawc = spine.join(bucket_counts(raw), "b", "left").select(
+    ).persist()
+    rawc = spine.join(
+        doc_b.groupBy("b").agg(F.sum("n").cast("long").alias("c")),
+        "b",
+        "left",
+    ).select(
         "b", F.coalesce("c", F.lit(0)).cast("long").alias("cr")
-    )
+    ).persist()
     totals_t = tgt.agg(F.sum("ct").cast("double").alias("__tt"))
     totals_r = rawc.agg(F.sum("cr").cast("double").alias("__tr"))
     ratio = (
@@ -456,12 +475,6 @@ def dsir_weights(
             .cast("long")
             .alias("ld_nano"),
         )
-    )
-    doc_b = (
-        gram_stream(raw, keep_id=True)
-        .select("__id", bucket(F.col("g")).alias("b"))
-        .groupBy("__id", "b")
-        .agg(F.count("*").cast("long").alias("n"))
     )
     per_doc = (
         doc_b.join(F.broadcast(ratio), "b")
