@@ -8290,9 +8290,9 @@ h AS (SELECT (e // 86400) * 86400 AS bucket, count(*)::BIGINT AS v
       FROM e GROUP BY 1)
 SELECT bucket, v AS value,
        round(quantile_cont(v, 0.5) OVER (ORDER BY bucket
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p5,
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p50,
        round(quantile_cont(v, 0.9) OVER (ORDER BY bucket
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p9
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p90
 FROM h
 """
 

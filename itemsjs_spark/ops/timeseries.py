@@ -421,7 +421,15 @@ def moving_percentiles(
     w = Window.orderBy(bucket_col).rowsBetween(-(int(window) - 1), 0)
     cols = [F.col(bucket_col), F.col(value_col).cast("long").alias(value_col)]
     for p in probs:
-        name = f"p{str(p).replace('0.', '').rstrip('0') or '0'}"
+        if not 0.0 <= float(p) <= 1.0:
+            raise ValueError(f"percentile prob out of [0, 1]: {p!r}")
+        # percent-based names (p50, p90, p99_9): stable, dot-free, no
+        # collision for any practical grid incl. p=1.0 -> p100
+        pct = float(p) * 100.0
+        name = "p" + (
+            str(int(pct)) if pct == int(pct)
+            else str(round(pct, 4)).replace(".", "_")
+        )
         cols.append(
             F.round(
                 F.expr(f"percentile({value_col}, {float(p)!r})").over(w), 6

@@ -467,7 +467,7 @@ def test_moving_percentiles_trailing_window(spark):
         [(0, 1), (1, 3), (2, 5), (3, 7)], "bucket long, value long"
     )
     got = {
-        r.bucket: (r.p5, r.p9)
+        r.bucket: (r.p50, r.p90)
         for r in timeseries.moving_percentiles(
             df, window=3, probs=(0.5, 0.9)
         ).collect()
