@@ -521,6 +521,18 @@ class SearchEngine:
         eng._tombstone_setdf_n = self._tombstone_setdf_n
         eng._tombstone_df = self._tombstone_df
 
+    def _guard_all_filtered_collect(self, total) -> None:
+        """Reference-mandated allFilteredItems is an opt-in full-result
+        collect; above the cap refuse clearly instead of shipping a
+        corpus-sized result to the driver."""
+        if total is not None and total > self.ALL_FILTERED_MAX_ITEMS:
+            raise EngineError(
+                "is_all_filtered_items would collect "
+                f"{total} rows to the driver (cap "
+                f"{self.ALL_FILTERED_MAX_ITEMS}); page through "
+                "search() / search_after instead"
+            )
+
     def _live(self, df: DataFrame) -> DataFrame:
         """Filter a docid-bearing DataFrame down to live (undeleted)
         rows. No-op when nothing is deleted."""
@@ -4819,17 +4831,7 @@ class SearchEngine:
         if input.get("is_all_filtered_items") and not (
             input.get("sort") is None and hits is not None
         ):
-            # reference-mandated full-result collect (opt-in) — guarded:
-            # at corpus scale this would ship the whole filtered set to
-            # the driver, so refuse clearly above the cap instead of
-            # OOMing; page through search/search_after instead
-            if total is not None and total > self.ALL_FILTERED_MAX_ITEMS:
-                raise EngineError(
-                    "is_all_filtered_items would collect "
-                    f"{total} rows to the driver (cap "
-                    f"{self.ALL_FILTERED_MAX_ITEMS}); page through "
-                    "search() / search_after instead"
-                )
+            self._guard_all_filtered_collect(total)
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
         sorting_time = page_secs[0] + (time.time() - t_s)
@@ -5415,14 +5417,7 @@ class SearchEngine:
 
         all_filtered_items = None
         if input.get("is_all_filtered_items"):
-            # same driver-collect guard as the search() path
-            if total is not None and total > self.ALL_FILTERED_MAX_ITEMS:
-                raise EngineError(
-                    "is_all_filtered_items would collect "
-                    f"{total} rows to the driver (cap "
-                    f"{self.ALL_FILTERED_MAX_ITEMS}); page through "
-                    "search() / search_after instead"
-                )
+            self._guard_all_filtered_collect(total)
             all_df = ordered.select(*keep).withColumnRenamed(DOCID, "_id")
             all_filtered_items = [_row_to_item(r) for r in all_df.collect()]
 

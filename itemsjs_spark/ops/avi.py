@@ -68,6 +68,8 @@ def encode_avi_mjpeg(
     EOI); MJPEG-in-AVI stores exactly that per ``00dc`` chunk."""
     if width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive")
+    if int(fps) <= 0:
+        raise ValueError("fps must be positive")
     if not frames:
         raise ValueError("need at least one frame")
     for f in frames:
@@ -126,14 +128,14 @@ def encode_avi_mjpeg(
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
 
-    movi_body = b"movi"
+    frames_body = b""
     idx_entries = []
     for f in frames:
         # idx1 offsets are from the start of the 'movi' list data
         # (counting its 'movi' fourcc), pointing at the chunk's ckid
-        idx_entries.append((len(movi_body), len(f)))
-        movi_body += _chunk(b"00dc", f)
-    movi = _chunk(b"LIST", movi_body)
+        idx_entries.append((4 + len(frames_body), len(f)))
+        frames_body += _chunk(b"00dc", f)
+    movi = _list(b"movi", frames_body)
 
     idx1 = b"".join(
         b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME

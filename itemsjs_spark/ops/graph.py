@@ -61,8 +61,12 @@ def pagerank(
     # edges (measured: 14 FileScan, zero cache, at 3 iterations).
     # Standard iterative-job hygiene at any scale; both tables are
     # graph-dimension-sized (distinct edges / nodes), never row-count
-    # sized. Each iterate is also persisted so a stage retry (or a
-    # multi-action consumer) replays one step, not the whole chain.
+    # sized. Iterates are NOT persisted — each is consumed exactly once
+    # by the next step, and LRU storage should hold the two invariants,
+    # not a dead iterate per step. (Op-internal caches here and in
+    # dedup/sampling/text are dimension-sized, MEMORY_AND_DISK, and
+    # LRU-evictable — the deliberate trade for lazy return values that
+    # cannot unpersist before the caller's action.)
     ew = wedges.join(out, src_col).persist()
     nodes = (
         edges.select(F.col(src_col).alias("node"))
@@ -91,7 +95,7 @@ def pagerank(
                     f"{damping_pct} * coalesce(s, CAST(0 AS BIGINT)) DIV 100"
                 )
             ).cast("long").alias("pr"),
-        ).persist()
+        )
     return pr.select(
         "node",
         F.col("pr").alias("pr_micro"),

@@ -424,11 +424,12 @@ def moving_percentiles(
         if not 0.0 <= float(p) <= 1.0:
             raise ValueError(f"percentile prob out of [0, 1]: {p!r}")
         # percent-based names (p50, p90, p99_9): stable, dot-free, no
-        # collision for any practical grid incl. p=1.0 -> p100
-        pct = float(p) * 100.0
+        # collision for any practical grid incl. p=1.0 -> p100. Round
+        # BEFORE the integer test: 0.29*100 is 28.999999999999996 in
+        # floats and must still name p29, not p29_0.
+        pct = round(float(p) * 100.0, 4)
         name = "p" + (
-            str(int(pct)) if pct == int(pct)
-            else str(round(pct, 4)).replace(".", "_")
+            str(int(pct)) if pct == int(pct) else str(pct).replace(".", "_")
         )
         cols.append(
             F.round(

@@ -82,3 +82,8 @@ def test_spark_sample_avi_frames_decodes_every_second(spark):
     # solid blocks round-trip exactly under the DC-exact quant table
     assert out[0].luma_mean == round(vals[0] / 255.0, 6)
     assert out[1].luma_mean == round(vals[2] / 255.0, 6)
+
+
+def test_avi_rejects_nonpositive_fps():
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_mjpeg(8, 8, [_solid_jpeg(8, 8, 1)], fps=0)

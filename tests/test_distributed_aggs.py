@@ -499,3 +499,14 @@ def test_diversified_sample_caps_per_key(spark):
     # top-2 by score desc: key a -> docs 0,1 (scores 100,99); b -> 5,6
     assert sorted(by_key["a"]) == [(1, 0), (2, 1)]
     assert sorted(by_key["b"]) == [(1, 5), (2, 6)]
+
+
+def test_moving_percentiles_float_prob_names_stable(spark):
+    # 0.29*100 is 28.999... in floats; the name must still be p29
+    df = spark.createDataFrame([(0, 1), (1, 3)], "bucket long, value long")
+    out = timeseries.moving_percentiles(df, window=2, probs=(0.29, 1.0))
+    assert out.columns == ["bucket", "value", "p29", "p100"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prob"):
+        timeseries.moving_percentiles(df, window=2, probs=(1.5,))
