@@ -4958,6 +4958,39 @@ def _q_moving_percentiles(spark, sf_dir):
     )
 
 
+def _q_categorize_text(spark, sf_dir):
+    """ES categorize_text analog (`text.categorize_text`): deterministic
+    log-pattern buckets — lowercase, digit runs -> '#', first-3-token
+    prefix key; one map-side-combined groupBy with the smallest doc_id
+    as the bucket representative. The oracle restates the identical
+    normalization (DuckDB regexp_replace needs the 'g' flag where
+    Spark's is global by default)."""
+    from itemsjs_spark.ops import text as text_ops
+
+    d = _documents(spark, sf_dir)
+    return text_ops.categorize_text(d, "doc_id", "text", max_tokens=3)
+
+
+def _q_change_point(spark, sf_dir):
+    """ES change_point, step form (`timeseries.change_point`): the
+    daily-histogram bucket with the largest |first difference|
+    (ties: earliest). Exact integers; TakeOrdered limit 1."""
+    from itemsjs_spark.ops import timeseries
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    ).cast("long")
+    hist = (
+        ev.select(ep.alias("e"))
+        .select(F.expr("(e DIV 86400) * 86400").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("value"))
+    )
+    return timeseries.change_point(hist)
+
+
 def _q_diversified_sample(spark, sf_dir):
     """ES diversified_sampler (`sampling.diversified_sample`): at most
     3 documents per source, picked by the deterministic
@@ -5548,9 +5581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_boxplot": _q_boxplot,
         "events_cumulative_cardinality": _q_cumulative_cardinality,
         "events_normalize_series": _q_normalize_series,
-        # round 5: ES moving_percentiles + diversified_sampler
+        # round 5: ES moving_percentiles + diversified_sampler +
+        # categorize_text + change_point
         "events_moving_percentiles": _q_moving_percentiles,
         "diversified_sample_sources": _q_diversified_sample,
+        "categorize_text_patterns": _q_categorize_text,
+        "events_change_point": _q_change_point,
     })
 
 
@@ -8303,5 +8339,36 @@ WITH r AS (SELECT doc_id, source, n_chars,
                     AS sample_rank
            FROM documents)
 SELECT doc_id, source, n_chars, sample_rank FROM r WHERE sample_rank <= 3
+"""
+
+    # categorize_text: identical normalization chain; DuckDB's
+    # regexp_replace replaces the FIRST match unless given 'g', and its
+    # \s+ split mirrors Spark's on the trimmed string
+    sqls["categorize_text_patterns"] = r"""
+WITH n AS (SELECT doc_id,
+                  lower(regexp_replace(text, '[0-9]+', '#', 'g')) AS nt
+           FROM documents),
+k AS (SELECT doc_id,
+             array_to_string(
+               (regexp_split_to_array(trim(nt), '\s+'))[1:3], ' ')
+               AS category
+      FROM n)
+SELECT category, count(*)::BIGINT AS doc_count,
+       min(doc_id)::BIGINT AS example_id
+FROM k GROUP BY category
+"""
+
+    sqls["events_change_point"] = """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+h AS (SELECT (e // 86400) * 86400 AS bucket, count(*)::BIGINT AS v
+      FROM e GROUP BY 1),
+d AS (SELECT bucket, v AS value,
+             lag(v, 1) OVER (ORDER BY bucket) AS prev_value
+      FROM h)
+SELECT bucket, value, prev_value,
+       (value - prev_value)::BIGINT AS delta
+FROM d WHERE prev_value IS NOT NULL
+ORDER BY abs(value - prev_value) DESC, bucket ASC
+LIMIT 1
 """
     return _window_order(sqls)

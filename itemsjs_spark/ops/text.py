@@ -1250,3 +1250,35 @@ def memorization_risk(
             ).alias("risk"),
         )
     )
+
+
+def categorize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 4,
+) -> DataFrame:
+    """ES ``categorize_text`` analog: deterministic log-pattern buckets.
+    ES runs a drain-style online tree; a reproducible batch pipeline
+    wants a pure function of the text, so the category key here is the
+    normalized prefix: lowercase, digit runs collapsed to ``#``, first
+    ``max_tokens`` whitespace tokens joined — the standard
+    log-templating trick (timestamps/ids/counters stop splitting
+    templates apart), restatable verbatim by any SQL engine.
+
+    One map-side-combined groupBy; returns
+    (category, doc_count, example_id) with example_id = the smallest
+    ``id_col`` in the bucket (deterministic representative)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "[0-9]+", "#"))
+    toks = F.slice(F.split(F.trim(norm), r"\s+"), 1, int(max_tokens))
+    return (
+        df.select(
+            F.array_join(toks, " ").alias("category"),
+            F.col(id_col).cast("long").alias("__id"),
+        )
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.min("__id").alias("example_id"),
+        )
+    )

@@ -437,3 +437,30 @@ def moving_percentiles(
             ).alias(name)
         )
     return hist.select(*cols)
+
+
+def change_point(
+    hist: DataFrame,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES ``change_point`` aggregation, step-change form (simplified:
+    ES fits several curve types; the step/spike detector reduces to the
+    largest absolute first difference, which is the deterministic,
+    cross-engine-exact core). Returns ONE row:
+    (bucket, value, prev_value, delta) for the bucket whose
+    ``value - lag(value)`` has the largest absolute value (ties: the
+    earliest bucket). All integer arithmetic over the calendar-bounded
+    series; the selection is a TakeOrdered limit 1, not a full sort."""
+    w = Window.orderBy(bucket_col)
+    v = F.col(value_col).cast("long")
+    d = hist.select(
+        F.col(bucket_col),
+        v.alias(value_col),
+        F.lag(v, 1).over(w).alias("prev_value"),
+    ).withColumn("delta", F.col(value_col) - F.col("prev_value"))
+    return (
+        d.filter(F.col("prev_value").isNotNull())
+        .orderBy(F.abs(F.col("delta")).desc(), F.col(bucket_col).asc())
+        .limit(1)
+    )

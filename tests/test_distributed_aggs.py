@@ -510,3 +510,16 @@ def test_moving_percentiles_float_prob_names_stable(spark):
 
     with _pytest.raises(ValueError, match="prob"):
         timeseries.moving_percentiles(df, window=2, probs=(1.5,))
+
+
+def test_change_point_largest_step_earliest_tie(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (1, 12), (2, 30), (3, 12), (4, 30)],
+        "bucket long, value long",
+    )
+    # |deltas|: b1=2, b2=18, b3=18, b4=18 -> tie broken by earliest
+    (r,) = timeseries.change_point(df).collect()
+    assert (r.bucket, r.value, r.prev_value, r.delta) == (2, 30, 12, 18)
+    # single bucket: no predecessor, empty result
+    one = spark.createDataFrame([(0, 5)], "bucket long, value long")
+    assert timeseries.change_point(one).count() == 0

@@ -419,3 +419,23 @@ def test_preference_pairs_gap_stops_at_intervening_prompt(spark):
     (r,) = rows
     assert r.prompt == "q2"
     assert r.chosen == "answer for q2 only" and r.rejected == "short"
+
+
+def test_categorize_text_pattern_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Error 404 at node12 path /a"),
+            (2, "error 500 at node7 path /b"),
+            (3, "Login ok user42"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.category: (r.doc_count, r.example_id)
+        for r in text_ops.categorize_text(
+            df, "doc_id", "text", max_tokens=3
+        ).collect()
+    }
+    # digit runs collapse -> the two error lines share one template
+    assert got["error # at"] == (2, 1)
+    assert got["login ok user#"] == (1, 3)
